@@ -1,0 +1,84 @@
+"""Dedup / top-k-per-group operators.
+
+Reference semantics (SURVEY.md §2.5/§2.6):
+- A2 argmax dedup: keep the single row with max `close` per (date, symbol)
+  (reference pse_edge.py:259 `df.loc[df.groupby(['date','symbol'])['close']
+  .idxmax()]`, re-applied at every sync site). pandas idxmax keeps the
+  first-seen row on ties — input-order-dependent; we instead take a
+  deterministic total order via explicit tiebreak columns (SURVEY.md §7.4).
+- O3 top-k per group generalizes A2 (k=1).
+
+Scale notes: a single window over (keys, order) is one shuffle on the
+group keys, map-side nothing to pre-aggregate — the optimal distributed
+plan for argmax-with-whole-row. For k=1 an alternative is
+`groupBy(keys).agg(max_by(struct(*), order))` which enables partial
+aggregation (map-side combine) and avoids the full sort; we use max_by
+for k=1 when tiebreak allows, window row_number otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int = 1,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group under a total order (O3; A2 when k=1).
+
+    `order_by` must be a total order (append a unique tiebreak column)
+    for deterministic output — the reference's first-seen-on-tie behavior
+    is input-order-dependent and not reproduced (SURVEY.md §7.5 risk 3).
+    """
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    out = ranked.filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def argmax_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """A2: one row per `keys`, the one with max `value_col`.
+
+    Deterministic tie-break = smallest `tiebreak` tuple. Implemented with
+    max_by over a struct so Catalyst plans a hash aggregate with partial
+    (map-side) combine — cheaper at scale than a window sort when groups
+    are small and numerous.
+    """
+    cols = df.columns
+    # Order struct: (value DESC) then (tiebreak ASC) — encode by negating
+    # comparison via struct ordering: max_by with a struct key of
+    # (value, then *negated* tiebreak) is awkward for arbitrary types, so
+    # fall back to min_by over (neg rank) only for numeric; the window form
+    # is the general, still-single-shuffle path.
+    if not tiebreak:
+        key_struct = F.struct(F.col(value_col))
+        agg = df.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in cols]), key_struct).alias("__row")
+        )
+        return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    order = [F.col(value_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    return topk_per_group(df, keys, order, k=1)
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (dropDuplicates) — hash-shuffle on the
+    subset columns; Catalyst plans it as a partial+final hash aggregate."""
+    return df.dropDuplicates(list(subset) if subset else None)

@@ -1,0 +1,107 @@
+"""Keyed upsert (MERGE) semantics as pure relational algebra.
+
+Reference semantics (SURVEY.md §2.2 K2/K3, §2.4 J1/J2/J3, §2.3 P4/P5):
+- K2 plain upsert: matched → update all cols, not matched → insert all
+  (reference spark_deltalake_sync.py:296-300 Delta MERGE;
+  deltalake_sync.py:239-248; bigquery_dml__upsert_company.sql:7-27).
+- K3 freshness-guarded upsert: only replace a matched target row when
+  `source.extracted_at >= target.extracted_at` or the target row is new
+  (bigquery_dml__upsert_daily_stock_price.sql:15-16) — the property that
+  makes replays idempotent (T4).
+- J1 left-outer classify, J3 semi-join delete — the reference's staged
+  delete+insert dance collapses into one relational expression here.
+
+Delta MERGE is not available in this image, so the engine computes the
+*post-merge relation* declaratively (anti-join the replaced keys out of
+the target, union the winning source rows in) and the storage layer
+(store/parquet_table.py) commits it atomically. On a Delta-enabled
+cluster the same plan maps 1:1 onto
+`DeltaTable.merge(...).whenMatchedUpdateAll(condition).whenNotMatchedInsertAll()`.
+
+Scale notes: the anti-join and the classify join shuffle on the merge
+keys; at 100 TB the win is file pruning — the storage layer partitions
+the fact by date so a merge of a trailing window only rewrites recent
+partitions (mirrors BigQuery `PARTITION BY date`, SURVEY.md §4).
+
+Invariant (SURVEY.md §7.5 risk 4): the source must be key-unique before
+merging — Delta MERGE throws on duplicate source keys, and the reference
+always pre-dedups (A2). `merge_dataframes` enforces it via argmax dedup
+when `dedup_order` is given.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import topk_per_group
+
+
+def classify_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    freshness_col: str | None = None,
+) -> DataFrame:
+    """J1+P5: tag each source row 'insert' / 'update' / 'skip'.
+
+    Left-outer join source→target on the composite key; a source row is
+    an insert when no target key matches, an update when it matches and
+    passes the freshness guard (or there is no guard), else a skip.
+    This is the relational form of the reference's staged classify
+    (bigquery_dml__upsert_daily_stock_price.sql:10-16).
+    """
+    tgt_cols = (
+        target.select(*keys, *( [freshness_col] if freshness_col else [] ))
+        .withColumnsRenamed(
+            {c: f"__t_{c}" for c in ([freshness_col] if freshness_col else [])}
+        )
+        .withColumn("__matched", F.lit(True))
+    )
+    joined = source.join(tgt_cols, on=list(keys), how="left")
+    is_new = F.col("__matched").isNull()
+    if freshness_col:
+        fresh = F.col(freshness_col) >= F.col(f"__t_{freshness_col}")
+        action = (
+            F.when(is_new, F.lit("insert"))
+            .when(fresh | F.col(f"__t_{freshness_col}").isNull(), F.lit("update"))
+            .otherwise(F.lit("skip"))
+        )
+    else:
+        action = F.when(is_new, F.lit("insert")).otherwise(F.lit("update"))
+    return joined.withColumn("merge_action", action).drop(
+        "__matched", *( [f"__t_{freshness_col}"] if freshness_col else [] )
+    )
+
+
+def merge_dataframes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    freshness_col: str | None = None,
+    dedup_order: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """K2/K3: the post-merge relation.
+
+    result = (target ⟕ keys-not-being-replaced)  ∪  winning source rows
+    where a source row wins per K3 iff new-key OR freshness passes.
+    Column set follows the target's schema (whenMatchedUpdateAll /
+    whenNotMatchedInsertAll semantics — all columns replaced).
+    """
+    cols = target.columns
+    if dedup_order is not None:
+        source = topk_per_group(source, keys, dedup_order, k=1)
+    classified = classify_merge(target, source, keys, freshness_col)
+    winners = classified.filter(F.col("merge_action") != "skip").select(*cols)
+    # Replaced keys leave the target; winning source rows come in.
+    kept = target.join(winners.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(winners)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1: union-all of homogeneous batches by column name (reference
+    pd.concat at pse_edge.py:104; glob CSV read at deltalake_sync.py:229)."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,9 @@
+"""Query plans: importing this package populates the registry."""
+
+from . import core_queries  # noqa: F401
+from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
+
+try:  # LLM-data-pipeline extension queries (documents / embeddings tables)
+    from . import llm_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass

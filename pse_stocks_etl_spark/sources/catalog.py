@@ -1,0 +1,75 @@
+"""Table scans over the driver's parquet testdata + generic source ops.
+
+Reference scan surface (SURVEY.md §2.1): parquet/Delta table scan (S5),
+schema'd CSV directory scan (S4), typed empty relation (S3 empty-result
+short-circuit, reference pse_edge.py:206,239-240 and
+spark_deltalake_sync.py:125-128).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table (S5 analog).
+
+    Plain `spark.read.parquet` — Catalyst handles predicate pushdown and
+    column pruning, so callers should filter/select on the result and let
+    the optimizer reach the scan.
+
+    The driver's parquet stores timestamps as TIMESTAMP(NANOS). Reading
+    them must be deterministic under ANY caller-provided session (the
+    correctness driver builds its own SparkSession with unknown configs /
+    timezone), so: force the nanosAsLong read path at runtime, then
+    rebuild a TIMESTAMP_NTZ with pure wall-clock arithmetic from the µs
+    value — `timestampadd` on an NTZ epoch base never consults the
+    session timezone. ns→µs truncation matches DuckDB's.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = TESTDATA_SCHEMAS.get(name)
+    if declared is not None:
+        actual = dict(df.dtypes)
+        for f in declared.fields:
+            if isinstance(f.dataType, T.TimestampType) and actual.get(f.name) == "bigint":
+                # `div` = integer division: ns longs exceed double's exact
+                # range, so a float divide would corrupt low-order digits.
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"timestampadd(MICROSECOND, {f.name} div 1000, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Expose testdata tables as SQL temp views (reference pattern:
+    spark_deltalake_sync.py:139 createOrReplaceTempView)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_dir(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+    """S4: CSV directory scan with a *declared* schema.
+
+    The reference's delta-rs path enforces a declared schema on CSV read
+    (deltalake_sync.py:229) while its Spark path sloppily infers
+    (spark_deltalake_sync.py:293); we keep the strict form — at 100 TB an
+    inferSchema pass would read the data twice.
+    """
+    return spark.read.csv(path_glob, header=True, schema=schema)
+
+
+def empty_relation(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Typed empty DataFrame — the reference's empty-result short-circuit
+    (pse_edge.py:239-240) and empty-table init (spark_deltalake_sync.py:125-128)."""
+    return spark.createDataFrame([], schema)
