@@ -1,0 +1,537 @@
+"""LLM-data-pipeline operators (SURVEY.md §7 M5 / driver north star):
+deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity
+search (brute-force cosine, hyperplane-LSH ANN), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting) over the
+`documents` / `embeddings` tables.
+
+Design rules:
+- Pure built-in column expressions — the whole path stays in Catalyst /
+  whole-stage codegen; no Python UDFs.
+- Every non-approximate op has an exact DuckDB oracle twin. The hashing
+  ops use a portable md5-derived 60-bit hash (functions/text.py) so even
+  MinHash signatures hash-match across engines.
+- Scale posture: shingle explode → shuffle on shingle (the classic
+  doc-dedup plan); LSH banding turns all-pairs O(N²) into a bucket
+  equi-join; ANN buckets turn scan×queries into bucket-pruned lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    portable_hash64,
+    punct_count,
+    sql_fingerprint,
+    sql_portable_hash64,
+    sql_punct_count,
+    sql_stopword_count,
+    sql_token_count,
+    sql_word_shingles,
+    stopword_count,
+    token_count,
+    word_shingles,
+)
+from ..functions.vectors import cosine, dot, sql_cosine, to_double_array
+from ..sources.catalog import load_table
+from .registry import register
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 12
+MINHASH_BANDS = 4  # rows-per-band = MINHASH_K // MINHASH_BANDS = 3
+SIMHASH_BITS = 32
+ANN_QUERY_IDS = (0, 1, 2)
+TOPK = 10
+EMB_DIM = 64
+N_PLANES = 8
+
+_SQL_SHINGLES = sql_word_shingles("text", SHINGLE_N)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup-exact"),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: keep the smallest doc_id per
+    hash (deterministic canonical representative)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_fingerprint('text')} AS fp,
+           {sql_portable_hash64(sql_fingerprint('text'))} AS fp64
+    FROM documents
+    """,
+    tags=("llm", "fingerprint"),
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5 + portable 60-bit)."""
+    d = _docs(spark, sf_dir)
+    fp = fingerprint(F.col("text"))
+    return d.select("doc_id", fp.alias("fp"), portable_hash64(fp).alias("fp64"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_token_count('text')} AS n_tokens,
+           length(text) AS n_chars,
+           {sql_punct_count('text')} AS n_punct,
+           ({sql_punct_count('text')} * 1.0 / length(text)) AS punct_ratio,
+           (length(text) * 1.0 / {sql_token_count('text')}) AS avg_token_len,
+           ({sql_token_count('text')} BETWEEN 10 AND 1000
+            AND ({sql_punct_count('text')} * 1.0 / length(text)) < 0.1) AS quality_ok
+    FROM documents
+    """,
+    tags=("llm", "text-quality"),
+    bench=True,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct ratios) — all
+    integer-derived arithmetic, so cross-engine float parity is exact."""
+    d = _docs(spark, sf_dir)
+    ntok = token_count(F.col("text"))
+    npunct = punct_count(F.col("text"))
+    nchars = F.length("text")
+    punct_ratio = npunct * 1.0 / nchars
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nchars.alias("n_chars"),
+        npunct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        (nchars * 1.0 / ntok).alias("avg_token_len"),
+        (ntok.between(10, 1000) & (punct_ratio < 0.1)).alias("quality_ok"),
+    )
+
+
+def _lang_pred_sql() -> str:
+    scores = {
+        lang: sql_stopword_count("text", words) for lang, words in LANG_STOPWORDS.items()
+    }
+    cols = ",\n           ".join(f"{s} AS score_{lang}" for lang, s in scores.items())
+    langs = list(LANG_STOPWORDS)
+    # argmax with fixed priority-order tiebreak
+    others = lambda i: ", ".join(f"score_{l}" for l in langs[i + 1 :]) or "0"
+    case = " ".join(
+        f"WHEN score_{l} >= greatest({others(i)}) THEN '{l}'"
+        for i, l in enumerate(langs[:-1])
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {cols}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE {case} ELSE '{langs[-1]}' END AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    "docs_lang_id",
+    oracle=_lang_pred_sql(),
+    tags=("llm", "lang-id"),
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language keyword hit counts +
+    fixed-priority argmax (deterministic tie-break)."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            stopword_count(F.col("text"), words).alias(f"score_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    langs = list(LANG_STOPWORDS)
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        rest = [F.col(f"score_{l}") for l in langs[i + 1 :]]
+        pred = F.when(
+            F.col(f"score_{langs[i]}") >= F.greatest(*rest) if len(rest) > 1 else F.col(f"score_{langs[i]}") >= rest[0],
+            F.lit(langs[i]),
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+# --------------------------------------------------------------------------
+# Near-dup: n-gram Jaccard
+# --------------------------------------------------------------------------
+_SQL_SHINGLE_EXPLODE = f"""
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+"""
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("sh")
+    )
+
+
+def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets; optionally restricted to
+    candidate (doc_a, doc_b) pairs (the LSH verify stage)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
+    j = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=_SQL_JACCARD_PAIRS,
+    tags=("llm", "dedup-near", "jaccard"),
+    bench=True,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.8: shingle explode →
+    self-equi-join on shingle (shuffle on shingle, never all-pairs) →
+    count-based Jaccard. Integer-ratio output → exact oracle parity."""
+    return _exact_jaccard(_shingle_explode(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Near-dup: MinHash + banded LSH (deterministic, portable hashes)
+# --------------------------------------------------------------------------
+def _sql_minhash_sig() -> str:
+    seeded = ["({} || ':' || sh)".format(i) for i in range(MINHASH_K)]
+    mins = ",\n             ".join(
+        f"MIN({sql_portable_hash64(seeded[i])}) AS sig{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+      SELECT doc_id, {mins}
+      FROM ({_SQL_SHINGLE_EXPLODE}) GROUP BY doc_id
+"""
+
+
+def _sql_minhash_pairs() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cond = " AND ".join(
+            f"x.sig{b * rows + r} = y.sig{b * rows + r}" for r in range(rows)
+        )
+        bands.append(
+            f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sig x JOIN sig y "
+            f"ON {cond} AND x.doc_id < y.doc_id"
+        )
+    cand = " UNION ".join(bands)  # UNION dedups candidate pairs
+    return f"""
+    WITH sig AS ({_sql_minhash_sig()}),
+    cand AS ({cand}),
+    sh AS ({_SQL_SHINGLE_EXPLODE}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) AS jaccard
+    FROM common c
+    JOIN cand ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    oracle=_sql_minhash_pairs(),
+    tags=("llm", "dedup-near", "minhash-lsh"),
+    bench=True,
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + banded LSH (4 bands × 3 rows) near-dup detection:
+    signatures via portable md5 hashes, band-bucket self-join for
+    candidates (O(N²) → bucket equi-join), exact-Jaccard verify stage.
+    The md5-based hash family is engine-portable, so even the LSH
+    candidate set hash-matches the oracle."""
+    sh = _shingle_explode(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            portable_hash64(F.concat_ws(":", F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(MINHASH_K)]
+    )
+    rows = MINHASH_K // MINHASH_BANDS
+    x, y = sig.alias("x"), sig.alias("y")
+    cands = []
+    for b in range(MINHASH_BANDS):
+        cond = F.col("x.doc_id") < F.col("y.doc_id")
+        for r in range(rows):
+            c = f"sig{b * rows + r}"
+            cond = cond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+        cands.append(
+            x.join(y, cond).select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+        )
+    from ..operators.merge import union_all
+
+    candidates = union_all(cands).distinct()
+    return _exact_jaccard(sh, candidates)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprint (32-bit, portable)
+# --------------------------------------------------------------------------
+def _sql_simhash() -> str:
+    h = sql_portable_hash64("sh")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (({h}) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    bits AS (
+      SELECT doc_id, {bit_sums}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, ({assemble}) AS simhash FROM bits
+"""
+
+
+@register(
+    "docs_simhash",
+    oracle=_sql_simhash(),
+    tags=("llm", "dedup-near", "simhash"),
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over word-shingle hashes: per-bit ±1 vote summed
+    per doc (one partial-aggregating shuffle), sign → bit. Hamming-close
+    simhashes ≈ near-dup docs; the fingerprint is engine-portable."""
+    sh = _shingle_explode(spark, sf_dir)
+    h = portable_hash64(F.col("sh"))
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+_Q_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+
+def _sql_cosine_topk() -> str:
+    cos = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id IN ({_Q_IDS})),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=_sql_cosine_topk(),
+    tags=("llm", "similarity", "knn"),
+    bench=True,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, one scan of
+    the corpus, zip_with/aggregate dot product in codegen, window top-k.
+    The baseline the LSH-bucketed variant is measured against."""
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    q = (
+        e.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), vec.alias("qvec"))
+    )
+    scored = (
+        e.select("vec_id", vec.alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qvec"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    from ..operators.dedup import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=TOPK,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _planes() -> list[list[float]]:
+    """Fixed random hyperplanes (seeded; rounded so the literals embedded
+    in Spark expressions and oracle SQL are identical strings)."""
+    rng = np.random.default_rng(42)
+    return [[round(float(x), 4) for x in rng.standard_normal(EMB_DIM)] for _ in range(N_PLANES)]
+
+
+_PLANES = _planes()
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    return " + ".join(f"({vec}[{i + 1}]::DOUBLE * ({p}))" for i, p in enumerate(plane))
+
+
+def _sql_bucket(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_sql_plane_dot(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+
+
+def _sql_ann_lsh() -> str:
+    cos = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, ({_sql_bucket('embedding')}) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
+          WHERE vec_id IN ({_Q_IDS})),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+      FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register(
+    "emb_ann_lsh",
+    oracle=_sql_ann_lsh(),
+    tags=("llm", "similarity", "ann-lsh"),
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 sign bits → bucket id,
+    candidates = same-bucket equi-join (prunes the corpus scan), exact
+    cosine re-rank inside the bucket. The scale path for similarity
+    search — brute force is the recall oracle."""
+    from ..functions.vectors import hyperplane_bucket
+
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    b = e.select("vec_id", vec.alias("v"), hyperplane_bucket(vec, _PLANES).alias("bucket"))
+    q = (
+        b.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", cosine(F.col("qvec"), F.col("v")).alias("cos_sim"))
+    )
+    from ..operators.dedup import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=TOPK,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
