@@ -7,3 +7,8 @@ try:  # LLM-data-pipeline extension queries (documents / embeddings tables)
     from . import llm_queries  # noqa: F401
 except ImportError:  # pragma: no cover - partial checkouts
     pass
+
+try:  # rows-only pipeline queries (multimodal / streaming / sync engine)
+    from . import pipeline_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass

@@ -1,0 +1,200 @@
+"""PSE Edge market-data connector (SURVEY.md §2.1 S1-S3).
+
+The reference fetches from the PSE Edge REST/HTML endpoints with
+driver-side requests + a thread pool (reference: src/utils/pse_edge.py,
+src/utils/multithreading.py). This engine keeps the connector OUT of the
+query path and distributes the fetch itself:
+
+- `PseEdgeClient` — the real HTTP client surface (company directory,
+  company info, daily price history). Network access and bs4/lxml are
+  not available in this image, so the methods raise a clearly-marked
+  NotImplementedError unless `requests` is importable; the API shape
+  (and the column contract) is what matters for the engine.
+- `FakePseEdge` — a deterministic synthetic market-data source with the
+  exact same contract, seeded per (symbol, date) via md5, used by tests
+  and the sync demo. Prices are 2-dp decimals satisfying
+  low <= min(open, close) <= max(open, close) <= high.
+- `distributed_fetch` — the Spark-native replacement for the
+  reference's thread pool (multithreading.py:20-76): the per-key fetch
+  windows (a DataFrame) are repartitioned by symbol and each executor
+  partition pulls its symbols' history inside `mapInPandas`. At 1000
+  executors this is 1000-way parallel ingest with no driver bottleneck;
+  per-partition batches arrive as Arrow, already in the fact schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from datetime import date, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+COMPANY_COLUMNS = ["symbol", "company_name", "sector", "subsector", "listing_date", "extracted_at"]
+PRICE_COLUMNS = ["symbol", "date", "open", "high", "low", "close", "extracted_at"]
+
+FETCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("date", T.DateType(), False),
+        T.StructField("open", T.DoubleType(), True),
+        T.StructField("high", T.DoubleType(), True),
+        T.StructField("low", T.DoubleType(), True),
+        T.StructField("close", T.DoubleType(), True),
+        T.StructField("extracted_at", T.TimestampType(), True),
+    ]
+)
+
+
+class PseEdgeClient:
+    """Driver-side HTTP connector against the public PSE Edge endpoints
+    (the reference's extractor surface, pse_edge.py:70-261)."""
+
+    BASE = "https://edge.pse.com.ph"
+
+    def __init__(self) -> None:
+        try:
+            import requests  # noqa: F401
+
+            self._requests = requests
+        except ImportError:  # pragma: no cover
+            self._requests = None
+
+    def _require(self):
+        if self._requests is None:  # pragma: no cover
+            raise NotImplementedError(
+                "PSE Edge HTTP connector requires network + `requests`; "
+                "use FakePseEdge in offline environments."
+            )
+        return self._requests
+
+    def get_listed_companies(self) -> pd.DataFrame:  # pragma: no cover - network
+        """S1: paginated company-directory scan → COMPANY_COLUMNS frame."""
+        self._require()
+        raise NotImplementedError("network fetch not available in this environment")
+
+    def get_company_info(self, symbol: str) -> dict:  # pragma: no cover - network
+        """S2: company point lookup (symbol → ids + sector metadata)."""
+        self._require()
+        raise NotImplementedError("network fetch not available in this environment")
+
+    def get_stock_data(
+        self, symbol: str, start: date, end: date
+    ) -> pd.DataFrame:  # pragma: no cover - network
+        """S3: daily OHLC history for [start, end] → PRICE_COLUMNS frame."""
+        self._require()
+        raise NotImplementedError("network fetch not available in this environment")
+
+
+class FakePseEdge:
+    """Deterministic offline stand-in for PseEdgeClient.
+
+    Every value derives from md5(symbol, field, date) — stable across
+    runs, processes, and executors, so distributed fetches are
+    reproducible and sync replays are exactly idempotent (T4).
+    """
+
+    SECTORS = ["Industrial", "Financials", "Property", "Holding Firms", "Services"]
+
+    def __init__(
+        self,
+        symbols: list[str] | None = None,
+        extracted_at: str = "2024-01-02 00:00:00",
+        history_start: str = "2024-01-01",
+    ):
+        self.symbols = symbols or ["JFC", "SM", "ALI", "BDO", "TEL", "URC", "MER", "AC"]
+        self.extracted_at = pd.Timestamp(extracted_at)
+        # Earliest date the fake exchange has data for — like the real
+        # API, requests further back return nothing (keeps epoch-default
+        # backfills cheap).
+        self.history_start = date.fromisoformat(history_start)
+
+    @staticmethod
+    def _h(seed: str) -> int:
+        return int(hashlib.md5(seed.encode()).hexdigest()[:12], 16)
+
+    def get_listed_companies(self) -> pd.DataFrame:
+        rows = []
+        for s in self.symbols:
+            h = self._h(f"co:{s}")
+            rows.append(
+                {
+                    "symbol": s,
+                    "company_name": f"{s} Corporation",
+                    "sector": self.SECTORS[h % len(self.SECTORS)],
+                    "subsector": f"Subsector {(h >> 8) % 7}",
+                    "listing_date": date(1990 + h % 30, 1 + (h >> 4) % 12, 1 + (h >> 8) % 28),
+                    "extracted_at": self.extracted_at,
+                }
+            )
+        return pd.DataFrame(rows, columns=COMPANY_COLUMNS)
+
+    def get_company_info(self, symbol: str) -> dict:
+        df = self.get_listed_companies()
+        row = df[df.symbol == symbol].iloc[0]
+        return {**row.to_dict(), "company_id": self._h(f"id:{symbol}") % 1000}
+
+    def get_stock_data(self, symbol: str, start: date, end: date) -> pd.DataFrame:
+        rows = []
+        d = max(start, self.history_start)
+        while d <= end:
+            if d.weekday() < 5:  # trading days only
+                base = 50 + self._h(f"px:{symbol}:{d.isoformat()}") % 45000 / 100.0
+                spread = (self._h(f"sp:{symbol}:{d.isoformat()}") % 500) / 100.0
+                o = round(base, 2)
+                c = round(base + ((self._h(f"cl:{symbol}:{d}") % 200) - 100) / 100.0, 2)
+                rows.append(
+                    {
+                        "symbol": symbol,
+                        "date": d,
+                        "open": o,
+                        "high": round(max(o, c) + spread, 2),
+                        "low": round(max(0.01, min(o, c) - spread), 2),
+                        "close": c,
+                        "extracted_at": self.extracted_at,
+                    }
+                )
+            d += timedelta(days=1)
+        return pd.DataFrame(rows, columns=PRICE_COLUMNS)
+
+
+def distributed_fetch(
+    windows_df: DataFrame,
+    fetch_fn: Callable[[str, date, date], pd.DataFrame],
+    key_col: str = "symbol",
+    start_col: str = "target_start",
+    end_col: str = "target_end",
+) -> DataFrame:
+    """T5 re-architected: executor-side fetch over the pending-window plan.
+
+    `windows_df` is the output of operators.watermark.incremental_windows
+    (one row per key needing data). Repartition by key → each task fetches
+    its keys' windows via `fetch_fn` and yields Arrow batches in the fact
+    schema. Replaces the reference's driver thread pool
+    (multithreading.py:62-66) with Spark's own task scheduling.
+    """
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                got = fetch_fn(
+                    getattr(row, key_col),
+                    getattr(row, start_col),
+                    getattr(row, end_col),
+                )
+                if got is not None and len(got):
+                    out.append(got)
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(columns=PRICE_COLUMNS)
+            )
+
+    n = max(windows_df.sparkSession.sparkContext.defaultParallelism, 1)
+    return (
+        windows_df.repartition(n, key_col)
+        .mapInPandas(fetch_partition, schema=FETCH_RESULT_SCHEMA)
+    )

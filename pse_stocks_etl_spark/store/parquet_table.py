@@ -1,0 +1,141 @@
+"""Versioned parquet table — the storage layer the reference's sink
+operators run against (SURVEY.md §2.2).
+
+Emulates the Delta operations the reference uses (delta-spark jars are
+not in this image; on a Delta-enabled cluster this class maps 1:1 onto
+DeltaTable):
+
+  K1  overwrite        spark_deltalake_sync.py:163 mode('overwrite')
+  K2  merge            spark_deltalake_sync.py:296-300 whenMatched/NotMatched
+  K3  freshness merge  bigquery_dml__upsert_daily_stock_price.sql:15-16
+  K7  delete           spark_deltalake_sync.py:144,220 delete('true')
+  K9  vacuum           deltalake_sync.py:90,255
+  K10 empty init       spark_deltalake_sync.py:125-128,194-198
+
+Commit protocol: every write lands in a fresh `_versions/v{N}` directory,
+then `_CURRENT` is atomically repointed (os.replace of a one-line pointer
+file — the same pointer-swap idea as the Delta log). Readers resolve
+`_CURRENT` at read time and never observe partial writes; failed writes
+leave only orphan version dirs, which `vacuum()` collects.
+
+Scale posture: `partition_by` lays the fact table out by date (mirrors
+BigQuery `PARTITION BY date`, SURVEY.md §4) so incremental merges and
+date-range scans prune files; merge itself is the relational anti-join ∪
+winners plan from operators/merge.py, which shuffles only on the key.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.merge import merge_dataframes
+
+_CURRENT = "_CURRENT"
+_VERSIONS = "_versions"
+
+
+class ParquetTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.partition_by = tuple(partition_by)
+        os.makedirs(os.path.join(path, _VERSIONS), exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+    def _pointer(self) -> str | None:
+        p = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip() or None
+
+    def current_version(self) -> int:
+        v = self._pointer()
+        return int(v[1:]) if v else 0
+
+    def _commit(self, df: DataFrame) -> None:
+        version = self.current_version() + 1
+        vname = f"v{version:05d}"
+        target = os.path.join(self.path, _VERSIONS, vname)
+        writer = df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(target)
+        tmp = os.path.join(self.path, f".{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic repoint
+
+    # -- operators ---------------------------------------------------------
+    def exists(self) -> bool:
+        return self._pointer() is not None
+
+    def init_empty(self) -> None:
+        """K10: create the table as an empty typed relation."""
+        if not self.exists():
+            self._commit(self.spark.createDataFrame([], self.schema))
+
+    def read(self) -> DataFrame:
+        """S5: scan the current version (schema-enforced)."""
+        v = self._pointer()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(
+            os.path.join(self.path, _VERSIONS, v)
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        """K1: full replace."""
+        self._commit(df)
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        freshness_col: str | None = None,
+        dedup_order: Sequence[Column | str] | None = None,
+    ) -> None:
+        """K2/K3: keyed upsert (optionally freshness-guarded) with the
+        mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4)."""
+        self._commit(
+            merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+        )
+
+    def delete(self, condition: Column | None = None) -> None:
+        """K7: delete rows matching `condition` (all rows when None)."""
+        if condition is None:
+            self._commit(self.spark.createDataFrame([], self.schema))
+        else:
+            self._commit(self.read().filter(~condition))
+
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """K9: drop version dirs older than the newest `retain_versions`.
+        Returns removed version names."""
+        vdir = os.path.join(self.path, _VERSIONS)
+        versions = sorted(os.listdir(vdir))
+        current = self._pointer()
+        keep = set(versions[-retain_versions:])
+        if current:
+            keep.add(current)
+        removed = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(os.path.join(vdir, v))
+                removed.append(v)
+        return removed
+
+    def drop(self) -> None:
+        """K8: remove the table entirely."""
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,98 @@
+"""Structured Streaming incrementality (SURVEY.md §2.9).
+
+The reference's `sync` is a micro-batch incremental pattern (per-key
+watermark + late-data window + idempotent upsert). This module is the
+same semantics on Spark's native streaming runtime:
+
+- `stream_events` — file-source stream over the events table (declared
+  schema; the nano-timestamp parquet is read as long and converted with
+  wall-clock NTZ arithmetic, same as the batch reader).
+- `windowed_event_counts` — event-time tumbling-window aggregation with
+  a watermark for late data (T2's principled replacement: instead of a
+  re-fetch lookback, late rows within the watermark delay fold into
+  their window).
+- `foreach_batch_merge` — exactly-once-per-key sink: every micro-batch
+  is merged into a ParquetTable with the K3 freshness guard, so replays
+  and overlapping batches converge (T4) — `foreachBatch` is the
+  documented Spark pattern for MERGE-style sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..store.parquet_table import ParquetTable
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one file = one micro-batch
+    at most; `maxFilesPerTrigger` would shard real feeds)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if os.path.isfile(sf_dir):
+        # File streams source requires a directory: stream the parent,
+        # glob-filtered to the one file.
+        reader = reader.option("pathGlobFilter", os.path.basename(sf_dir))
+        sf_dir = os.path.dirname(sf_dir)
+    raw = reader.load(sf_dir)
+    # Event-time here becomes a true TIMESTAMP instant (epoch-µs), not
+    # NTZ: Spark's watermark machinery requires TimestampType
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling window + watermark: the streaming analog of
+    the batch `hourly_event_rollup` query (same window boundaries)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    table: ParquetTable,
+    keys: Sequence[str],
+    freshness_col: str | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Micro-batch MERGE sink: each epoch upserts into `table` under the
+    K3 guard — the streaming form of the reference's sync loop."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df, keys=keys, freshness_col=freshness_col)
+
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(merge_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

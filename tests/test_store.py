@@ -1,0 +1,122 @@
+"""ParquetTable storage-layer semantics: K1/K2/K3/K7/K9/K10 plus the
+pre-merge dedup invariant and replay idempotency (SURVEY.md §2.2, §7.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pse_stocks_etl_spark.store.parquet_table import ParquetTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("d", T.DateType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("extracted_at", T.TimestampType(), True),
+    ]
+)
+
+
+def _rows(*specs):
+    return [
+        (k, dt.date.fromisoformat(d), v, dt.datetime.fromisoformat(ts))
+        for k, d, v, ts in specs
+    ]
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), SCHEMA)
+    t.init_empty()
+    return t
+
+
+def test_init_empty_and_read(table):
+    assert table.exists()
+    assert table.read().count() == 0
+    assert [f.name for f in table.read().schema.fields] == ["k", "d", "v", "extracted_at"]
+
+
+def test_overwrite_replaces_everything(spark, table):
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    b = spark.createDataFrame(_rows(("B", "2024-01-02", 2.0, "2024-01-02T00:00:00")), SCHEMA)
+    table.overwrite(a)
+    table.overwrite(b)
+    got = table.read().collect()
+    assert [r.k for r in got] == ["B"]
+
+
+def test_merge_insert_update(spark, table):
+    t0 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+              ("B", "2024-01-01", 2.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.overwrite(t0)
+    src = spark.createDataFrame(
+        _rows(("B", "2024-01-01", 20.0, "2024-01-02T00:00:00"),   # update
+              ("C", "2024-01-01", 3.0, "2024-01-02T00:00:00")),   # insert
+        SCHEMA)
+    table.merge(src, keys=("k", "d"))
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got == {"A": 1.0, "B": 20.0, "C": 3.0}
+
+
+def test_merge_freshness_guard_keeps_newer_target(spark, table):
+    t0 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-05T00:00:00")), SCHEMA)
+    table.overwrite(t0)
+    stale = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 99.0, "2024-01-02T00:00:00")), SCHEMA)
+    table.merge(stale, keys=("k", "d"), freshness_col="extracted_at")
+    assert table.read().collect()[0].v == 1.0  # stale source skipped (K3)
+
+
+def test_merge_dedups_source_before_upsert(spark, table):
+    src = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 5.0, "2024-01-01T00:00:00"),
+              ("A", "2024-01-01", 9.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.merge(src, keys=("k", "d"), dedup_order=[F.col("v").desc()])
+    got = table.read().collect()
+    assert len(got) == 1 and got[0].v == 9.0  # A2: max-v row wins
+
+
+def test_merge_replay_is_idempotent(spark, table):
+    src = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+              ("B", "2024-01-02", 2.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.merge(src, keys=("k", "d"), freshness_col="extracted_at")
+    v1 = sorted(map(tuple, table.read().collect()))
+    table.merge(src, keys=("k", "d"), freshness_col="extracted_at")
+    assert sorted(map(tuple, table.read().collect())) == v1  # T4
+
+
+def test_delete_condition_and_all(spark, table):
+    t0 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+              ("B", "2024-01-02", 2.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.overwrite(t0)
+    table.delete(F.col("k") == "A")
+    assert [r.k for r in table.read().collect()] == ["B"]
+    table.delete()
+    assert table.read().count() == 0  # K7 delete-all
+
+
+def test_vacuum_keeps_current(spark, table):
+    for i in range(4):
+        table.overwrite(
+            spark.createDataFrame(_rows(("A", "2024-01-01", float(i), "2024-01-01T00:00:00")), SCHEMA)
+        )
+    removed = table.vacuum(retain_versions=2)
+    assert removed  # old versions gone
+    assert table.read().collect()[0].v == 3.0  # current still readable
+
+
+def test_empty_source_merge_noop(spark, table):
+    t0 = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.overwrite(t0)
+    empty = spark.createDataFrame([], SCHEMA)
+    table.merge(empty, keys=("k", "d"))
+    assert table.read().count() == 1  # empty-input edge (SURVEY §7.5 risk 5)
