@@ -12,3 +12,8 @@ try:  # rows-only pipeline queries (multimodal / streaming / sync engine)
     from . import pipeline_queries  # noqa: F401
 except ImportError:  # pragma: no cover - partial checkouts
     pass
+
+try:  # extension queries (as-of join, approx/percentile aggs, windows)
+    from . import ext_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass

@@ -1,0 +1,285 @@
+"""Extension queries beyond strict reference parity (SURVEY.md §7 M5 and
+the pyspark guide's "common OLAP patterns"): as-of join, distinct/approx
+aggregates, percentiles, running/moving windows, CSV source round-trip,
+and the remaining small ★ edges (P4 zero-row clone, F5 concat key).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import sql_cents, sql_sum_money, sum_money
+from ..sources.catalog import load_table, read_csv_dir
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    """,
+    tags=("asof-join", "window"),
+    bench=True,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last click before each purchase, per user) — Spark has
+    no native ASOF; the scalable plan is a tagged union + last_value
+    window: ONE shuffle on user_id, no per-row range probing. The DuckDB
+    oracle uses its native ASOF LEFT JOIN — same semantics.
+
+    Tie-break note: DuckDB ASOF picks the single largest click_ts <= ts;
+    equal timestamps across different clicks of one user would be
+    ambiguous, so the window orders by (ts, is_purchase, click_id) and
+    takes the last click strictly by that total order — the events table
+    has unique (user_id, ts) in practice (µs timestamps).
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "event_id", "user_id", "ts", "is_p",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast(purchases.schema["ts"].dataType).alias("click_ts"),
+    )
+    c = clicks.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("click_ts").alias("ts"),
+        F.lit(0).alias("is_p"),
+        "click_id",
+        "click_ts",
+    )
+    u = p.unionByName(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = (
+        u.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    return attributed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_click_id").alias("click_id"),
+        F.col("last_click_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "distinct_count_per_key",
+    oracle="""
+    SELECT l_suppkey AS suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("distinct-agg",),
+)
+def distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (Catalyst expands to a single
+    multi-pass aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "approx_distinct_per_key",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # accuracy is asserted against the exact counts in tests/test_ext.py
+    tags=("approx-agg", "rows-only"),
+)
+def approx_distinct_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the at-scale form of
+    distinct_count_per_key — sketches merge map-side, no distinct
+    shuffle of the full key set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "median_price_per_flag",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           (quantile_cont({sql_cents('l_extendedprice')}, 0.5) / 100.0) AS median_price,
+           (quantile_cont({sql_cents('l_extendedprice')}, 0.75) / 100.0) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("percentile",),
+)
+def median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). Interpolation runs on integer CENTS at dyadic
+    quantiles (0.5, 0.75): every intermediate is an exact dyadic double,
+    so both engines produce bit-identical results regardless of their
+    interpolation formula — rounding on raw doubles splits at .xx5
+    boundaries (observed: 52724.24 vs 52724.25)."""
+    from ..functions.money import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        (F.percentile(c, 0.5) / 100.0).alias("median_price"),
+        (F.percentile(c, 0.75) / 100.0).alias("p75_price"),
+    )
+
+
+@register(
+    "csv_roundtrip_counts",
+    oracle="""
+    SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+           SUM(l_orderkey) AS key_sum
+    FROM lineitem WHERE l_linenumber = 1 GROUP BY l_returnflag
+    """,
+    tags=("S4", "csv"),
+)
+def csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: schema'd CSV directory scan (reference deltalake_sync.py:229;
+    the engine never uses inferSchema — SURVEY.md §7.4). The query writes
+    a lossless (int/string) slice to CSV staging, reads it back through
+    read_csv_dir, and aggregates; the oracle computes straight from
+    parquet — equality proves the CSV path is faithful."""
+    from pyspark.sql import types as T
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    slice_df = li.select("l_orderkey", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="csv_stage_")
+    slice_df.write.mode("overwrite").csv(os.path.join(tmp, "stage"), header=True)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType(), True),
+            T.StructField("l_returnflag", T.StringType(), True),
+        ]
+    )
+    back = read_csv_dir(spark, os.path.join(tmp, "stage", "*.csv"), schema)
+    return back.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "concat_key_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT (l_orderkey || '::' || l_linenumber)) AS n_keys
+    FROM lineitem
+    """,
+    tags=("F5",),
+)
+def concat_key_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: string-concat composite key (the reference synthesizes
+    `symbol||'::'||date`, bigquery_dml__upsert_daily_stock_price.sql:20 —
+    the engine prefers true multi-column keys, this op exists for
+    compatibility)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct(
+            F.concat_ws("::", F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("n_keys")
+    )
+
+
+@register(
+    "empty_relation_clone",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE FALSE",
+    tags=("P4",),
+)
+def empty_relation_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: zero-row typed clone (`WHERE False` staging-schema trick,
+    bigquery_dml__ingest_daily_stock_price.sql:2-3) — limit(0) keeps the
+    schema and costs nothing (Catalyst folds it to an empty relation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus").limit(0)
+
+
+@register(
+    "running_total_per_customer",
+    oracle=f"""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           (SUM({sql_cents('o_totalprice')}) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING) / 100.0) AS running_total
+    FROM orders
+    """,
+    tags=("window", "running-agg"),
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per key (cumulative window; cents math keeps the
+    running doubles exact on both engines)."""
+    from ..functions.money import cents
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.sum(cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_total"),
+    )
+
+
+@register(
+    "moving_avg_price",
+    oracle=f"""
+    SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+           (SUM({sql_cents('l_extendedprice')}) OVER w
+            / (COUNT(*) OVER w) / 100.0) AS moving_avg
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "moving-agg"),
+)
+def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per key (rows-frame window; integer-cents
+    numerator and exact row counts → cross-engine float parity)."""
+    from ..functions.money import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (
+            F.sum(cents(F.col("l_extendedprice"))).over(w) / F.count("*").over(w) / 100.0
+        ).alias("moving_avg"),
+    )

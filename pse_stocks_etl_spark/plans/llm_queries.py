@@ -190,12 +190,22 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Near-dup: n-gram Jaccard
+#
+# Shingles are hashed to a portable 60-bit long immediately after the
+# explode: every downstream shuffle/join moves 8-byte keys instead of
+# ~20-char strings, and both engines hash identically so oracle parity
+# is exact (collision probability ~ n²/2⁶⁰ — deterministic either way).
 # --------------------------------------------------------------------------
 _SQL_SHINGLE_EXPLODE = f"""
       SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
 """
+# (doc_id, 60-bit shingle hash) pairs — the working set for all near-dup ops
+_SQL_SHINGLE_H = f"""
+      SELECT doc_id, {sql_portable_hash64('sh')} AS sh
+      FROM ({_SQL_SHINGLE_EXPLODE})
+"""
 _SQL_JACCARD_PAIRS = f"""
-    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    WITH sh AS ({_SQL_SHINGLE_H}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -211,27 +221,54 @@ _SQL_JACCARD_PAIRS = f"""
 """
 
 
-def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle-string) explode. Tokens are projected ONCE before
+    the shingle transform (see shingles_from_tokens: an inline split
+    expression would re-tokenize per element, O(tokens²) per doc)."""
+    from ..functions.text import shingles_from_tokens, tokens
+
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("sh")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    return toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("__tk"), SHINGLE_N)).alias("sh"),
+    )
+
+
+def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 60-bit shingle-hash) working set (distinct by
+    construction — shingles are deduped per doc)."""
+    return _raw_shingles(spark, sf_dir).select(
+        "doc_id", portable_hash64(F.col("sh")).alias("sh")
     )
 
 
 def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard over distinct-shingle sets; optionally restricted to
-    candidate (doc_a, doc_b) pairs (the LSH verify stage)."""
+    """Exact Jaccard over distinct-shingle sets.
+
+    Without candidates: full shingle self-equi-join (the brute-force
+    baseline — O(Σ df²) pairs). With candidates (the LSH verify stage):
+    common-shingle counts are computed ONLY for candidate pairs by
+    joining the pair list against the two shingle sets — the all-pairs
+    blowup never materializes, which is the whole point of LSH.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    else:
+        a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+        b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+        pairs = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
     sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
     j = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -259,14 +296,26 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Near-dup: MinHash + banded LSH (deterministic, portable hashes)
 # --------------------------------------------------------------------------
+# Universal-hash family for MinHash: hash_i(sh) = (a_i·h32 + b_i) mod p.
+# ONE md5 per shingle (h32 = first 8 hex chars → 32-bit int), k cheap
+# arithmetic permutations derived from it — instead of k md5 passes.
+# a_i·h32 < 2⁴² stays safely inside BIGINT; identical math both engines.
+MINHASH_P = 2_147_483_647  # 2³¹−1 (Mersenne prime)
+MINHASH_A = [13, 101, 193, 251, 367, 439, 521, 613, 683, 769, 839, 919]
+MINHASH_B = [7, 23, 47, 89, 131, 173, 211, 257, 307, 353, 401, 449]
+
+_SQL_H32 = "(('0x' || substr(md5(sh), 1, 8)))::BIGINT"
+
+
 def _sql_minhash_sig() -> str:
-    seeded = ["({} || ':' || sh)".format(i) for i in range(MINHASH_K)]
     mins = ",\n             ".join(
-        f"MIN({sql_portable_hash64(seeded[i])}) AS sig{i}" for i in range(MINHASH_K)
+        f"MIN(({MINHASH_A[i]} * h32 + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(MINHASH_K)
     )
     return f"""
       SELECT doc_id, {mins}
-      FROM ({_SQL_SHINGLE_EXPLODE}) GROUP BY doc_id
+      FROM (SELECT doc_id, {_SQL_H32} AS h32 FROM ({_SQL_SHINGLE_EXPLODE}))
+      GROUP BY doc_id
 """
 
 
@@ -285,17 +334,18 @@ def _sql_minhash_pairs() -> str:
     return f"""
     WITH sig AS ({_sql_minhash_sig()}),
     cand AS ({cand}),
-    sh AS ({_SQL_SHINGLE_EXPLODE}),
+    sh AS ({_SQL_SHINGLE_H}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
     )
     SELECT c.doc_a, c.doc_b,
            (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) AS jaccard
     FROM common c
-    JOIN cand ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b
     JOIN sizes sa ON c.doc_a = sa.doc_id
     JOIN sizes sb ON c.doc_b = sb.doc_id
     WHERE (c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)) >= {JACCARD_THRESHOLD}
@@ -310,20 +360,20 @@ def _sql_minhash_pairs() -> str:
 )
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + banded LSH (4 bands × 3 rows) near-dup detection:
-    signatures via portable md5 hashes, band-bucket self-join for
-    candidates (O(N²) → bucket equi-join), exact-Jaccard verify stage.
-    The md5-based hash family is engine-portable, so even the LSH
-    candidate set hash-matches the oracle."""
-    sh = _shingle_explode(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        *[
-            portable_hash64(F.concat_ws(":", F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ],
-    )
+    one portable md5 per shingle fans out to k universal-hash
+    permutations (a·h+b mod p — arithmetic, not k hash passes);
+    band-bucket self-join for candidates (O(N²) → bucket equi-join);
+    exact-Jaccard verify computed ONLY on candidate pairs. The hash
+    family is engine-portable, so even the LSH candidate set
+    hash-matches the oracle."""
+    raw_sh = _raw_shingles(spark, sf_dir)
+    h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    hashed = raw_sh.select("doc_id", h32.alias("h32"))
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(MINHASH_K)]
+        *[
+            F.min((MINHASH_A[i] * F.col("h32") + MINHASH_B[i]) % MINHASH_P).alias(f"sig{i}")
+            for i in range(MINHASH_K)
+        ]
     )
     rows = MINHASH_K // MINHASH_BANDS
     x, y = sig.alias("x"), sig.alias("y")
@@ -341,23 +391,24 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import union_all
 
     candidates = union_all(cands).distinct()
-    return _exact_jaccard(sh, candidates)
+    return _exact_jaccard(_shingle_explode(spark, sf_dir), candidates)
 
 
 # --------------------------------------------------------------------------
 # SimHash fingerprint (32-bit, portable)
 # --------------------------------------------------------------------------
 def _sql_simhash() -> str:
-    h = sql_portable_hash64("sh")
+    # `sh` is already the portable 60-bit shingle hash (_SQL_SHINGLE_H) —
+    # the bit votes read it directly, no second hashing pass.
     bit_sums = ",\n             ".join(
-        f"SUM(CASE WHEN (({h}) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"SUM(CASE WHEN (sh // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(SIMHASH_BITS)
     )
     assemble = " + ".join(
         f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     return f"""
-    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    WITH sh AS ({_SQL_SHINGLE_H}),
     bits AS (
       SELECT doc_id, {bit_sums}
       FROM sh GROUP BY doc_id
@@ -375,8 +426,8 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over word-shingle hashes: per-bit ±1 vote summed
     per doc (one partial-aggregating shuffle), sign → bit. Hamming-close
     simhashes ≈ near-dup docs; the fingerprint is engine-portable."""
-    sh = _shingle_explode(spark, sf_dir)
-    h = portable_hash64(F.col("sh"))
+    sh = _shingle_explode(spark, sf_dir)  # sh column = portable 60-bit hash
+    h = F.col("sh")
     votes = sh.groupBy("doc_id").agg(
         *[
             F.sum(

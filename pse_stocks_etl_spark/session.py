@@ -52,6 +52,7 @@ def get_spark(
         # (matching DuckDB's ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     try:  # Delta is optional in this image; enable iff present.
