@@ -283,3 +283,66 @@ def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("l_extendedprice"))).over(w) / F.count("*").over(w) / 100.0
         ).alias("moving_avg"),
     )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (get_json_object —
+    JVM-side Jackson parse, no UDF) + integer aggregation. At scale,
+    prefer from_json with an explicit schema once per pipeline stage;
+    get_json_object re-parses per call but needs no schema."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(k).alias("k_sum"), F.max(k).alias("k_max")
+    )
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH u AS (
+      SELECT label, dim - 1 AS dim,
+             CAST(round(v * 1000000) AS BIGINT) AS vq
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    )
+    SELECT label, dim,
+           (SUM(vq) * 1.0 / COUNT(*) / 1000000.0) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM u GROUP BY label, dim
+    """,
+    tags=("llm", "similarity", "centroid"),
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via posexplode + (label, dim) groupBy
+    — the distributed mean-vector plan (k-means assignment step shape).
+    Components are quantized to integer micro-units before summing so
+    the reduction is order-independent and hash-matches the oracle
+    exactly (raw float sums would differ by summation order)."""
+    e = _emb_table(spark, sf_dir)
+    vq = F.round(F.col("v") * 1_000_000).cast("long")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .select("label", "dim", vq.alias("vq"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("vq") * 1.0 / F.count("*") / 1_000_000.0).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")

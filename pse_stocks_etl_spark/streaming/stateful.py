@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md §2.9 / driver north star "custom stateful operators").
+
+`running_user_stats` keeps one state row per user_id — event count,
+value sum (integer cents — exact), last-seen event time — and emits the
+updated totals every micro-batch. This is the engine's pattern for
+arbitrary keyed streaming state the built-in window aggs can't express
+(per-entity counters, session carry-over, dedup-seen sets).
+
+Scale posture: state is partitioned by the group key across executors
+and persisted in the state store per micro-batch; per-key state here is
+O(1) (three scalars), so total state is O(|users|) with no growth over
+time. A production variant adds a timeout (`GroupStateTimeout`) to
+expire idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].sum() * 100))
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [cents / 100.0],
+            "last_seen_us": [last_us],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running totals with explicit keyed state; one output row
+    per (user, micro-batch) holding the post-batch totals."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4/§7.5
+promise must be visible in `explain` output — filters reach the parquet
+scan, small dimensions broadcast, scans prune columns. These lock the
+100 TB posture so a refactor can't silently regress it."""
+
+from __future__ import annotations
+
+import re
+
+from pse_stocks_etl_spark import plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # The shipdate predicate must appear in the parquet scan's pushed
+    # filters, not only as a post-scan Filter node.
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan[:2000]
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = m.group(1)
+    assert "l_comment" not in cols
+    assert "l_partkey" not in cols  # unused by the query → pruned
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_latest_price")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_joins_planned(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "semi_join_in")
+    anti = _plan(spark, sf_dir, "anti_join_uptodate")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_watermark_agg_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "watermark_per_key")
+    assert "partial_max" in plan  # map-side combine before the shuffle
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    # Both windows + the final agg must reuse ONE hash exchange on
+    # user_id (orderBy-compatible windows share the sort).
+    plan = _plan(spark, sf_dir, "sessionization")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+
+
+def test_dedup_argmax_prunes_topk_before_shuffle(spark, sf_dir):
+    # row_number()<=k is planned as WindowGroupLimit on BOTH sides of the
+    # exchange — the map-side instance prunes each partition to its local
+    # top-k before shuffling (the partial-aggregation analog for windows).
+    plan = _plan(spark, sf_dir, "dedup_argmax")
+    limits = re.findall(r"\(\d+\) WindowGroupLimit", plan)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(limits) == 2 and len(exchanges) == 1, plan[:3000]
