@@ -31,12 +31,19 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.merge import merge_dataframes
 
 _CURRENT = "_CURRENT"
 _VERSIONS = "_versions"
+
+
+def _partition_str(v) -> str:
+    """Spark partition-directory encoding of a partition value (dates
+    render ISO — the only types the engine partitions by are date/str/int)."""
+    return str(v)
 
 
 class ParquetTable:
@@ -108,10 +115,77 @@ class ParquetTable:
         dedup_order: Sequence[Column | str] | None = None,
     ) -> None:
         """K2/K3: keyed upsert (optionally freshness-guarded) with the
-        mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4)."""
-        self._commit(
-            merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+        mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4).
+
+        Partition-pruned fast path: when the table is partitioned on a
+        merge-key column (the date-partitioned fact), only partitions
+        whose values appear in the source batch are re-merged and
+        rewritten; untouched partition directories are carried into the
+        new version as hardlinks — zero data movement. This is the
+        file-level rewrite Delta's MERGE does via its log, and the
+        reason an incremental sync of a trailing window costs
+        O(window), not O(table) (SCALE.md "Merge / upsert").
+        """
+        pcol = (
+            self.partition_by[0]
+            if len(self.partition_by) == 1 and self.partition_by[0] in keys
+            else None
         )
+        if pcol is None or not self.exists():
+            self._commit(
+                merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+            )
+            return
+        # Affected partition values: one row per distinct source value —
+        # bounded by the batch's window, safe to collect.
+        affected = [r[0] for r in source.select(pcol).distinct().collect()]
+        if not affected:
+            return
+        tgt_affected = self.read().filter(F.col(pcol).isin(affected))
+        merged = merge_dataframes(tgt_affected, source, keys, freshness_col, dedup_order)
+        self._commit_partitions(merged, pcol, affected)
+
+    def _commit_partitions(self, merged: DataFrame, pcol: str, affected: list) -> None:
+        """Write `merged` (covering `affected` partition values) as a new
+        version; hardlink every other partition dir from the current one."""
+        current = self._pointer()
+        version = self.current_version() + 1
+        vname = f"v{version:05d}"
+        target = os.path.join(self.path, _VERSIONS, vname)
+        (
+            merged.select(*[f.name for f in self.schema.fields])
+            .write.mode("overwrite")
+            .partitionBy(*self.partition_by)
+            .parquet(target)
+        )
+        if current:
+            src_root = os.path.join(self.path, _VERSIONS, current)
+            affected_dirs = {f"{pcol}={_partition_str(v)}" for v in affected}
+            for entry in os.listdir(src_root):
+                if not entry.startswith(f"{pcol}=") or entry in affected_dirs:
+                    continue
+                src_dir = os.path.join(src_root, entry)
+                dst_dir = os.path.join(target, entry)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    dst = os.path.join(dst_dir, fn)
+                    if not os.path.exists(dst):
+                        os.link(os.path.join(src_dir, fn), dst)
+        tmp = os.path.join(self.path, f".{_CURRENT}.tmp")
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, os.path.join(self.path, _CURRENT))
+
+    def optimize(self, cluster_by: Sequence[str]) -> None:
+        """K9 companion: rewrite the current version clustered by
+        `cluster_by` within partitions (the OPTIMIZE ZORDER analog —
+        mirrors the reference's BigQuery `CLUSTER BY symbol`,
+        db/bigquery/daily_stock_price.sql:17). Range-partition + sort so
+        min/max footer stats make key-range scans skip files."""
+        df = self.read().sortWithinPartitions(*cluster_by)
+        if not self.partition_by:
+            df = self.read().repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+        self._commit(df)
 
     def delete(self, condition: Column | None = None) -> None:
         """K7: delete rows matching `condition` (all rows when None)."""

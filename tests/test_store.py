@@ -120,3 +120,64 @@ def test_empty_source_merge_noop(spark, table):
     empty = spark.createDataFrame([], SCHEMA)
     table.merge(empty, keys=("k", "d"))
     assert table.read().count() == 1  # empty-input edge (SURVEY §7.5 risk 5)
+
+
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("d", T.DateType(), False),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("extracted_at", T.TimestampType(), True),
+    ]
+)
+
+
+def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "pt"), PART_SCHEMA, partition_by=("d",))
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+                  ("B", "2024-01-02", 2.0, "2024-01-01T00:00:00"),
+                  ("C", "2024-01-03", 3.0, "2024-01-01T00:00:00")), PART_SCHEMA)
+    )
+    v1_dir = os.path.join(str(tmp_path / "pt"), "_versions", "v00001")
+    inodes_before = {
+        fn: os.stat(os.path.join(v1_dir, "d=2024-01-01", fn)).st_ino
+        for fn in os.listdir(os.path.join(v1_dir, "d=2024-01-01"))
+        if fn.endswith(".parquet")
+    }
+    # merge touches only 2024-01-02 and 2024-01-03
+    src = spark.createDataFrame(
+        _rows(("B", "2024-01-02", 20.0, "2024-01-02T00:00:00"),
+              ("D", "2024-01-03", 4.0, "2024-01-02T00:00:00")), PART_SCHEMA)
+    t.merge(src, keys=("k", "d"), freshness_col="extracted_at")
+    got = {(r.k, str(r.d)): r.v for r in t.read().collect()}
+    assert got == {
+        ("A", "2024-01-01"): 1.0,
+        ("B", "2024-01-02"): 20.0,
+        ("C", "2024-01-03"): 3.0,
+        ("D", "2024-01-03"): 4.0,
+    }
+    # untouched partition carried over as hardlinks (same inodes)
+    v2_dir = os.path.join(str(tmp_path / "pt"), "_versions", "v00002")
+    inodes_after = {
+        fn: os.stat(os.path.join(v2_dir, "d=2024-01-01", fn)).st_ino
+        for fn in os.listdir(os.path.join(v2_dir, "d=2024-01-01"))
+        if fn.endswith(".parquet")
+    }
+    assert inodes_after == inodes_before
+
+
+def test_optimize_clusters_and_preserves_content(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "opt"), PART_SCHEMA)
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("B", "2024-01-02", 2.0, "2024-01-01T00:00:00"),
+                  ("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+                  ("C", "2024-01-03", 3.0, "2024-01-01T00:00:00")), PART_SCHEMA)
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    t.optimize(cluster_by=("k",))
+    assert sorted(map(tuple, t.read().collect())) == before
