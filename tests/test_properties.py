@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the merge and dedup operators are
+checked against a pure-python reference model on randomized inputs —
+strictly stronger than the reference's golden-value tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pse_stocks_etl_spark.operators.dedup import argmax_dedup
+from pse_stocks_etl_spark.operators.merge import merge_dataframes
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("v", T.IntegerType(), False),
+        T.StructField("fresh", T.IntegerType(), False),
+    ]
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),   # key — small domain forces collisions
+        st.integers(0, 99),  # value
+        st.integers(0, 9),   # freshness
+    ),
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _unique_by_key(rows):
+    out = {}
+    for k, v, f in rows:
+        out[k] = (k, v, f)
+    return list(out.values())
+
+
+@given(target=rows_strategy, source=rows_strategy)
+@SETTINGS
+def test_merge_matches_python_model(spark, target, source):
+    target = _unique_by_key(target)
+    source = _unique_by_key(source)
+    tdf = spark.createDataFrame(target, ROW_SCHEMA)
+    sdf = spark.createDataFrame(source, ROW_SCHEMA)
+    got = sorted(
+        map(tuple, merge_dataframes(tdf, sdf, ["k"], freshness_col="fresh").collect())
+    )
+    # model: source wins iff new key OR source.fresh >= target.fresh
+    model = {k: row for row in target for k in [row[0]]}
+    for row in source:
+        k = row[0]
+        if k not in model or row[2] >= model[k][2]:
+            model[k] = row
+    assert got == sorted(model.values())
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_merge_is_idempotent(spark, rows):
+    source = _unique_by_key(rows)
+    tdf = spark.createDataFrame([], ROW_SCHEMA)
+    sdf = spark.createDataFrame(source, ROW_SCHEMA)
+    once = merge_dataframes(tdf, sdf, ["k"], freshness_col="fresh")
+    twice = merge_dataframes(once, sdf, ["k"], freshness_col="fresh")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15))
+@SETTINGS
+def test_argmax_dedup_picks_max_with_deterministic_tiebreak(spark, rows):
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    got = {r.k: (r.v, r.fresh) for r in argmax_dedup(df, ["k"], "v", tiebreak=["fresh"]).collect()}
+    # model: max v; among ties smallest fresh
+    model = {}
+    for k, v, f in rows:
+        cur = model.get(k)
+        if cur is None or (v, -f) > (cur[0], -cur[1]):
+            model[k] = (v, f)
+    assert got == model
