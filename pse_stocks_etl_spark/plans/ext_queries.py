@@ -346,3 +346,85 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "sql_api_top_nations",
+    oracle=f"""
+    SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_customers,
+           {sql_sum_money('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("sql-api", "J5", "having"),
+)
+def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: temp views + spark.sql text (reference
+    pattern: createOrReplaceTempView at spark_deltalake_sync.py:139).
+    Catalyst produces the same plan as the DataFrame API — this query
+    exists to keep the SQL entry path exercised, HAVING included."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS n_customers,
+               -- 100.0D: in Spark SQL text a bare 100.0 is a DECIMAL
+               -- literal (the DataFrame API's /100.0 is a double) — the
+               -- D suffix keeps the division in double like every other
+               -- money aggregate.
+               (SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0D) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING COUNT(*) >= 5
+        """
+    )
+
+
+@register(
+    "pandas_median_per_segment",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           (quantile_cont(CAST(round(c_acctbal * 100) AS BIGINT), 0.5) / 100.0)
+             AS median_acctbal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("applyInPandas", "grouped-map"),
+)
+def pandas_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-group computation in
+    Arrow-batched pandas — the engine's escape hatch for per-group logic
+    built-ins can't express. The demo computes an interpolated median on
+    integer cents (numpy's linear interpolation at q=0.5 is exact dyadic
+    arithmetic, so it matches DuckDB quantile_cont bit-for-bit — same
+    rule as median_price_per_flag). At scale this shuffles once on the
+    group key; each group must fit one executor's memory."""
+    import numpy as np
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer")
+
+    def median_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents_vals = np.round(pdf["c_acctbal"].to_numpy() * 100).astype("int64")
+        med = float(np.quantile(cents_vals, 0.5, method="linear")) / 100.0
+        return pd.DataFrame(
+            {
+                "mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "median_acctbal": [med],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        c.select("c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            median_group, schema="mktsegment string, median_acctbal double, n long"
+        )
+    )

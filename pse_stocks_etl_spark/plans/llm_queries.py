@@ -586,3 +586,113 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization + probed cells
+# --------------------------------------------------------------------------
+IVF_CENTROID_IDS = tuple(range(10, 26))  # 16 fixed coarse centroids
+IVF_NPROBE = 2
+
+
+def _sql_ann_ivf() -> str:
+    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
+    cos_q = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id IN ({cids})
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id IN ({_Q_IDS})
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {cos_q} AS cos_sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register(
+    "emb_ann_ivf",
+    oracle=_sql_ann_ivf(),
+    tags=("llm", "similarity", "ann-ivf"),
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 16 coarse
+    centroids (broadcast cross join + argmax — the inverted file), probe
+    the query's nprobe=2 nearest cells, exact-cosine re-rank inside
+    them. Search cost scales with corpus/cells × nprobe instead of the
+    full corpus; at 100 TB the assignment is computed once and persisted
+    as a `cell` column so probes become partition-pruned scans. Cell
+    assignment uses rounded cosine + centroid-id tiebreak — fully
+    deterministic, so even the candidate sets oracle-match."""
+    from ..operators.dedup import topk_per_group
+
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    base = e.select("vec_id", vec.alias("v"))
+    cents = (
+        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
+    )
+    assign = topk_per_group(
+        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
+    ).select("vec_id", F.col("cid").alias("cell"))
+    probes = (
+        topk_per_group(
+            scored_cells.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)),
+            ["vec_id"],
+            [F.col("ccos").desc(), F.col("cid").asc()],
+            k=IVF_NPROBE,
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    qvecs = base.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "vec_id", cosine(F.col("qvec"), F.col("v")).alias("cos_sim"))
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=TOPK,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
