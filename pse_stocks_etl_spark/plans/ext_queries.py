@@ -428,3 +428,51 @@ def pandas_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             median_group, schema="mktsegment string, median_acctbal double, n long"
         )
     )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             {sql_cents('value')} AS vc
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, vc,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+           (SUM(vc) / 100.0) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("session-window", "streaming-analog"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-based session assignment inside
+    the aggregation operator — usable identically in batch and
+    Structured Streaming). The oracle derives the same sessions with the
+    portable lag+cumsum construction, which also pins the semantics:
+    session_start == min(ts) of the gap-connected component."""
+    from ..functions.money import cents
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -71,3 +71,34 @@ def test_dedup_argmax_prunes_topk_before_shuffle(spark, sf_dir):
     limits = re.findall(r"\(\d+\) WindowGroupLimit", plan)
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(limits) == 2 and len(exchanges) == 1, plan[:3000]
+
+
+def test_parquet_table_partition_pruning(spark, tmp_path):
+    """A date filter on the partitioned fact table must prune partitions
+    at planning time (PartitionFilters), not scan-and-filter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pse_stocks_etl_spark.store.parquet_table import ParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = ParquetTable(spark, str(tmp_path / "pp"), schema, partition_by=("d",))
+    rows = [
+        ("A", dt.date(2024, 1, 1), 1.0),
+        ("B", dt.date(2024, 1, 2), 2.0),
+        ("C", dt.date(2024, 1, 3), 3.0),
+    ]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    df = t.read().filter(F.col("d") == "2024-01-02")
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert re.search(r"PartitionFilters:.*d.*2024-01-02|PartitionFilters:.*isnotnull\(d", plan), plan[:2000]
+    assert df.count() == 1
