@@ -46,7 +46,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
              row_number() OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC,
+                        l_extendedprice DESC
              ) AS rn
       FROM lineitem
     )
@@ -65,10 +66,17 @@ def flagship_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     per symbol' (reference pse_edge.py:259 + star join)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
+    # (orderkey, linenumber) is not unique in the synthetic data (keys
+    # repeat across suppliers) — extendedprice completes the total order.
     latest = topk_per_group(
         li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"),
         ["l_suppkey"],
-        [F.col("l_shipdate").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_extendedprice").desc(),
+        ],
         k=1,
     )
     return latest.join(F.broadcast(sup), latest.l_suppkey == sup.s_suppkey).select(

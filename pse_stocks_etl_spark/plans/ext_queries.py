@@ -259,20 +259,36 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SUM({sql_cents('l_extendedprice')}) OVER w
             / (COUNT(*) OVER w) / 100.0) AS moving_avg
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_extendedprice, l_partkey, l_quantity
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "moving-agg"),
 )
 def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average per key (rows-frame window; integer-cents
-    numerator and exact row counts → cross-engine float parity)."""
+    numerator and exact row counts → cross-engine float parity).
+
+    Ordering note: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic data (456,861 distinct of 600,000 rows at sf0.1 — keys
+    repeat across suppliers, and one (suppkey, shipdate, orderkey,
+    linenumber) tuple even duplicates), so the window order extends to
+    the value columns; remaining ties are full-row duplicates, which
+    cannot change any rows-frame aggregate."""
     from ..functions.money import cents
 
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_partkey",
+            "l_quantity",
+        )
         .rowsBetween(-6, 0)
     )
     return li.select(
@@ -475,4 +491,34 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_sum_money('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "salted-agg"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: events has only 5 event types — every row
+    of a hot key would hit one reducer. The salted two-phase plan
+    (operators/skew.py) aggregates on (key, salt) first, spreading each
+    hot key over 16 reducers, then combines partials. Same result as the
+    direct groupBy (the oracle computes it directly) — that equality IS
+    the correctness property of salting."""
+    from ..functions.money import cents
+    from ..operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        keys=("event_type",),
+        sum_exprs={"sum_cents": cents(F.col("value"))},
+        buckets=16,
+    )
+    return out.select(
+        "event_type", "n", (F.col("sum_cents") / 100.0).alias("sum_value")
     )
