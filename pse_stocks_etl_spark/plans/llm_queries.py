@@ -34,9 +34,8 @@ from ..functions.text import (
     sql_word_shingles,
     stopword_count,
     token_count,
-    word_shingles,
 )
-from ..functions.vectors import cosine, dot, sql_cosine, to_double_array
+from ..functions.vectors import cosine, sql_cosine, to_double_array
 from ..sources.catalog import load_table
 from .registry import register
 
