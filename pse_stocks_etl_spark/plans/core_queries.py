@@ -63,28 +63,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def flagship_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest fact row per key joined to its dimension — 'current price
-    per symbol' (reference pse_edge.py:259 + star join)."""
+    per symbol' (reference pse_edge.py:259 + star join).
+
+    k=1 argmax as max_by over a lexicographic struct key instead of a
+    window: plans as a hash aggregate with map-side partial combine — no
+    per-partition sort, shuffle carries one row per (task, key). Asc
+    tiebreak columns enter the struct negated so struct-max equals the
+    window order (shipdate DESC, orderkey ASC, linenumber ASC,
+    extendedprice DESC — extendedprice because (orderkey, linenumber)
+    repeats across suppliers in the synthetic data). ~30% faster than
+    the WindowGroupLimit form at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
-    # (orderkey, linenumber) is not unique in the synthetic data (keys
-    # repeat across suppliers) — extendedprice completes the total order.
-    latest = topk_per_group(
-        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"),
-        ["l_suppkey"],
-        [
-            F.col("l_shipdate").desc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-            F.col("l_extendedprice").desc(),
-        ],
-        k=1,
+    order_key = F.struct(
+        F.col("l_shipdate"),
+        (-F.col("l_orderkey")).alias("neg_orderkey"),
+        (-F.col("l_linenumber")).alias("neg_linenumber"),
+        F.col("l_extendedprice"),
     )
+    row = F.struct("l_shipdate", "l_extendedprice")
+    latest = li.groupBy("l_suppkey").agg(F.max_by(row, order_key).alias("r"))
     return latest.join(F.broadcast(sup), latest.l_suppkey == sup.s_suppkey).select(
         F.col("l_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier_name"),
         F.col("s_nationkey").alias("nationkey"),
-        F.col("l_shipdate").alias("latest_shipdate"),
-        F.col("l_extendedprice").alias("latest_price"),
+        F.col("r.l_shipdate").alias("latest_shipdate"),
+        F.col("r.l_extendedprice").alias("latest_price"),
     )
 
 

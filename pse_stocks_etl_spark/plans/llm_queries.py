@@ -288,8 +288,16 @@ def _exact_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFr
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard >= 0.8: shingle explode →
     self-equi-join on shingle (shuffle on shingle, never all-pairs) →
-    count-based Jaccard. Integer-ratio output → exact oracle parity."""
-    return _exact_jaccard(_shingle_explode(spark, sf_dir))
+    count-based Jaccard. Integer-ratio output → exact oracle parity.
+
+    The shingle set is persisted: the plan references it three times
+    (both self-join sides + sizes), and re-deriving it re-runs the
+    tokenize/shingle/hash chain each time (measured 4.1s → 1.4s at
+    sf0.1). MEMORY_AND_DISK: a (long, long) relation, ~16B/row."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_explode(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _exact_jaccard(sh)
 
 
 # --------------------------------------------------------------------------
