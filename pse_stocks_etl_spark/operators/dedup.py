@@ -82,3 +82,60 @@ def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame
     """Exact duplicate removal (dropDuplicates) — hash-shuffle on the
     subset columns; Catalyst plans it as a partial+final hash aggregate."""
     return df.dropDuplicates(list(subset) if subset else None)
+
+
+def connected_components_min_label(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Minimum-label connected components by iterative label propagation.
+
+    Each vertex starts labeled with its own id; every round each vertex
+    takes the min of its label and its neighbors' labels; stop when no
+    label changes. For near-dup clustering components are tiny (pairs /
+    small cliques), so convergence takes ~log(diameter) rounds — the
+    driver loop runs one small shuffle join per round, nothing collects
+    to the driver except the single converged-count.
+
+    `edges` must be undirected (both directions present) or will be
+    symmetrized here. Returns (id_col, 'component') — component = min id
+    reachable.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct().persist()
+    labels = vertices.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("component")
+    ).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnsRenamed({"u": "v", "component": "nc"}), "v")
+            .groupBy("u")
+            .agg(F.min("nc").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("new_component"),
+                F.col("component"),
+            )
+        ).persist()
+        # the count() materializes `updated`, so the previous generation
+        # can be dropped from storage before the next round
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels.unpersist()
+        labels = updated.select("u", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.withColumnRenamed("u", id_col)

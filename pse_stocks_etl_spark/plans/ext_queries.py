@@ -522,3 +522,78 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", (F.col("sum_cents") / 100.0).alias("sum_value")
     )
+
+
+@register(
+    "except_lapsed_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    """,
+    tags=("set-ops", "except"),
+)
+def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers active before 2001 and never
+    after — the set-op surface beyond the reference's union-all (Spark
+    plans it as a left-anti join + distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.col("o_orderdate") < "2001-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    after = o.filter(F.col("o_orderdate") >= "2001-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return before.subtract(after)
+
+
+@register(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+           COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS sum_total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube",),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations (rollup's superset)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    ).agg(F.count("*").alias("n"), sum_money(F.col("o_totalprice")).alias("sum_total"))
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS event_type, click AS n FROM p
+    UNION ALL
+    SELECT user_id, 'view', view FROM p
+    """,
+    tags=("unpivot", "melt"),
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) via the native unpivot operator —
+    the inverse of pivot_event_counts."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce(F.col("click"), F.lit(0)).alias("click"),
+            F.coalesce(F.col("view"), F.lit(0)).alias("view"),
+        )
+    )
+    return wide.unpivot("user_id", ["click", "view"], "event_type", "n")

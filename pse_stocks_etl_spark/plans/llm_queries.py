@@ -703,3 +703,64 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: pairs → connected components → keep-one
+# --------------------------------------------------------------------------
+def _sql_near_dup_clusters() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u
+    ),
+    rep AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(r.component, d.doc_id) AS component,
+           (COALESCE(r.component, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+"""
+
+
+@register(
+    "docs_near_dup_clusters",
+    oracle=_sql_near_dup_clusters(),
+    tags=("llm", "dedup-near", "connected-components"),
+)
+def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DELIVERABLE: Jaccard>=0.8 pairs → connected components
+    (iterative min-label propagation, operators/dedup.py) → per document
+    its cluster representative (min doc_id) and a keep/drop flag. The
+    DuckDB oracle computes the same components with a recursive CTE —
+    matching output proves the distributed iteration converges to the
+    exact transitive closure."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import connected_components_min_label
+
+    sh = _shingle_explode(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _exact_jaccard(sh).select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # only docs that appear in a pair need the iteration; singletons are
+    # their own component by definition
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components_min_label(
+        members, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    out = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return out.withColumn("keep", F.col("component") == F.col("doc_id"))
