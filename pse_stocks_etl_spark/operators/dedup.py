@@ -96,10 +96,12 @@ def connected_components_min_label(
 
     Each vertex starts labeled with its own id; every round each vertex
     takes the min of its label and its neighbors' labels; stop when no
-    label changes. For near-dup clustering components are tiny (pairs /
-    small cliques), so convergence takes ~log(diameter) rounds — the
+    label changes. The min label travels ONE hop per round, so the loop
+    needs `component diameter` rounds (raises if max_iterations is hit
+    before convergence). For near-dup clustering components are tiny
+    (pairs / small cliques), so a handful of rounds suffices — the
     driver loop runs one small shuffle join per round, nothing collects
-    to the driver except the single converged-count.
+    to the driver except the single changed-count.
 
     `edges` must be undirected (both directions present) or will be
     symmetrized here. Returns (id_col, 'component') — component = min id
@@ -113,6 +115,8 @@ def connected_components_min_label(
     labels = vertices.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("component")
     ).persist()
+    prev_persisted = labels  # the storage handle of the previous round
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnsRenamed({"u": "v", "component": "nc"}), "v")
@@ -130,12 +134,22 @@ def connected_components_min_label(
                 F.col("component"),
             )
         ).persist()
-        # the count() materializes `updated`, so the previous generation
-        # can be dropped from storage before the next round
+        # the count() materializes `updated`, so the previous round's
+        # PERSISTED handle (not the lazy projection) can be dropped
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        labels.unpersist()
+        prev_persisted.unpersist()
+        prev_persisted = updated
         labels = updated.select("u", F.col("new_component").alias("component"))
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # Plain propagation moves a label ONE HOP per round; a component
+        # with diameter > max_iterations would silently come out split.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iterations} "
+            "rounds — component diameter exceeds the iteration budget; "
+            "raise max_iterations (or switch to large-star/small-star)."
+        )
     return labels.withColumnRenamed("u", id_col)

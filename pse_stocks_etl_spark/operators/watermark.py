@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-EPOCH = "1970-01-01"
+from ..functions.datetime import epoch_default
 
 
 def watermarks(df: DataFrame, key: str, ts_col: str, alias: str = "latest_date") -> DataFrame:
@@ -56,7 +56,7 @@ def incremental_windows(
         if today is None
         else (F.to_date(F.lit(today)) if isinstance(today, str) else today)
     )
-    wm = F.coalesce(F.col(wm_col), F.to_date(F.lit(EPOCH)))
+    wm = epoch_default(F.col(wm_col))
     joined = keys_df.join(F.broadcast(wm_df), on=key, how="left")
     return joined.select(
         key,

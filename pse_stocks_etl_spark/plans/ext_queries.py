@@ -175,7 +175,12 @@ def csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     slice_df = li.select("l_orderkey", "l_returnflag")
-    tmp = tempfile.mkdtemp(prefix="csv_stage_")
+    # one staging dir per process, overwritten on every call — repeated
+    # bench/parity invocations must not leak a new /tmp dir each time
+    tmp = getattr(csv_roundtrip_counts, "_staging_dir", None)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="csv_stage_")
+        csv_roundtrip_counts._staging_dir = tmp
     slice_df.write.mode("overwrite").csv(os.path.join(tmp, "stage"), header=True)
     schema = T.StructType(
         [

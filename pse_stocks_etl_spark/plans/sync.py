@@ -100,17 +100,26 @@ class PseDatasets:
         def fetch(symbol: str, start: date, end: date):
             return connector.get_stock_data(symbol, start, end)
 
-        batch = distributed_fetch(plan, fetch)
-        n = batch.count()
-        if n == 0:  # empty-batch short-circuit (pse_edge.py:239-240)
-            return 0
-        self.prices.merge(
-            batch,
-            keys=("symbol", "date"),
-            freshness_col="extracted_at",
-            # A2 pre-merge dedup: max close wins, deterministic tiebreak.
-            dedup_order=[F.col("close").desc(), F.col("extracted_at").desc()],
-        )
+        # Persist the fetch result: count + the merge plan reference the
+        # batch several times (affected-partition collect, anti-join,
+        # union), and without pinning it each reference would re-run the
+        # connector fetch — 4× the API cost, and a live connector could
+        # return *different* rows per execution, making the merge's
+        # branches disagree (duplicate/dropped keys).
+        batch = distributed_fetch(plan, fetch).persist()
+        try:
+            n = batch.count()
+            if n == 0:  # empty-batch short-circuit (pse_edge.py:239-240)
+                return 0
+            self.prices.merge(
+                batch,
+                keys=("symbol", "date"),
+                freshness_col="extracted_at",
+                # A2 pre-merge dedup: max close wins, deterministic tiebreak.
+                dedup_order=[F.col("close").desc(), F.col("extracted_at").desc()],
+            )
+        finally:
+            batch.unpersist()
         return n
 
     def sync(self, today: str | None = None, lookback_days: int = 0) -> dict:

@@ -141,6 +141,15 @@ class ParquetTable:
         affected = [r[0] for r in source.select(pcol).distinct().collect()]
         if not affected:
             return
+        if any(v is None for v in affected):
+            # NULL partition values break both the isin() pruning filter
+            # (NULL never matches) and the hardlink exclusion (Spark
+            # writes __HIVE_DEFAULT_PARTITION__, not 'None') — take the
+            # always-correct full-merge path for such batches.
+            self._commit(
+                merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+            )
+            return
         tgt_affected = self.read().filter(F.col(pcol).isin(affected))
         merged = merge_dataframes(tgt_affected, source, keys, freshness_col, dedup_order)
         self._commit_partitions(merged, pcol, affected)
@@ -182,9 +191,11 @@ class ParquetTable:
         mirrors the reference's BigQuery `CLUSTER BY symbol`,
         db/bigquery/daily_stock_price.sql:17). Range-partition + sort so
         min/max footer stats make key-range scans skip files."""
-        df = self.read().sortWithinPartitions(*cluster_by)
-        if not self.partition_by:
-            df = self.read().repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+        df = self.read()
+        if self.partition_by:
+            df = df.sortWithinPartitions(*cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         self._commit(df)
 
     def delete(self, condition: Column | None = None) -> None:

@@ -47,7 +47,10 @@ def _update(
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].sum() * 100))
+        # round per ROW, then sum: rounding a batch-level float sum would
+        # make the state depend on micro-batch boundaries (sub-cent
+        # residues accumulate differently per batching).
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
     state.update((n, cents, last_us))
