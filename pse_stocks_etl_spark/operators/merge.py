@@ -40,6 +40,25 @@ from pyspark.sql import functions as F
 from .dedup import topk_per_group
 
 
+def _keys_may_be_null(df: DataFrame, keys: Sequence[str]) -> bool:
+    nullable = {f.name: f.nullable for f in df.schema.fields}
+    return any(nullable.get(k, True) for k in keys)
+
+
+def _null_safe_key_cond(left: DataFrame, right: DataFrame, keys: Sequence[str], right_names: Sequence[str]):
+    """AND of key equalities, null-safe (<=>) only when the schema says a
+    key may actually be NULL: plain `=` never matches a NULL key (which
+    would make merges of NULL-keyed rows insert a duplicate on every
+    replay), but null-safe comparisons block Catalyst's constraint
+    propagation — so proven-non-nullable keys keep the plain form."""
+    use_null_safe = _keys_may_be_null(left, keys) or _keys_may_be_null(right, right_names)
+    cond = None
+    for k, rk in zip(keys, right_names):
+        c = left[k].eqNullSafe(right[rk]) if use_null_safe else (left[k] == right[rk])
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def classify_merge(
     target: DataFrame,
     source: DataFrame,
@@ -48,20 +67,20 @@ def classify_merge(
 ) -> DataFrame:
     """J1+P5: tag each source row 'insert' / 'update' / 'skip'.
 
-    Left-outer join source→target on the composite key; a source row is
-    an insert when no target key matches, an update when it matches and
-    passes the freshness guard (or there is no guard), else a skip.
-    This is the relational form of the reference's staged classify
-    (bigquery_dml__upsert_daily_stock_price.sql:10-16).
+    Left-outer join source→target on the composite key (null-safe); a
+    source row is an insert when no target key matches, an update when
+    it matches and passes the freshness guard (or there is no guard),
+    else a skip. This is the relational form of the reference's staged
+    classify (bigquery_dml__upsert_daily_stock_price.sql:10-16).
     """
+    tcols = list(keys) + ([freshness_col] if freshness_col else [])
     tgt_cols = (
-        target.select(*keys, *( [freshness_col] if freshness_col else [] ))
-        .withColumnsRenamed(
-            {c: f"__t_{c}" for c in ([freshness_col] if freshness_col else [])}
-        )
+        target.select(*tcols)
+        .withColumnsRenamed({c: f"__t_{c}" for c in tcols})
         .withColumn("__matched", F.lit(True))
     )
-    joined = source.join(tgt_cols, on=list(keys), how="left")
+    cond = _null_safe_key_cond(source, tgt_cols, keys, [f"__t_{k}" for k in keys])
+    joined = source.join(tgt_cols, on=cond, how="left")
     is_new = F.col("__matched").isNull()
     if freshness_col:
         fresh = F.col(freshness_col) >= F.col(f"__t_{freshness_col}")
@@ -73,7 +92,7 @@ def classify_merge(
     else:
         action = F.when(is_new, F.lit("insert")).otherwise(F.lit("update"))
     return joined.withColumn("merge_action", action).drop(
-        "__matched", *( [f"__t_{freshness_col}"] if freshness_col else [] )
+        "__matched", *[f"__t_{c}" for c in tcols]
     )
 
 
@@ -97,7 +116,15 @@ def merge_dataframes(
     classified = classify_merge(target, source, keys, freshness_col)
     winners = classified.filter(F.col("merge_action") != "skip").select(*cols)
     # Replaced keys leave the target; winning source rows come in.
-    kept = target.join(winners.select(*keys), on=list(keys), how="left_anti")
+    # Null-safe anti-join so NULL-keyed target rows are replaced (not
+    # duplicated) when the source carries the same NULL key.
+    wkeys = winners.select(
+        *[F.col(k).alias(f"__w_{k}") for k in keys]
+    )
+    kept = target.join(
+        wkeys, on=_null_safe_key_cond(target, wkeys, keys, [f"__w_{k}" for k in keys]),
+        how="left_anti",
+    )
     return kept.unionByName(winners)
 
 

@@ -119,13 +119,17 @@ def distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("approx-agg", "rows-only"),
 )
 def approx_distinct_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the at-scale form of
-    distinct_count_per_key — sketches merge map-side, no distinct
-    shuffle of the full key set."""
+    """Approximate aggregates: approx_count_distinct (HyperLogLog++) and
+    percentile_approx (KLL-style quantile sketch) — the at-scale forms
+    of distinct_count_per_key / median_price_per_flag. Sketches merge
+    map-side; no distinct shuffle of the full key/value set. Sketch
+    internals are engine-specific → rows-only check; accuracy is
+    asserted against the exact counts in tests/test_ext.py."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
     )
 
 

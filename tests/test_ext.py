@@ -27,3 +27,35 @@ def test_asof_attribution_clicks_precede_purchases(spark, sf_dir):
     matched = [r for r in rows if r.click_ts is not None]
     assert matched, "expected at least one attributed purchase"
     assert all(r.click_ts <= r.ts for r in matched)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from pse_stocks_etl_spark.operators.dedup import connected_components_min_label
+
+    # path graph 0-1-2-...-6: diameter 6 > max_iterations=3 → must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(vertices, edges, max_iterations=3)
+    # and converges fine with enough rounds
+    out = connected_components_min_label(vertices, edges, max_iterations=10)
+    assert {r.component for r in out.collect()} == {0}
+
+
+def test_approx_median_close_to_exact(spark, sf_dir):
+    approx = {
+        r.suppkey: r.approx_median_price
+        for r in plans.REGISTRY["approx_distinct_per_key"].fn(spark, sf_dir).collect()
+    }
+    exact_all = {
+        r.returnflag: r.median_price
+        for r in plans.REGISTRY["median_price_per_flag"].fn(spark, sf_dir).collect()
+    }
+    # sanity: per-supplier approx medians live in the plausible price band
+    lo, hi = min(exact_all.values()) * 0.2, max(exact_all.values()) * 5
+    assert all(lo <= v <= hi for v in approx.values())

@@ -181,3 +181,30 @@ def test_optimize_clusters_and_preserves_content(spark, tmp_path):
     before = sorted(map(tuple, t.read().collect()))
     t.optimize(cluster_by=("k",))
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_partitioned_merge_null_partition_falls_back(spark, tmp_path):
+    """Source rows with NULL partition values must take the full-merge
+    path (isin() pruning never matches NULL) and still merge correctly."""
+    nullable = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("extracted_at", T.TimestampType(), True),
+        ]
+    )
+    t = ParquetTable(spark, str(tmp_path / "np"), nullable, partition_by=("d",))
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), nullable)
+    )
+    src = spark.createDataFrame(
+        [("B", None, 2.0, dt.datetime(2024, 1, 2))], nullable
+    )
+    t.merge(src, keys=("k", "d"))
+    got = sorted((r.k, r.d, r.v) for r in t.read().collect())
+    assert got == [("A", dt.date(2024, 1, 1), 1.0), ("B", None, 2.0)]
+    # replay converges (the NULL-key row matches itself)
+    t.merge(src, keys=("k", "d"))
+    assert t.read().count() == 2
