@@ -102,6 +102,7 @@ def merge_dataframes(
     keys: Sequence[str],
     freshness_col: str | None = None,
     dedup_order: Sequence[Column | str] | None = None,
+    set_on_write: dict[str, Column] | None = None,
 ) -> DataFrame:
     """K2/K3: the post-merge relation.
 
@@ -109,12 +110,22 @@ def merge_dataframes(
     where a source row wins per K3 iff new-key OR freshness passes.
     Column set follows the target's schema (whenMatchedUpdateAll /
     whenNotMatchedInsertAll semantics — all columns replaced).
+
+    `set_on_write` assigns columns on every written (inserted/updated)
+    row — the engine's replacement for the reference's audit-column
+    triggers (`updated_at` DEFAULT NOW(), company.sql:14-15,
+    trigger_set_timestamp.sql:3-9): e.g.
+    `set_on_write={"updated_at": F.current_timestamp()}`. Untouched
+    target rows keep their existing values.
     """
     cols = target.columns
     if dedup_order is not None:
         source = topk_per_group(source, keys, dedup_order, k=1)
     classified = classify_merge(target, source, keys, freshness_col)
-    winners = classified.filter(F.col("merge_action") != "skip").select(*cols)
+    winners = classified.filter(F.col("merge_action") != "skip")
+    if set_on_write:
+        winners = winners.withColumns(dict(set_on_write))
+    winners = winners.select(*cols)
     # Replaced keys leave the target; winning source rows come in.
     # Null-safe anti-join so NULL-keyed target rows are replaced (not
     # duplicated) when the source carries the same NULL key.

@@ -113,6 +113,7 @@ class ParquetTable:
         keys: Sequence[str],
         freshness_col: str | None = None,
         dedup_order: Sequence[Column | str] | None = None,
+        set_on_write: dict[str, Column] | None = None,
     ) -> None:
         """K2/K3: keyed upsert (optionally freshness-guarded) with the
         mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4).
@@ -133,7 +134,9 @@ class ParquetTable:
         )
         if pcol is None or not self.exists():
             self._commit(
-                merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+                merge_dataframes(
+                    self.read(), source, keys, freshness_col, dedup_order, set_on_write
+                )
             )
             return
         # Affected partition values: one row per distinct source value —
@@ -147,11 +150,15 @@ class ParquetTable:
             # writes __HIVE_DEFAULT_PARTITION__, not 'None') — take the
             # always-correct full-merge path for such batches.
             self._commit(
-                merge_dataframes(self.read(), source, keys, freshness_col, dedup_order)
+                merge_dataframes(
+                    self.read(), source, keys, freshness_col, dedup_order, set_on_write
+                )
             )
             return
         tgt_affected = self.read().filter(F.col(pcol).isin(affected))
-        merged = merge_dataframes(tgt_affected, source, keys, freshness_col, dedup_order)
+        merged = merge_dataframes(
+            tgt_affected, source, keys, freshness_col, dedup_order, set_on_write
+        )
         self._commit_partitions(merged, pcol, affected)
 
     def _commit_partitions(self, merged: DataFrame, pcol: str, affected: list) -> None:

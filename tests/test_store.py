@@ -208,3 +208,22 @@ def test_partitioned_merge_null_partition_falls_back(spark, tmp_path):
     # replay converges (the NULL-key row matches itself)
     t.merge(src, keys=("k", "d"))
     assert t.read().count() == 2
+
+
+def test_merge_set_on_write_audit_column(spark, table):
+    """Audit columns set inside the merge (the engine's replacement for
+    the reference's updated_at triggers, SURVEY §1.5)."""
+    t0 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+              ("B", "2024-01-01", 2.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.overwrite(t0)
+    src = spark.createDataFrame(
+        _rows(("B", "2024-01-01", 20.0, "2024-01-05T00:00:00")), SCHEMA)
+    audit_ts = dt.datetime(2024, 2, 1)
+    table.merge(
+        src, keys=("k", "d"),
+        set_on_write={"extracted_at": F.lit(audit_ts).cast("timestamp")},
+    )
+    got = {r.k: r.extracted_at for r in table.read().collect()}
+    assert got["B"] == audit_ts            # written row stamped
+    assert got["A"] == dt.datetime(2024, 1, 1)  # untouched row keeps its value
