@@ -11,7 +11,8 @@ re-expressed Spark-first:
 - Incremental sync (per-key watermark -> date window -> fetch -> dedup ->
   freshness-guarded upsert) as pure DataFrame logic.
 - LLM-data-pipeline extensions: dedup (exact / MinHash-LSH / SimHash /
-  n-gram Jaccard), similarity search, text analysis, multimodal columns.
+  n-gram Jaccard / connected-component clustering), similarity search
+  (brute-force, LSH, IVF), text analysis, multimodal columns.
 
 Layout:
     session.py    SparkSession builder (AQE, UTC, Arrow).

@@ -69,6 +69,35 @@ def read_csv_dir(spark: SparkSession, path_glob: str, schema: T.StructType) -> D
     return spark.read.csv(path_glob, header=True, schema=schema)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S6: JDBC/warehouse table scan (reference postgres_sync.py:23,33 /
+    bigquery_sync.py:38,48 pull whole tables into pandas; here the scan
+    is distributed). Untestable in this image (no JDBC driver/database)
+    — kept as the documented connector surface. At scale ALWAYS pass
+    `partition_column` + bounds: without them the whole table arrives
+    through one executor connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def empty_relation(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Typed empty DataFrame — the reference's empty-result short-circuit
     (pse_edge.py:239-240) and empty-table init (spark_deltalake_sync.py:125-128)."""
