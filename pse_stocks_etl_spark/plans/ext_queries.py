@@ -606,3 +606,26 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.unpivot("user_id", ["click", "view"], "event_type", "n")
+
+
+@register(
+    "array_agg_user_profile",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS profile
+    FROM events GROUP BY user_id
+    """,
+    tags=("array-agg", "collect"),
+)
+def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/string aggregation: per-user DISTINCT event-type set,
+    sorted before emission — collect_set order is partition-dependent,
+    so sort_array makes the result deterministic and oracle-comparable
+    (same rule as every other tie-break in this engine)."""
+    ev = _t(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("event_types"),
+        F.array_join(types, ",").alias("profile"),
+    )
