@@ -784,3 +784,33 @@ def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )
     return out.withColumn("keep", F.col("component") == F.col("doc_id"))
+
+
+@register(
+    "docs_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT 20
+    """,
+    tags=("llm", "term-frequency"),
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 terms by frequency
+    (tokenize → explode → count → global top-N with term tiebreak) —
+    the vocab-profiling pass of a training-data pipeline. Partial
+    aggregation keeps the shuffle at |vocabulary|, not |tokens|."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
