@@ -96,7 +96,7 @@ def flagship_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            {sql_sum_money('l_extendedprice')} AS sum_base_price,
            (SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) / 10000.0)
              AS sum_disc_price,
@@ -553,8 +553,8 @@ def top_n_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, event_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

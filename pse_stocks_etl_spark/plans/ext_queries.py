@@ -164,7 +164,7 @@ def median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_roundtrip_counts",
     oracle="""
     SELECT l_returnflag AS returnflag, COUNT(*) AS n,
-           SUM(l_orderkey) AS key_sum
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
     FROM lineitem WHERE l_linenumber = 1 GROUP BY l_returnflag
     """,
     tags=("S4", "csv"),
@@ -315,7 +315,8 @@ def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events GROUP BY event_type
     """,
