@@ -40,12 +40,6 @@ _CURRENT = "_CURRENT"
 _VERSIONS = "_versions"
 
 
-def _partition_str(v) -> str:
-    """Spark partition-directory encoding of a partition value (dates
-    render ISO — the only types the engine partitions by are date/str/int)."""
-    return str(v)
-
-
 class ParquetTable:
     def __init__(
         self,
@@ -176,9 +170,17 @@ class ParquetTable:
         )
         if current:
             src_root = os.path.join(self.path, _VERSIONS, current)
-            affected_dirs = {f"{pcol}={_partition_str(v)}" for v in affected}
+            # The rewritten (affected) partitions are exactly the pcol=
+            # dirs Spark just wrote into `target` — merge carries every
+            # affected target row, so an affected partition never comes
+            # out empty. Deriving the exclusion set from the target
+            # listing (not from str(v)) keeps it correct for values
+            # Spark Hive-escapes in dir names (':', '%', '#', ...).
+            written_dirs = {
+                e for e in os.listdir(target) if e.startswith(f"{pcol}=")
+            }
             for entry in os.listdir(src_root):
-                if not entry.startswith(f"{pcol}=") or entry in affected_dirs:
+                if not entry.startswith(f"{pcol}=") or entry in written_dirs:
                     continue
                 src_dir = os.path.join(src_root, entry)
                 dst_dir = os.path.join(target, entry)
@@ -206,11 +208,17 @@ class ParquetTable:
         self._commit(df)
 
     def delete(self, condition: Column | None = None) -> None:
-        """K7: delete rows matching `condition` (all rows when None)."""
+        """K7: delete rows matching `condition` (all rows when None).
+
+        SQL/Delta DELETE semantics: only rows where the predicate is
+        TRUE are removed — rows where it evaluates NULL are kept, so
+        the keep-filter must be null-safe (`~condition` alone would
+        silently drop NULL-predicate rows).
+        """
         if condition is None:
             self._commit(self.spark.createDataFrame([], self.schema))
         else:
-            self._commit(self.read().filter(~condition))
+            self._commit(self.read().filter(~condition.eqNullSafe(F.lit(True))))
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """K9: drop version dirs older than the newest `retain_versions`.

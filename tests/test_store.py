@@ -227,3 +227,43 @@ def test_merge_set_on_write_audit_column(spark, table):
     got = {r.k: r.extracted_at for r in table.read().collect()}
     assert got["B"] == audit_ts            # written row stamped
     assert got["A"] == dt.datetime(2024, 1, 1)  # untouched row keeps its value
+
+
+def test_delete_keeps_null_predicate_rows(spark, table):
+    """SQL/Delta DELETE removes only predicate-TRUE rows; a NULL
+    predicate (v IS NULL here) must keep the row (ADVICE r1)."""
+    t0 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"))
+        + [("N", dt.date(2024, 1, 2), None, dt.datetime(2024, 1, 1))],
+        SCHEMA,
+    )
+    table.overwrite(t0)
+    table.delete(F.col("v") > 5.0)  # NULL > 5.0 evaluates NULL, not TRUE
+    assert sorted(r.k for r in table.read().collect()) == ["A", "N"]
+    table.delete(F.col("v") <= 5.0)
+    assert [r.k for r in table.read().collect()] == ["N"]
+
+
+def test_partitioned_merge_hive_escaped_partition_values(spark, tmp_path):
+    """String partition values with characters Spark Hive-escapes in dir
+    names (':' -> %3A) must not resurrect the stale pre-merge partition
+    via the hardlink carry (ADVICE r1: exclusion set now derives from
+    the dirs Spark actually wrote, not str(v))."""
+    schema = T.StructType(
+        [
+            T.StructField("sym", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = ParquetTable(spark, str(tmp_path / "esc"), schema, partition_by=("sym",))
+    t.overwrite(
+        spark.createDataFrame([("a:b", 1.0), ("plain", 2.0), ("x%y", 3.0)], schema)
+    )
+    src = spark.createDataFrame([("a:b", 10.0), ("x%y", 30.0)], schema)
+    t.merge(src, keys=("sym",))
+    got = sorted((r.sym, r.v) for r in t.read().collect())
+    # the old a:b / x%y rows must NOT be duplicated alongside the merged ones
+    assert got == [("a:b", 10.0), ("plain", 2.0), ("x%y", 30.0)]
+    # replay converges too
+    t.merge(src, keys=("sym",))
+    assert t.read().count() == 3
