@@ -823,20 +823,28 @@ def _sql_near_dup_clusters() -> str:
 )
 def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DELIVERABLE: Jaccard>=0.8 pairs → connected components
-    (iterative min-label propagation, operators/dedup.py) → per document
+    (large-star/small-star contraction, operators/dedup.py — converges
+    in O(log² n) rounds regardless of component diameter, so a pathological
+    chain of near-dups can't outrun the iteration budget) → per document
     its cluster representative (min doc_id) and a keep/drop flag. The
     DuckDB oracle computes the same components with a recursive CTE —
     matching output proves the distributed iteration converges to the
     exact transitive closure."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..operators.dedup import connected_components_min_label
+    from ..operators.dedup import connected_components_star
 
     sh = _shingles_cached(spark, sf_dir)
     # pairs IS re-referenced every propagation round — pin it for the
     # loop and release it before returning (the component labels are
     # materialized by the loop's counts, so the result stays cheap).
-    pairs = _exact_jaccard(sh).select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    # same df cap as the pairs query — the oracle embeds the capped
+    # _SQL_JACCARD_PAIRS, so the Spark side must cap identically
+    pairs = (
+        _exact_jaccard(sh, df_cap=NGRAM_DF_CAP)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     docs = _docs(spark, sf_dir).select("doc_id")
     # only docs that appear in a pair need the iteration; singletons are
     # their own component by definition
@@ -845,7 +853,7 @@ def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    comp = connected_components_min_label(
+    comp = connected_components_star(
         members, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
     out = docs.join(comp, "doc_id", "left").select(
