@@ -48,11 +48,37 @@ FETCH_RESULT_SCHEMA = T.StructType(
 )
 
 
+class UnknownSymbolError(Exception):
+    """Raised when a symbol has no exact match in PSE Edge (the
+    reference's UnknownSymbolException, pse_edge.py:63-67)."""
+
+
 class PseEdgeClient:
     """Driver-side HTTP connector against the public PSE Edge endpoints
-    (the reference's extractor surface, pse_edge.py:70-261)."""
+    (the reference's extractor surface, pse_edge.py:70-261).
 
-    BASE = "https://edge.pse.com.ph"
+    All response EXTRACTION is pure and lives in pse_edge_parse.py —
+    tested hermetically against recorded fixtures, including the
+    reference's own golden values (JFC company_id=86 / security_id=158;
+    2022-03-01 OHLC 241.4/245/240/240). Only the transport below needs
+    `requests` + network, which this image lacks."""
+
+    COMPANY_SEARCH_URL = "https://edge.pse.com.ph/companyDirectory/search.ax"
+    AUTOCOMPLETE_URL = (
+        "https://edge.pse.com.ph/autoComplete/searchCompanyNameSymbol.ax?term={}"
+    )
+    STOCK_DATA_URL = "https://edge.pse.com.ph/common/DisclosureCht.ax"
+    SEARCH_PAYLOAD = {
+        "pageNo": "",
+        "companyId": "",
+        "keyword": "",
+        "sortType": "",
+        "dateSortType": "DESC",
+        "cmpySortType": "DESC",
+        "symbolSortType": "ASC",
+        "sector": "ALL",
+        "subsector": "ALL",
+    }
 
     def __init__(self) -> None:
         try:
@@ -70,22 +96,68 @@ class PseEdgeClient:
             )
         return self._requests
 
+    def _search_page(self, **payload):  # pragma: no cover - network
+        requests = self._require()
+        r = requests.post(
+            self.COMPANY_SEARCH_URL, data={**self.SEARCH_PAYLOAD, **payload}
+        )
+        r.raise_for_status()
+        return r.text, r.headers.get("Date", "")
+
     def get_listed_companies(self) -> pd.DataFrame:  # pragma: no cover - network
-        """S1: paginated company-directory scan → COMPANY_COLUMNS frame."""
-        self._require()
-        raise NotImplementedError("network fetch not available in this environment")
+        """S1: paginated company-directory scan → COMPANY_COLUMNS frame
+        (reference pse_edge.py:80-118: first page discovers the page
+        count from the pager anchors, then every page's table parses)."""
+        from .pse_edge_parse import normalize_companies, parse_directory_page
+
+        html, retrieved_at = self._search_page(pageNo=1)
+        rows, page_count = parse_directory_page(html)
+        for page in range(2, page_count + 1):
+            page_html, _ = self._search_page(pageNo=page)
+            rows.extend(parse_directory_page(page_html)[0])
+        return normalize_companies(rows, retrieved_at)
 
     def get_company_info(self, symbol: str) -> dict:  # pragma: no cover - network
-        """S2: company point lookup (symbol → ids + sector metadata)."""
-        self._require()
-        raise NotImplementedError("network fetch not available in this environment")
+        """S2: company point lookup (reference pse_edge.py:120-178):
+        autocomplete exact-match → company_id, then the metadata table →
+        security_id / sector / subsector / listing date."""
+        from .pse_edge_parse import filter_autocomplete, parse_company_info_page
+
+        requests = self._require()
+        r = requests.get(self.AUTOCOMPLETE_URL.format(symbol))
+        r.raise_for_status()
+        hit = filter_autocomplete(r.text, symbol)
+        if hit is None:
+            raise UnknownSymbolError(f"Symbol {symbol!r} was not found in PSE Edge.")
+        html, _ = self._search_page(
+            companyId=hit["company_id"], keyword=hit["company_id"], sortType="cmpy"
+        )
+        return parse_company_info_page(
+            html, symbol, hit["company_name"], hit["company_id"]
+        )
 
     def get_stock_data(
         self, symbol: str, start: date, end: date
     ) -> pd.DataFrame:  # pragma: no cover - network
-        """S3: daily OHLC history for [start, end] → PRICE_COLUMNS frame."""
-        self._require()
-        raise NotImplementedError("network fetch not available in this environment")
+        """S3: daily OHLC history for [start, end] → PRICE_COLUMNS frame
+        (reference pse_edge.py:182-261: chartData JSON, empty
+        short-circuit, max-close dedup)."""
+        from .pse_edge_parse import parse_chart_data, trim_to_window
+
+        requests = self._require()
+        info = self.get_company_info(symbol)
+        r = requests.post(
+            self.STOCK_DATA_URL,
+            json={
+                "cmpy_id": info["company_id"],
+                "security_id": info["security_id"],
+                "startDate": pd.Timestamp(start).strftime("%m-%d-%Y"),
+                "endDate": pd.Timestamp(end).strftime("%m-%d-%Y"),
+            },
+        )
+        r.raise_for_status()
+        parsed = parse_chart_data(r.text, symbol, r.headers.get("Date", ""))
+        return trim_to_window(parsed, start, end)
 
 
 class FakePseEdge:
