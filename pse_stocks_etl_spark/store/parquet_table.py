@@ -194,18 +194,85 @@ class ParquetTable:
             f.write(vname)
         os.replace(tmp, os.path.join(self.path, _CURRENT))
 
-    def optimize(self, cluster_by: Sequence[str]) -> None:
+    def optimize(
+        self,
+        cluster_by: Sequence[str],
+        zorder_bits: int = 4,
+        target_files: int | None = None,
+    ) -> None:
         """K9 companion: rewrite the current version clustered by
-        `cluster_by` within partitions (the OPTIMIZE ZORDER analog —
-        mirrors the reference's BigQuery `CLUSTER BY symbol`,
-        db/bigquery/daily_stock_price.sql:17). Range-partition + sort so
-        min/max footer stats make key-range scans skip files."""
+        `cluster_by` (the OPTIMIZE ZORDER analog — mirrors the
+        reference's BigQuery `CLUSTER BY symbol`,
+        db/bigquery/daily_stock_price.sql:17).
+
+        One cluster column → range-partition + sort (lexicographic is
+        optimal for a single key). Multiple columns → Z-ORDER: each
+        column is quantile-bucketed into 2^zorder_bits ranks (boundaries
+        from approxQuantile — a bounded driver-side list, never data),
+        the rank bits are Morton-interleaved into one z-value, and files
+        are range-partitioned + sorted by it. Lexicographic multi-column
+        sort clusters only the leading key; bit interleaving gives every
+        cluster column min/max-skippable file ranges, which is the whole
+        point at 100 TB — a predicate on the SECOND key alone still
+        prunes files (proof: tests/test_plans_physical.py).
+        """
         df = self.read()
-        if self.partition_by:
+        if len(cluster_by) >= 2:
+            z = self._zvalue(df, cluster_by, zorder_bits)
+            df = df.withColumn("__z", z)
+            if self.partition_by:
+                df = df.sortWithinPartitions("__z")
+            elif target_files:
+                df = df.repartitionByRange(target_files, "__z").sortWithinPartitions(
+                    "__z"
+                )
+            else:
+                df = df.repartitionByRange("__z").sortWithinPartitions("__z")
+            # __z is dropped by _commit's schema projection; row order
+            # survives the projection.
+        elif self.partition_by:
             df = df.sortWithinPartitions(*cluster_by)
         else:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         self._commit(df)
+
+    @staticmethod
+    def _zvalue(df: DataFrame, cluster_by: Sequence[str], bits: int) -> Column:
+        """Morton z-value over quantile-rank buckets of `cluster_by`.
+
+        Numeric columns bucket directly; date columns via unix_date.
+        NULLs land in bucket 0 (nulls-first, same as Spark's sort
+        default). Quantile (not uniform) buckets keep file ranges
+        balanced under skew."""
+        n_cols = len(cluster_by)
+        n_bounds = (1 << bits) - 1
+        probs = [(i + 1) / (1 << bits) for i in range(n_bounds)]
+        ranks: list[Column] = []
+        for c in cluster_by:
+            dtype = dict(df.dtypes)[c]
+            if dtype == "date":
+                num = F.unix_date(F.col(c)).cast("double")
+                num_df = df.select(F.unix_date(F.col(c)).cast("double").alias(c))
+            elif dtype in ("timestamp", "timestamp_ntz"):
+                num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+                num_df = df.select(
+                    F.unix_micros(F.col(c).cast("timestamp")).cast("double").alias(c)
+                )
+            else:
+                num = F.col(c).cast("double")
+                num_df = df.select(F.col(c).cast("double").alias(c))
+            bounds = num_df.approxQuantile(c, probs, 0.001)
+            rank = F.lit(0)
+            for b in bounds:
+                rank = rank + F.when(num > F.lit(b), 1).otherwise(0)
+            ranks.append(rank)
+        z: Column = F.lit(0)
+        for j in range(bits):
+            for k, rank in enumerate(ranks):
+                z = z + F.shiftright(rank, j).bitwiseAND(F.lit(1)) * F.lit(
+                    1 << (j * n_cols + k)
+                )
+        return z
 
     def delete(self, condition: Column | None = None) -> None:
         """K7: delete rows matching `condition` (all rows when None).
