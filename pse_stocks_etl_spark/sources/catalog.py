@@ -81,10 +81,10 @@ def read_jdbc(
 ) -> DataFrame:
     """S6: JDBC/warehouse table scan (reference postgres_sync.py:23,33 /
     bigquery_sync.py:38,48 pull whole tables into pandas; here the scan
-    is distributed). Untestable in this image (no JDBC driver/database)
-    — kept as the documented connector surface. At scale ALWAYS pass
-    `partition_column` + bounds: without them the whole table arrives
-    through one executor connection."""
+    is distributed). Round-trip-tested against the Derby embedded
+    driver bundled in pyspark's jars (tests/test_jdbc.py). At scale
+    ALWAYS pass `partition_column` + bounds: without them the whole
+    table arrives through one executor connection."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (
