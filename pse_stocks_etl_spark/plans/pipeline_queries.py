@@ -12,7 +12,9 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import attach_binary, decode_features
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary, decode_features, sample_frames
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -27,6 +29,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic fake codec; real codec is the marked stub)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(attach_binary(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    # The chunking arithmetic is pure byte slicing, so unlike the codec
+    # stub this multimodal op gets a FULL value-hash oracle: DuckDB
+    # reproduces every sampled frame from hex(encode(text)).
+    oracle="""
+    SELECT d.doc_id, u.fi AS frame_idx,
+           substr(hex(encode(d.text)), u.fi * 128 + 1, 128) AS frame_hex
+    FROM documents d,
+         UNNEST(range(0, octet_length(encode(d.text)) // 64, 4)) AS u(fi)
+    """,
+    tags=("llm", "multimodal", "frame-sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media columns: payload → fixed-size
+    frame chunks, every 4th frame emitted as its own row (the 1→N
+    batch-expansion plumbing a video pipeline needs, executor-side via
+    mapInPandas). Frames are compared by hex so the driver hash is
+    byte-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary(docs), frame_bytes=64, every_k=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
 
 
 @register(

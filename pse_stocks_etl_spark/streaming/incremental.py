@@ -77,6 +77,23 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key while the watermark bounds the dedup state (a plain
+    dropDuplicates on a stream would hold every key forever — the
+    unbounded-state failure mode at 100 TB/day feeds). This is the
+    streaming twin of the batch exact-dedup operator: at-least-once
+    sources (Kafka redeliveries, file-stream replays) collapse to
+    exactly-once rows before the window aggregation."""
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def foreach_batch_merge(
     stream_df: DataFrame,
     table: ParquetTable,

@@ -36,3 +36,42 @@ def test_decode_features_deterministic(spark, sf_dir):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00")
+
+
+def test_resize_media_composes_and_is_deterministic(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    resized = resize_media(attach_binary(docs), width=8, height=8)
+    rows = {r.doc_id: r for r in resized.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert len(r.payload) == 8 * 8 * 3  # exact target byte count
+        assert r.media_meta.n_bytes == 8 * 8 * 3
+        assert (r.media_meta.width, r.media_meta.height) == (8, 8)
+    again = {r.doc_id: r for r in resize_media(attach_binary(docs), 8, 8).collect()}
+    assert all(bytes(rows[d].payload) == bytes(again[d].payload) for d in rows)
+    # composes: the resized frame decodes through the same feature pass
+    feats = decode_features(resized.select(
+        "doc_id", "payload",
+        resized.media_meta.dropFields("width", "height").alias("media_meta")))
+    assert feats.count() == 20
+
+
+def test_sample_frames_expansion_and_stride(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_binary(docs)
+    frames = sample_frames(media, frame_bytes=64, every_k=4).collect()
+    n_docs = media.count()
+    assert len(frames) > n_docs  # 1 -> N expansion actually happened
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    sizes = {r.media_meta.n_bytes for r in media.select("media_meta").collect()}
+    assert min(sizes) >= 64  # docs long enough to have frames
+    for doc_id, rows in by_doc.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(0, 4 * len(idxs), 4))  # stride-4 sampling
+        assert all(len(r.frame) == 64 for r in rows)  # only full frames

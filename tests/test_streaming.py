@@ -79,3 +79,37 @@ def test_foreach_batch_merge_sink(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert table.read().count() == n_events
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once delivery (the same file streamed from two source
+    dirs) collapses to exactly-once rows through
+    dropDuplicatesWithinWatermark, with state bounded by the watermark."""
+    import shutil
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    f = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(f, os.path.join(src, "a.parquet"))
+    shutil.copy(f, os.path.join(src, "b.parquet"))  # redelivery of every row
+
+    events = stream_events(spark, src)
+    deduped = streaming_dedup(events, keys=("event_id",))
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    got = spark.table(name).count()
+    assert got == n_unique  # 2x delivered, 1x emitted
