@@ -630,3 +630,159 @@ def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         types.alias("event_types"),
         F.array_join(types, ",").alias("profile"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the primitive rollup/cube desugar into),
+    via the SQL front-end — per-status totals, per-priority totals, and
+    the grand total in one pass. GROUPING() flags disambiguate a NULL
+    data value from a subtotal row; one shuffle, expand-then-aggregate,
+    same plan shape Catalyst gives rollup/cube."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n,
+               (SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "range_interval_user_stats",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           (SUM({sql_cents('value')}) OVER w_range / 100.0) AS sum_30m,
+           COUNT(*) OVER w_range AS n_30m,
+           ({sql_cents('value')} - lag({sql_cents('value')}) OVER w_seq) / 100.0
+             AS delta_prev,
+           lead(event_id) OVER w_seq AS next_event_id
+    FROM events
+    WINDOW
+      w_range AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW),
+      w_seq AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window-range", "lead-lag"),
+)
+def range_interval_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window (trailing 30 minutes by VALUE range, not
+    row count — rows-frames undercount sparse users) + lag/lead
+    navigation. The range frame orders by epoch-microseconds computed
+    with wall-clock NTZ arithmetic (functions/datetime.py — session-tz
+    functions would shift under the driver's unknown timezone). Money
+    through integer cents for exact float parity."""
+    from ..functions.datetime import epoch_micros
+    from ..functions.money import cents
+
+    ev = _t(spark, sf_dir, "events")
+    vc = cents(F.col("value"))
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(vc).over(w_range) / 100.0).alias("sum_30m"),
+        F.count("*").over(w_range).alias("n_30m"),
+        ((vc - F.lag(vc).over(w_seq)) / 100.0).alias("delta_prev"),
+        F.lead("event_id").over(w_seq).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS mktsegment, c.c_custkey AS custkey,
+             {sql_sum_money('o.o_totalprice')} AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    )
+    SELECT mktsegment, custkey, total_spend,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY mktsegment
+                 ORDER BY total_spend DESC, custkey ASC)
+    """,
+    tags=("window-rank",),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function suite (rank / dense_rank / percent_rank /
+    cume_dist / ntile) over per-segment customer spend. The window
+    order is a total order (spend DESC, custkey ASC) so every rank —
+    including the rational percent_rank/cume_dist doubles — is
+    deterministic and hash-exact across engines."""
+    from ..functions.money import sum_money
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(sum_money(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("custkey").asc()
+    )
+    return spend.select(
+        "mktsegment",
+        "custkey",
+        "total_spend",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "approx_quantile_per_key",
+    oracle=None,  # GK-sketch internals are engine-specific (rows-only);
+    # accuracy vs the exact percentile is asserted in
+    # tests/test_ext.py::test_approx_quantiles_close_to_exact
+    tags=("approx", "sketch", "rows-only"),
+)
+def approx_quantile_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per key (percentile_approx — the
+    Greenwald-Khanna sketch): mergeable partial state, so the shuffle
+    moves one bounded sketch per (key, partition) instead of the raw
+    values — the scale path when exact percentiles would need a
+    per-group sort. Exact percentile twin: median_price_per_flag."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10_000).alias(
+            "approx_p50_p90"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -97,3 +97,32 @@ def test_approx_median_close_to_exact(spark, sf_dir):
     # sanity: per-supplier approx medians live in the plausible price band
     lo, hi = min(exact_all.values()) * 0.2, max(exact_all.values()) * 5
     assert all(lo <= v <= hi for v in approx.values())
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """percentile_approx per event_type vs the exact percentile: with
+    accuracy=10000 the GK sketch's rank error is <= n/10000, far inside
+    a 2% value tolerance on this data."""
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    approx = {
+        r.event_type: r.approx_p50_p90
+        for r in plans.REGISTRY["approx_quantile_per_key"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (a50, a90) in approx.items():
+        e50, e90 = exact[et]
+        assert abs(a50 - e50) <= 0.02 * max(abs(e50), 1.0), (et, a50, e50)
+        assert abs(a90 - e90) <= 0.02 * max(abs(e90), 1.0), (et, a90, e90)
