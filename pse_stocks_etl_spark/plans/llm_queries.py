@@ -1077,3 +1077,88 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ntok.between(10, 1000) & (stop_ratio >= 0.05) & (alpha_ratio >= 0.5)
         ).alias("quality_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + deterministic split assignment
+# --------------------------------------------------------------------------
+# Portable ASCII-class patterns (Java and RE2 agree byte-for-byte).
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PAT = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+@register(
+    "docs_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{PII_PHONE_PAT}', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(regexp_replace(text,
+               '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{PII_PHONE_PAT}')) AS n_phones
+    FROM documents
+    """,
+    tags=("llm", "pii-scrub"),
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass: emails then phone
+    numbers replaced with typed placeholders, with per-doc redaction
+    counts for the pipeline's audit trail. Email scrub runs FIRST so
+    digit runs inside addresses aren't double-counted as phones. Pure
+    regexp_replace/extract_all — JVM codegen, one projection, no
+    shuffle; at 100 TB this is a map-only pass."""
+    d = _docs(spark, sf_dir)
+    emails_scrubbed = F.regexp_replace(F.col("text"), PII_EMAIL_PAT, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(emails_scrubbed, PII_PHONE_PAT, "<PHONE>").alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_PAT), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(emails_scrubbed, F.lit(PII_PHONE_PAT), 0)).alias(
+            "n_phones"
+        ),
+    )
+
+
+SPLIT_VAL_PCT = 5
+SPLIT_TEST_PCT = 5
+
+
+@register(
+    "docs_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ({sql_portable_hash64("'split:' || CAST(doc_id AS VARCHAR)")}) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < {SPLIT_TEST_PCT} THEN 'test'
+                WHEN bucket < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+    tags=("llm", "split", "sampling"),
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the document
+    id (salted, bucketed mod 100) — NOT rand(): hash splits are
+    reproducible across runs/engines/cluster sizes, stable under
+    re-partitioning, and new documents never reshuffle old ones — the
+    properties a training pipeline needs from its split. Map-only; the
+    same trick with a WHERE on the bucket is the reproducible
+    stratified-sampling operator."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, "test")
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
