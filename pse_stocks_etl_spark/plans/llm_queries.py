@@ -277,6 +277,30 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+# The df-capped working set is shared the same way: the exact-Jaccard
+# pairs query and the clustering query both need it, and the hot-set
+# aggregation + anti-join shouldn't run twice per session.
+_SHINGLE_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CAPPED_CACHE:
+        sh = _shingles_cached(spark, sf_dir)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > NGRAM_DF_CAP)
+            .select("sh")
+        )
+        _SHINGLE_CAPPED_CACHE[key] = sh.join(
+            F.broadcast(hot), "sh", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _SHINGLE_CAPPED_CACHE[key]
+
+
 def _exact_jaccard(
     sh: DataFrame,
     candidates: DataFrame | None = None,
@@ -350,8 +374,9 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     references it three times (both self-join sides + sizes), and
     re-deriving it re-runs the tokenize/shingle/hash chain each time
     (measured 4.1s → 1.4s at sf0.1). Hot shingles (df > NGRAM_DF_CAP)
-    are dropped before the self-join — see _exact_jaccard."""
-    return _exact_jaccard(_shingles_cached(spark, sf_dir), df_cap=NGRAM_DF_CAP)
+    are dropped before the self-join via the shared capped cache — see
+    _exact_jaccard."""
+    return _exact_jaccard(_shingles_capped_cached(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -933,14 +958,15 @@ def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import connected_components_star
 
-    sh = _shingles_cached(spark, sf_dir)
     # pairs IS re-referenced every propagation round — pin it for the
     # loop and release it before returning (the component labels are
     # materialized by the loop's counts, so the result stays cheap).
     # same df cap as the pairs query — the oracle embeds the capped
     # _SQL_JACCARD_PAIRS, so the Spark side must cap identically
+    # (shared persisted capped working set; the hot-set anti-join runs
+    # once per session, not once per query)
     pairs = (
-        _exact_jaccard(sh, df_cap=NGRAM_DF_CAP)
+        _exact_jaccard(_shingles_capped_cached(spark, sf_dir))
         .select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -156,3 +156,37 @@ def test_zorder_optimize_skips_files_on_both_keys(spark, tmp_path):
     for col in ("a", "b"):
         cand = n_candidate_files(col, 17)
         assert cand < n // 2, f"{col}: {cand}/{n} files remain after pruning"
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP proof: a fact table partitioned on the join key, joined to a
+    small dimension with a selective filter, must plan a dynamic
+    pruning subquery on the fact scan — at 100 TB this is what keeps a
+    star join from reading every date partition when the dim filter
+    only selects a few."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pse_stocks_etl_spark.store.parquet_table import ParquetTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = ParquetTable(spark, str(tmp_path / "dpp"), schema, partition_by=("d",))
+    days = [dt.date(2024, 1, i + 1) for i in range(10)]
+    t.overwrite(
+        spark.createDataFrame([(f"k{i}", d, float(i)) for i, d in enumerate(days)], schema)
+    )
+    dim = spark.createDataFrame(
+        [(d, "keep" if d.day <= 2 else "drop") for d in days], "d date, tag string"
+    )
+    fact = t.read()
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "d").agg(F.sum("v"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
