@@ -47,8 +47,8 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
         T.StructField("feature_norm", T.DoubleType(), True),
     ]
 )

@@ -21,8 +21,25 @@ from .registry import register
 
 @register(
     "multimodal_decode",
-    oracle=None,
-    tags=("llm", "multimodal", "rows-only"),
+    # Full hash oracle (upgraded from rows-only in r2): the REAL codec
+    # stays stubbed, but the deterministic fake is pure md5 arithmetic
+    # over the payload bytes — and the payload is encode(text), whose
+    # md5 DuckDB computes identically on the VARCHAR. Equality proves
+    # the Arrow mapInPandas plumbing moves every byte faithfully.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
+           CAST(16 + hv % 2048 AS BIGINT) AS width,
+           CAST(16 + (hv // 2048) % 2048 AS BIGINT) AS height,
+           round((hv % 1000000) / 1000000.0, 6) AS feature_norm
+    FROM h
+    """,
+    tags=("llm", "multimodal"),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow-batched decode/feature extraction
@@ -59,13 +76,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_hourly_counts",
-    oracle=None,
-    tags=("streaming", "rows-only"),
+    # Full hash oracle (upgraded from rows-only in r2): the streaming
+    # window agg must equal the batch hourly rollup bit-for-bit — same
+    # SQL as hourly_event_rollup's oracle. Money goes through integer
+    # cents inside the streaming agg, and the window start converts
+    # back to TIMESTAMP_NTZ with tz-free epoch arithmetic so the
+    # driver's unknown session timezone cannot shift it.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation executed on the Structured
     Streaming runtime (file source → watermark → tumbling window →
-    memory sink), driven to completion synchronously."""
+    memory sink), driven to completion synchronously. Hash-checked
+    against the BATCH oracle: streaming and batch must agree exactly."""
     import os
     import uuid
 
@@ -84,18 +113,78 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    out = spark.table(name)
+    # window_start is a true TIMESTAMP (the streaming runtime needs
+    # TimestampType for watermarks); its epoch micros ARE the wall-clock
+    # micros (stream_events builds instants from the stored wall-clock
+    # nanos), so the NTZ reconstruction is exact and session-tz-free.
+    hour = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(window_start), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return out.select(
+        hour.alias("hour"), "event_type", "n", "sum_value"
+    )
+
+
+def _sql_fake_h(seed_expr: str) -> str:
+    """DuckDB twin of FakePseEdge._h (48-bit md5-derived int)."""
+    return f"(('0x' || substr(md5({seed_expr}), 1, 12))::BIGINT)"
+
+
+def _sql_sync_oracle() -> str:
+    """The whole sync engine's expected output, derived from first
+    principles: FakePseEdge is pure md5 arithmetic, so the fact table a
+    correct engine produces for today=2024-02-01 (freshness horizon →
+    target_end 2024-01-31; fake history starts 2024-01-01; weekdays
+    only) is computable in SQL. The engine's watermarking, distributed
+    fetch, dedup, partitioned merge, and replay must reproduce it
+    bit-for-bit."""
+    syms = ", ".join(f"('{s}')" for s in ("JFC", "SM", "ALI", "BDO", "TEL", "URC", "MER", "AC"))
+    h = lambda tag: _sql_fake_h(f"'{tag}:' || symbol || ':' || iso")  # noqa: E731
+    return f"""
+    WITH syms(symbol) AS (VALUES {syms}),
+    days AS (
+      SELECT CAST(ds AS DATE) AS date
+      FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                           INTERVAL 1 DAY) t(ds)
+      WHERE isodow(CAST(ds AS DATE)) <= 5
+    ),
+    raw AS (
+      SELECT s.symbol, d.date, strftime(d.date, '%Y-%m-%d') AS iso
+      FROM syms s CROSS JOIN days d
+    ),
+    px AS (
+      SELECT symbol, date,
+             (50 + ({h('px')} % 45000) / 100.0) AS base,
+             (({h('sp')} % 500) / 100.0) AS spread,
+             ((({h('cl')} % 200) - 100) / 100.0) AS delta
+      FROM raw
+    )
+    SELECT symbol, date,
+           round(base, 2) AS open,
+           round(greatest(round(base, 2), round(base + delta, 2)) + spread, 2) AS high,
+           round(greatest(0.01, least(round(base, 2), round(base + delta, 2)) - spread), 2)
+             AS low,
+           round(base + delta, 2) AS close,
+           TIMESTAMP '2024-01-02 00:00:00' AS extracted_at
+    FROM px
+"""
 
 
 @register(
     "sync_end_to_end",
-    oracle=None,
-    tags=("sync", "rows-only"),
+    # Full hash oracle (upgraded from rows-only in r2): see
+    # _sql_sync_oracle — the deterministic connector makes even the
+    # end-to-end engine run value-checkable.
+    oracle=_sql_sync_oracle(),
+    tags=("sync",),
 )
 def sync_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full incremental engine: initdb → dimension overwrite →
     watermark plan → distributed fetch → dedup → freshness merge; runs
-    twice (replay) to exercise T4 idempotency, returns the fact table."""
+    twice (replay) to exercise T4 idempotency, returns the fact table.
+    Hash-checked against the closed-form expected table."""
     from .sync import PseDatasets
 
     root = tempfile.mkdtemp(prefix="pse_sync_")

@@ -22,7 +22,10 @@ COMPANY_SCHEMA = T.StructType(
         T.StructField("sector", T.StringType(), True),
         T.StructField("subsector", T.StringType(), True),
         T.StructField("listing_date", T.DateType(), True),
-        T.StructField("extracted_at", T.TimestampType(), True),
+        # NTZ: extract timestamps are wall-clock values from the
+        # connector; an instant type would make their stored value (and
+        # the Arrow dtype the driver hashes) depend on the session tz.
+        T.StructField("extracted_at", T.TimestampNTZType(), True),
     ]
 )
 
@@ -34,7 +37,8 @@ DAILY_STOCK_PRICE_SCHEMA = T.StructType(
         T.StructField("high", T.DoubleType(), True),
         T.StructField("low", T.DoubleType(), True),
         T.StructField("close", T.DoubleType(), True),
-        T.StructField("extracted_at", T.TimestampType(), True),
+        T.StructField("extracted_at", T.TimestampNTZType(), True),  # see COMPANY_SCHEMA
+
     ]
 )
 

@@ -43,7 +43,9 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("high", T.DoubleType(), True),
         T.StructField("low", T.DoubleType(), True),
         T.StructField("close", T.DoubleType(), True),
-        T.StructField("extracted_at", T.TimestampType(), True),
+        # NTZ — wall-clock extract stamp, session-tz-independent (the
+        # same rule as the store schemas, schemas.py)
+        T.StructField("extracted_at", T.TimestampNTZType(), True),
     ]
 )
 

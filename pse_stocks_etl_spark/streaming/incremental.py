@@ -63,16 +63,22 @@ def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark_delay: str = "2 hours"
 ) -> DataFrame:
     """Event-time tumbling window + watermark: the streaming analog of
-    the batch `hourly_event_rollup` query (same window boundaries)."""
+    the batch `hourly_event_rollup` query (same window boundaries).
+
+    The money sum goes through integer cents like every batch
+    aggregate (functions/money.py): raw double summation is
+    order-dependent across micro-batches, and the integer path is what
+    lets the streaming result hash-match the batch oracle exactly."""
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
         )
     )
 
