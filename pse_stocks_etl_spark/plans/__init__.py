@@ -17,3 +17,8 @@ try:  # extension queries (as-of join, approx/percentile aggs, windows)
     from . import ext_queries  # noqa: F401
 except ImportError:  # pragma: no cover - partial checkouts
     pass
+
+try:  # corpus-prep queries (repetition, contamination, packing, TF-IDF)
+    from . import corpus_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass

@@ -1,0 +1,523 @@
+"""Corpus-preparation operators a large-scale training-data pipeline
+needs beyond dedup/ANN (driver brief): repetition filtering
+(Gopher-style), benchmark-contamination detection, sequence packing,
+stratified mixture sampling, TF-IDF term scoring, and a scale-safe
+global row index.
+
+Design rules match plans/llm_queries.py: pure built-in column
+expressions (no Python UDFs, whole-stage codegen end-to-end), every
+query an exact DuckDB oracle twin, and cross-engine float parity by
+construction — ratios are single correctly-rounded IEEE divisions of
+exactly-representable integers, never sums of doubles or libm calls
+(ln/exp are NOT correctly rounded and differ across engines, so the
+TF-IDF here scores tf·N/df rather than tf·ln(N/df)).
+
+Scale posture, per query, in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    sql_portable_hash64,
+    sql_token_count,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+)
+from ..sources.catalog import load_table, register_views
+from .registry import register
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use a family of
+# duplicate-line / top-n-gram fractions; the two here are the word-level
+# analogs expressible over the whitespace token stream).
+DUP_WORD_FRAC_MAX = 0.30
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+# Contamination check: held-out "benchmark" slice = doc_id % 10 == 7,
+# flagged when a training doc shares >= CONTAM_MIN_SHARED distinct
+# 3-gram shingles with any benchmark doc (13-gram overlap at web scale;
+# 3-gram here because the synthetic docs are short).
+BENCH_MOD, BENCH_REM = 10, 7
+CONTAM_MIN_SHARED = 3
+SHINGLE_N = 3
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+# Mixture weights for stratified sampling, in basis points of 10000.
+# weight = 10000/bp as a single exact division (not 1/rate: a float
+# literal chain would have to round-trip identically through two SQL
+# parsers; 10000.0/bp is one IEEE op on exact integers in both engines).
+SAMPLE_RATES_BP = {"en": 10000, "de": 5000, "es": 2500, "fr": 1000, "zh": 500}
+
+TFIDF_TOP_K = 3
+INDEX_BUCKET = 100  # doc_ids per global-index bucket
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _bigrams(tk: Column) -> Column:
+    """Non-distinct word bigrams from a PRE-PROJECTED tokens column (the
+    repetition stats need multiplicity, unlike the dedup shingles which
+    are per-doc sets). Same interpreted-lambda rule as
+    functions.text.shingles_from_tokens: `tk` must be a materialized
+    column, and element access is O(1) try_element_at."""
+
+    def gram(x: Column, i: Column) -> Column:
+        return F.concat_ws(" ", x, F.try_element_at(tk, i + 2))
+
+    return F.slice(F.transform(tk, gram), 1, F.greatest(F.size(tk) - 1, F.lit(0)))
+
+
+_SQL_TOKS = sql_tokens("text")
+_SQL_BIGRAMS = (
+    f"list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    f"i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+# --------------------------------------------------------------------------
+# Repetition / boilerplate detection (Gopher rep-filters, word-level)
+# --------------------------------------------------------------------------
+@register(
+    "docs_repetition_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+      FROM tk
+    ),
+    bg AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS g FROM tk),
+    top AS (
+      SELECT doc_id, max(c) AS max_bg
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           (CAST(s.n_tokens - s.n_distinct AS DOUBLE) / s.n_tokens)
+             AS dup_word_frac,
+           (CAST(2 * coalesce(t.max_bg, 0) AS DOUBLE) / s.n_tokens)
+             AS top_bigram_frac,
+           ((CAST(s.n_tokens - s.n_distinct AS DOUBLE) / s.n_tokens)
+              > {DUP_WORD_FRAC_MAX}
+            OR (CAST(2 * coalesce(t.max_bg, 0) AS DOUBLE) / s.n_tokens)
+              > {TOP_BIGRAM_FRAC_MAX}) AS repetitive
+    FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+    """,
+    tags=("llm", "text-quality", "repetition"),
+    bench=True,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-word fraction plus the
+    fraction of the token stream covered by the most common bigram.
+
+    Scale: per-doc stats are a projection; the top-bigram count is
+    explode → (doc_id, bigram) hash-agg → (doc_id) hash-agg — two
+    map-side-combinable shuffles keyed by doc_id, no skew (bigram
+    counts are per-document, so a corpus-hot bigram never concentrates
+    on one reducer). Both fractions are single exact IEEE divisions."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    stats = toked.select(
+        "doc_id",
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__tk")).cast("long").alias("n_distinct"),
+    )
+    top = (
+        toked.select("doc_id", F.explode(_bigrams(F.col("__tk"))).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
+        "n_tokens"
+    )
+    top_frac = (2 * F.coalesce(F.col("max_bg"), F.lit(0))).cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > DUP_WORD_FRAC_MAX) | (top_frac > TOP_BIGRAM_FRAC_MAX)
+            ).alias("repetitive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination detection
+# --------------------------------------------------------------------------
+_SQL_SHINGLE_EXPLODE = (
+    f"SELECT doc_id, unnest(list_transform({sql_word_shingles('text', SHINGLE_N)}, "
+    f"s -> {sql_portable_hash64('s')})) AS sh FROM documents"
+)
+
+
+@register(
+    "docs_contamination",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    b AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_REM}),
+    c AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> {BENCH_REM})
+    SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS n_shared
+    FROM c JOIN b ON c.sh = b.sh
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+    tags=("llm", "contamination", "dedup-near"),
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination: training docs sharing >=K distinct
+    shingles with a held-out benchmark slice (the n-gram-overlap
+    decontamination rule of GPT-3 appendix C / Llama 2, word-3-grams
+    here).
+
+    Scale: the benchmark side is small by construction (an eval suite,
+    not the corpus), so its shingle set BROADCASTs; the training side
+    streams through a map-side hash join — no shuffle of the 100 TB
+    side at all. The per-(train,bench) counts shuffle only matched
+    pairs. Shares the session-persisted shingle working set with the
+    near-dup family (one explode, many consumers)."""
+    from .llm_queries import _shingles_cached
+
+    sh = _shingles_cached(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
+    bench = sh.filter(is_bench).withColumnRenamed("doc_id", "bench_doc_id")
+    train = sh.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-split into fixed token windows)
+# --------------------------------------------------------------------------
+@register(
+    "docs_pack_chunks",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, {sql_token_count('text')} AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n,
+             CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               AS cum
+      FROM tk
+    )
+    SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+           (cum - n) AS start_off,
+           ((cum - n) // {PACK_CAPACITY}) AS first_chunk,
+           ((cum - 1) // {PACK_CAPACITY}) AS last_chunk,
+           (((cum - 1) // {PACK_CAPACITY}) - ((cum - n) // {PACK_CAPACITY}) + 1)
+             AS n_chunks
+    FROM c
+    """,
+    tags=("llm", "packing", "window"),
+)
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-split flavor: documents are laid out
+    back-to-back in deterministic (source, doc_id) order and cut into
+    fixed PACK_CAPACITY-token training windows; each doc reports its
+    token offset and the chunk range it spans.
+
+    Scale: the running offset is a window sum PARTITIONED BY source —
+    each shard packs independently (exactly how production packers
+    shard), so there is no single-partition global sort; parallelism =
+    number of sources. All arithmetic is integer (exact): offsets via
+    SUM window, chunk ids via integer DIV."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import token_count
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    out = (
+        d.select(
+            "doc_id", "source", token_count(F.col("text")).cast("long").alias("n")
+        )
+        .withColumn("cum", F.sum("n").over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n").alias("n_tokens"),
+            (F.col("cum") - F.col("n")).alias("start_off"),
+            F.expr(f"(cum - n) DIV {PACK_CAPACITY}").alias("first_chunk"),
+            F.expr(f"(cum - 1) DIV {PACK_CAPACITY}").alias("last_chunk"),
+        )
+    )
+    return out.withColumn(
+        "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified mixture sampling
+# --------------------------------------------------------------------------
+def _sql_rates_values() -> str:
+    return ", ".join(
+        f"('{lang}', {bp})" for lang, bp in SAMPLE_RATES_BP.items()
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH rates(lang, bp) AS (VALUES {_sql_rates_values()}),
+    keyed AS (
+      SELECT doc_id, lang, source,
+             ({sql_portable_hash64("'sample:' || CAST(doc_id AS VARCHAR)")}
+              % 10000) AS sample_key
+      FROM documents
+    )
+    SELECT k.doc_id, k.lang, k.source, k.sample_key,
+           (CAST(10000 AS DOUBLE) / r.bp) AS weight
+    FROM keyed k JOIN rates r ON k.lang = r.lang
+    WHERE k.sample_key < r.bp
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for mixture weighting: keep a
+    per-language fraction of the corpus by hashing a salted doc key into
+    basis points, and carry the inverse-probability weight.
+
+    Scale: the rate table is a tiny broadcast dim; the keep decision is
+    a per-row projection + map-side broadcast join — no shuffle, no RNG
+    state, reproducible under retries/replays (the same property the
+    hash-based split assignment query relies on). Changing mixture
+    weights re-samples ONLY the affected strata."""
+    from ..functions.text import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    rates = spark.createDataFrame(
+        [(lang, bp) for lang, bp in SAMPLE_RATES_BP.items()], "lang string, bp long"
+    )
+    key = (
+        portable_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("sample_key") < F.col("bp"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "sample_key",
+            (F.lit(10000).cast("double") / F.col("bp")).alias("weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             (CAST(tf.tf * n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+    tags=("llm", "tfidf", "term-frequency"),
+    bench=True,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by TF-IDF. The score is
+    tf·N/df — the log-free variant — because a single IEEE division of
+    exact integers is bit-identical across engines while ln() is not
+    correctly rounded (engine libm differences would break the value
+    hash; the induced ranking is identical since ln is monotone).
+
+    Scale: explode → (doc,term) hash-agg (map-side combinable) → df
+    hash-agg over the already-collapsed (doc,term) pairs (not the raw
+    token stream), corpus size N broadcast as a 1-row dim, top-K via
+    per-doc row_number window (partitioned — no global sort). Hot
+    terms are harmless: df is an agg, and the join back to tf is on
+    term with one row per term on the build side."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    tf = (
+        toked.select("doc_id", F.explode("__tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale-safe global row index
+# --------------------------------------------------------------------------
+@register(
+    "docs_global_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+    tags=("llm", "global-index", "two-phase"),
+)
+def docs_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous row index in doc_id order WITHOUT the global
+    single-partition window (`row_number() OVER (ORDER BY ...)` with no
+    partition key collapses 100 TB onto one reducer).
+
+    Two-phase plan (the zipWithIndex idea, DataFrame-native): bucket
+    rows by doc_id range, count per bucket (tiny agg), prefix-sum the
+    bucket counts in a window over the BUCKET table (thousands of rows,
+    not billions — the only intentionally single-partition step), then
+    broadcast the offsets back and row_number WITHIN each bucket. The
+    oracle is the naive global window, proving the two plans agree."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    b = d.withColumn("bucket", F.expr(f"doc_id DIV {INDEX_BUCKET}"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # Prefix sum over bucket counts: rows = n_buckets (bounded, small).
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    )
+    win = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("idx", F.col("off") + F.row_number().over(win) - 1)
+        .select("doc_id", "idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# OLAP gaps: INTERSECT, correlated scalar subquery, LATERAL top-k join
+# --------------------------------------------------------------------------
+@register(
+    "intersect_trading_nations",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 1000
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 1000
+    ) k JOIN nation n ON k.nationkey = n.n_nationkey
+    """,
+    tags=("set-ops", "intersect"),
+)
+def intersect_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations having both well-funded
+    customers and well-funded suppliers. Complements the EXCEPT query
+    (except_lapsed_customers) for §2.7 set-operation coverage. Spark
+    plans INTERSECT as a distinct + left-semi hash join — shuffle on
+    the compact key projection only."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 1000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.intersect(s)
+        .join(n, F.col("nationkey") == F.col("n_nationkey"))
+        .select("nationkey", F.col("n_name").alias("nation"))
+    )
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_custkey,
+           (CAST(round(o_totalprice * 100) AS BIGINT) / 100.0{d}) AS totalprice
+    FROM orders o
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "above_avg_orders",
+    oracle=_ABOVE_AVG_SQL.format(d=""),
+    tags=("sql-api", "correlated-subquery"),
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (each order vs its customer's own
+    average) through the SQL front-end — Catalyst decorrelates both
+    aggregating subqueries into one grouped join, which is the plan
+    you'd hand-write. The comparison is cents·count > sum_cents:
+    pure integer arithmetic, no division, so cross-engine exact.
+    100.0D suffix: bare 100.0 in Spark SQL text is a DECIMAL literal."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_ABOVE_AVG_SQL.format(d="D"))
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.price_cents
+    FROM customer c, LATERAL (
+      SELECT o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "lateral_top_orders",
+    oracle=_LATERAL_SQL,
+    tags=("sql-api", "lateral", "topk"),
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: each
+    customer's two largest orders. Exercises Spark's lateral-join
+    decorrelation (DomainJoin) — semantically the per-group top-k the
+    reference pages for, expressed relationally. Ties broken by
+    o_orderkey so the result is deterministic on both engines."""
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

@@ -127,6 +127,58 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_click_join",
+    # Hash-checked against the BATCH interval join: a stream-stream
+    # join that drops or duplicates a pair under replay would diverge.
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def streaming_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (click → purchase
+    attribution pairs) on the Structured Streaming runtime, driven to
+    completion synchronously and hash-checked against the equivalent
+    batch join."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import interval_join_clicks, stream_events
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = interval_join_clicks(events)
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+
+    def ntz(col: str):
+        # Instant → NTZ with pure epoch arithmetic (session-tz-free);
+        # the instants' epoch micros are the stored wall-clock micros.
+        return F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({col}), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias(col)
+
+    return out.select(
+        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    )
+
+
 def _sql_fake_h(seed_expr: str) -> str:
     """DuckDB twin of FakePseEdge._h (48-bit md5-derived int)."""
     return f"(('0x' || substr(md5({seed_expr}), 1, 12))::BIGINT)"

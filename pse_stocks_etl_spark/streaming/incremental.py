@@ -83,6 +83,50 @@ def windowed_event_counts(
     )
 
 
+def interval_join_clicks(
+    events: DataFrame,
+    attribution_window: str = "6 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range predicate:
+    every (click, purchase) pair for the same user where the purchase
+    lands within `attribution_window` after the click.
+
+    State stays bounded because BOTH sides carry watermarks and the
+    join condition bounds purchase_ts relative to click_ts in both
+    directions — the runtime can expire a buffered click once the
+    purchase-side watermark passes click_ts + window (and vice versa),
+    which is the documented requirement for stream-stream joins to
+    avoid unbounded state. The equality key (user_id) hash-partitions
+    both sides, so each executor joins only its own users."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark_delay)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {attribution_window}"
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -1,0 +1,203 @@
+"""Corpus-prep operator tests (plans/corpus_queries.py): semantics on
+crafted documents plus the physical-plan posture each docstring
+promises (broadcasts, partitioned windows, no global single-partition
+sort on the big side)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+
+from pse_stocks_etl_spark import plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang, source=src, n_chars=len(t))
+         for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+# ---- repetition ----------------------------------------------------------
+
+def test_repetition_flags_bigram_loop(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "spam ham " * 20, "en", "s0"),          # one bigram dominates
+            (2, " ".join(f"w{i}" for i in range(40)), "en", "s0"),  # all unique
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in plans.REGISTRY["docs_repetition_stats"].fn(spark, sf).collect()
+    }
+    assert out[1]["repetitive"] and out[1]["dup_word_frac"] > 0.9
+    # "spam ham" appears 20× in 40 tokens → covers every token.
+    assert out[1]["top_bigram_frac"] > 0.9
+    assert not out[2]["repetitive"] and out[2]["dup_word_frac"] == 0.0
+
+
+# ---- contamination -------------------------------------------------------
+
+def test_contamination_catches_copied_benchmark_doc(spark, tmp_path):
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (7, leaked, "en", "bench"),                 # 7 % 10 == 7 → benchmark
+            (1, leaked, "en", "train"),                 # verbatim leak
+            (2, "totally different words entirely here now", "en", "train"),
+        ],
+    )
+    rows = plans.REGISTRY["docs_contamination"].fn(spark, sf).collect()
+    assert [(r["doc_id"], r["bench_doc_id"]) for r in rows] == [(1, 7)]
+    assert rows[0]["n_shared"] == 6  # 8 tokens → 6 distinct 3-gram shingles
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---- sequence packing ----------------------------------------------------
+
+def test_pack_chunks_offsets_and_spans(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "w " * 300, "a", "a"),   # 300 tokens → chunk 0
+            (2, "w " * 300, "a", "a"),   # offsets 300..599 → chunks 0-1
+            (3, "w " * 100, "a", "a"),   # offsets 600..699 → chunk 1
+            (4, "w " * 50, "b", "b"),    # separate source packs from 0
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in plans.REGISTRY["docs_pack_chunks"].fn(spark, sf).collect()
+    }
+    assert (out[1]["start_off"], out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0, 0)
+    assert (out[2]["start_off"], out[2]["first_chunk"], out[2]["last_chunk"]) == (300, 0, 1)
+    assert out[2]["n_chunks"] == 2
+    assert (out[3]["start_off"], out[3]["first_chunk"], out[3]["last_chunk"]) == (600, 1, 1)
+    assert out[4]["start_off"] == 0  # source b packs independently
+
+
+def test_pack_chunks_window_is_source_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_pack_chunks")
+    # The running sum must hash-partition on source — never a global
+    # single-partition sort of the corpus.
+    assert re.search(r"hashpartitioning\(source", plan), plan[:2000]
+    assert "SinglePartition" not in plan
+
+
+# ---- stratified sampling -------------------------------------------------
+
+def test_stratified_sample_rates_and_weights(spark, sf_dir):
+    q = plans.REGISTRY["docs_stratified_sample"]
+    docs = plans.corpus_queries._docs(spark, sf_dir)
+    n_en = docs.filter("lang = 'en'").count()
+    rows = q.fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        bp = plans.corpus_queries.SAMPLE_RATES_BP[r["lang"]]
+        assert r["sample_key"] < bp
+        assert r["weight"] == 10000.0 / bp
+    assert len(by_lang["en"]) == n_en  # rate 1.0 keeps everything
+    # Deterministic: a second run returns the identical sample.
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in q.fn(spark, sf_dir).collect()
+    )
+
+
+# ---- TF-IDF --------------------------------------------------------------
+
+def test_tfidf_ranks_distinctive_term_first(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "common common xylophone", "en", "s"),
+            (2, "common trumpet trumpet", "en", "s"),
+            (3, "common words only", "en", "s"),
+        ],
+    )
+    rows = plans.REGISTRY["docs_tfidf_top_terms"].fn(spark, sf).collect()
+    top = {r["doc_id"]: r["term"] for r in rows if r["rk"] == 1}
+    assert top[1] == "xylophone" and top[2] == "trumpet"
+    assert all(r["rk"] <= 3 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert all(v <= 3 for v in per_doc.values())
+
+
+# ---- global index --------------------------------------------------------
+
+def test_global_index_matches_sorted_enumeration(spark, tmp_path):
+    # Non-contiguous ids straddling bucket boundaries (bucket = id DIV 100).
+    ids = [5, 99, 100, 250, 999, 1000, 1001]
+    sf = _write_docs(spark, tmp_path, [(i, f"doc {i}", "en", "s") for i in ids])
+    rows = plans.REGISTRY["docs_global_index"].fn(spark, sf).collect()
+    got = {r["doc_id"]: r["idx"] for r in rows}
+    assert got == {doc_id: i for i, doc_id in enumerate(sorted(ids))}
+
+
+def test_global_index_avoids_global_sort_on_rows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_global_index")
+    # The per-row window partitions by bucket; the only rangepartitioning
+    # (global sort) allowed is over the tiny bucket-counts table.
+    assert re.search(r"hashpartitioning\(bucket", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+# ---- OLAP gap queries ----------------------------------------------------
+
+def test_intersect_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "intersect_trading_nations")
+    assert "LeftSemi" in plan
+
+
+def test_above_avg_orders_decorrelates_to_single_agg_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "above_avg_orders")
+    # Catalyst must rewrite both correlated scalar subqueries into
+    # (at most two) grouped aggregates joined back — never a per-row
+    # re-scan of orders.
+    assert "Subquery" not in plan, plan[:2000]
+    # Formatted explain lists each scan twice (tree + detail section):
+    # 3 scan nodes = orders itself + one grouped agg per subquery.
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_lateral_top_orders_is_per_customer_topk(spark, sf_dir):
+    rows = plans.REGISTRY["lateral_top_orders"].fn(spark, sf_dir).collect()
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r["c_custkey"], []).append(r["price_cents"])
+    assert all(len(v) <= 2 for v in per_cust.values())
+    # Each customer's rows are its two largest orders.
+    orders = plans.corpus_queries.load_table(spark, sf_dir, "orders")
+    import pyspark.sql.functions as F
+
+    best = {
+        r["o_custkey"]: r["mx"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mx"))
+        .collect()
+    }
+    for cust, cents in per_cust.items():
+        assert max(cents) == best[cust]

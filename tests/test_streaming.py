@@ -113,3 +113,76 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_unique = load_table(spark, sf_dir, "events").count()
     got = spark.table(name).count()
     assert got == n_unique  # 2x delivered, 1x emitted
+
+
+def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
+    """The watermarked interval join must buffer click state across
+    micro-batch boundaries: a click delivered in micro-batch 1 joins a
+    purchase delivered in micro-batch 2, and the final pair set equals
+    the batch join of the union."""
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import interval_join_clicks
+
+    HOUR = 3_600 * 10**9  # nanos
+    T0 = 1_700_000_000 * 10**9
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + int(h * HOUR), uid, etype, 1.0, "{}")
+                for eid, h, uid, etype in specs
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    batches = [
+        # click c1 buffers for the cross-batch pair; (c2, p2) pair in-batch;
+        # the 10:30 view sets batch-0 max event time (watermark = 09:30).
+        rows((1, 0.0, 1, "click"), (2, 0.0, 2, "click"),
+             (3, 0.08, 2, "purchase"), (4, 0.5, 9, "view")),
+        # purchase for user 1 lands two hours later, in the next batch.
+        rows((5, 2.0, 1, "purchase"), (6, 9.0, 9, "view")),
+    ]
+
+    src = str(tmp_path / "join_src")
+    os.makedirs(src)
+    q = None
+    name = f"ssjoin_out_{uuid.uuid4().hex[:8]}"
+    counts = []
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"batch_{i}")
+            )
+            if q is None:
+                joined = interval_join_clicks(stream_events(spark, src + "/*"))
+                q = (
+                    joined.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+                    .start()
+                )
+            q.processAllAvailable()
+            counts.append(spark.table(name).count())
+    finally:
+        if q is not None:
+            q.stop()
+
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table(name).collect()
+    }
+    # Batch reference: the same operator on the unioned batch frame
+    # (withWatermark is a no-op in batch execution).
+    union = batches[0].unionAll(batches[1]).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_clicks(union).collect()
+    }
+    assert got == expected == {(2, 3), (1, 5)}
+    # The cross-boundary pair (1, 5) appeared only after micro-batch 2.
+    assert counts == [1, 2]
