@@ -786,3 +786,88 @@ def approx_quantile_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+KMV_K = 64
+_POW60 = 1 << 60  # hash space size; exact power of two (exact as double)
+
+
+@register(
+    "kmv_distinct_users",
+    # Unlike HLL++ (approx_distinct_per_key, engine-specific sketch →
+    # rows-only), KMV built on the portable md5 hash is deterministic
+    # and cross-engine EXACT: both engines see the same hash values, so
+    # the k-th minimum — and therefore the estimate — hash-matches.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)))::BIGINT
+               AS hv
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    k AS (
+      SELECT event_type, count(*) AS n_seen, max(hv) AS kth
+      FROM rk WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    e AS (SELECT event_type, count(*) AS exact_distinct FROM h GROUP BY event_type)
+    SELECT k.event_type, k.n_seen, k.kth,
+           CASE WHEN k.n_seen < {KMV_K} THEN CAST(k.n_seen AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({_POW60} AS DOUBLE)
+                     / CAST(k.kth AS DOUBLE)
+           END AS est_distinct,
+           e.exact_distinct
+    FROM k JOIN e ON k.event_type = e.event_type
+    """,
+    tags=("approx", "sketch", "kmv"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.): per key,
+    keep the K smallest 60-bit hashes of the values; the k-th minimum
+    estimates distinct count as (K-1)·|H|/kth. Exposes the exact count
+    alongside, so the query IS its own accuracy proof.
+
+    Scale: two-phase k-smallest — rank within (key, salt=hv%32) first
+    (runs on the shuffled partials, each bounded), then re-rank the
+    ≤32·K survivors per key. The K smallest of the union equal the K
+    smallest of the per-salt K-smallest, so the result is identical to
+    the one-phase oracle while no single task ever ranks a full key's
+    hash set. Every float op is a single correctly-rounded IEEE op on
+    exactly-representable inputs ((K-1)·2^60 has 6 significant bits)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.text import portable_hash64
+
+    h = ev.select(
+        "event_type",
+        portable_hash64(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    ).distinct()
+    w1 = Window.partitionBy("event_type", F.pmod(F.col("hv"), F.lit(32))).orderBy(
+        "hv"
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    topk = (
+        h.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    k = topk.groupBy("event_type").agg(
+        F.count("*").alias("n_seen"), F.max("hv").alias("kth")
+    )
+    exact = h.groupBy("event_type").agg(F.count("*").alias("exact_distinct"))
+    est = F.when(
+        F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(KMV_K - 1).cast("double")
+        * F.lit(_POW60).cast("double")
+        / F.col("kth").cast("double")
+    )
+    return k.join(exact, "event_type").select(
+        "event_type", "n_seen", "kth", est.alias("est_distinct"), "exact_distinct"
+    )
