@@ -225,6 +225,30 @@ def _sql_sync_oracle() -> str:
 
 
 @register(
+    "datasource_price_scan",
+    # Same closed-form expected table as the sync engine: a full scan
+    # of the fake exchange over the default window must produce it —
+    # two completely different plans (custom DataSource scan vs the
+    # watermark/merge engine) converging on one oracle.
+    oracle=_sql_sync_oracle(),
+    tags=("source", "datasource-api"),
+)
+def datasource_price_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source scan (PySpark 4 DataSource API): one
+    InputPartition per symbol → executor-parallel fetch, planned like
+    any catalog source. See sources/pse_datasource.py."""
+    from ..sources import pse_datasource
+
+    pse_datasource.register(spark)
+    return (
+        spark.read.format("pse_edge_fake")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-31")
+        .load()
+    )
+
+
+@register(
     "sync_end_to_end",
     # Full hash oracle (upgraded from rows-only in r2): see
     # _sql_sync_oracle — the deterministic connector makes even the

@@ -1,0 +1,92 @@
+"""PSE Edge as a Spark Python Data Source (PySpark 4 DataSource API).
+
+The reference fans out per-symbol HTTP fetches with a thread pool
+(reference src/utils/pse_edge.py get_stock_data + src/db/sync.py
+ThreadPoolExecutor); the engine's first-class replacement is
+`distributed_fetch` (mapInPandas over a symbol/window plan). This
+module is the *catalog-integrated* form of the same idea: a custom
+`DataSource` whose reader declares one InputPartition per symbol, so
+`spark.read.format("pse_edge_fake")` plans a parallel scan the same
+way any built-in source does — partition pruning by symbol list,
+Arrow-batched rows, executor-side fetching, zero driver loops.
+
+Only the deterministic offline fake is wired in (the image has no
+network); the real client would drop into `_fetch` unchanged.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+PRICE_DDL = (
+    "symbol string, date date, open double, high double, low double, "
+    "close double, extracted_at timestamp_ntz"
+)
+
+DEFAULT_SYMBOLS = "JFC,SM,ALI,BDO,TEL,URC,MER,AC"
+
+
+class _SymbolPartition(InputPartition):
+    def __init__(self, symbol: str, start: str, end: str):
+        self.symbol = symbol
+        self.start = start
+        self.end = end
+
+
+class PseEdgeDataSource(DataSource):
+    """`spark.read.format("pse_edge_fake").option("symbols", "JFC,SM")
+    .option("start", "2024-01-01").option("end", "2024-01-31").load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pse_edge_fake"
+
+    def schema(self) -> str:
+        return PRICE_DDL
+
+    def reader(self, schema) -> "PseEdgeReader":
+        return PseEdgeReader(self.options)
+
+
+class PseEdgeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.symbols = [
+            s for s in options.get("symbols", DEFAULT_SYMBOLS).split(",") if s
+        ]
+        self.start = options.get("start", "2024-01-01")
+        self.end = options.get("end", "2024-01-31")
+
+    def partitions(self) -> list[_SymbolPartition]:
+        # One partition per symbol: the scan parallelizes across
+        # executors exactly like the reference's thread fan-out (T5),
+        # but scheduled by Spark with locality/retry semantics.
+        return [_SymbolPartition(s, self.start, self.end) for s in self.symbols]
+
+    def read(self, partition: _SymbolPartition):
+        # Import inside read(): this method runs on executors; keep the
+        # pickled reader free of Spark/driver state.
+        from .pse_edge import FakePseEdge
+
+        fake = FakePseEdge([partition.symbol])
+        pdf = fake.get_stock_data(
+            partition.symbol,
+            date.fromisoformat(partition.start),
+            date.fromisoformat(partition.end),
+        )
+        for row in pdf.itertuples(index=False):
+            yield (
+                row.symbol,
+                row.date,
+                row.open,
+                row.high,
+                row.low,
+                row.close,
+                row.extracted_at.to_pydatetime(),
+            )
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format name."""
+    spark.dataSource.register(PseEdgeDataSource)

@@ -88,14 +88,33 @@ class ParquetTable:
         if not self.exists():
             self._commit(self.spark.createDataFrame([], self.schema))
 
-    def read(self) -> DataFrame:
-        """S5: scan the current version (schema-enforced)."""
-        v = self._pointer()
-        if v is None:
-            return self.spark.createDataFrame([], self.schema)
+    def read(self, version: int | None = None) -> DataFrame:
+        """S5: scan the current version (schema-enforced). `version=`
+        time-travels to any retained version (Delta's `versionAsOf`):
+        every commit is a full immutable version dir (unchanged
+        partitions hardlinked, not copied), so historical reads are
+        plain scans until `vacuum` reclaims them."""
+        if version is None:
+            v = self._pointer()
+            if v is None:
+                return self.spark.createDataFrame([], self.schema)
+        else:
+            v = f"v{version:05d}"
+            if not os.path.isdir(os.path.join(self.path, _VERSIONS, v)):
+                raise ValueError(
+                    f"version {version} not retained; available: {self.history()}"
+                )
         return self.spark.read.schema(self.schema).parquet(
             os.path.join(self.path, _VERSIONS, v)
         )
+
+    def history(self) -> list[int]:
+        """Retained version numbers, oldest first (Delta `DESCRIBE
+        HISTORY` analog — what `read(version=)` accepts)."""
+        vdir = os.path.join(self.path, _VERSIONS)
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(int(v[1:]) for v in os.listdir(vdir) if v.startswith("v"))
 
     def overwrite(self, df: DataFrame) -> None:
         """K1: full replace."""

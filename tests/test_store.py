@@ -267,3 +267,20 @@ def test_partitioned_merge_hive_escaped_partition_values(spark, tmp_path):
     # replay converges too
     t.merge(src, keys=("sym",))
     assert t.read().count() == 3
+
+
+def test_time_travel_read_and_history(table, spark):
+    v1 = _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00"))
+    v2 = _rows(("a", "2024-01-01", 2.0, "2024-01-02T00:00:00"),
+               ("b", "2024-01-02", 3.0, "2024-01-02T00:00:00"))
+    table.overwrite(spark.createDataFrame(v1, SCHEMA))
+    table.overwrite(spark.createDataFrame(v2, SCHEMA))
+    assert table.history() == [1, 2, 3]  # init_empty is v1
+    assert table.read().count() == 2
+    assert table.read(version=2).collect()[0].v == 1.0
+    assert table.read(version=1).count() == 0
+    # vacuum reclaims old versions; time travel then reports what's left
+    table.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="not retained"):
+        table.read(version=1)
+    assert table.read(version=3).count() == 2

@@ -84,3 +84,32 @@ def test_backfill_bounded_by_history_start(ds):
     assert r["price_rows"] == got.count()
     min_date = got.agg(F.min("date")).collect()[0][0]
     assert min_date >= ds.connector.history_start
+
+
+def test_datasource_scan_partitions_per_symbol(spark):
+    """The custom DataSource plans one input partition per symbol —
+    the catalog-level form of the reference's per-symbol fan-out."""
+    from pse_stocks_etl_spark.sources import pse_datasource
+
+    pse_datasource.register(spark)
+    df = (
+        spark.read.format("pse_edge_fake")
+        .option("symbols", "JFC,SM,ALI")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-12")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert {r.symbol for r in rows} == {"JFC", "SM", "ALI"}
+    # 10 weekdays in Jan 1-12 2024, deterministic across runs
+    assert len(rows) == 3 * 10
+    again = (
+        spark.read.format("pse_edge_fake")
+        .option("symbols", "JFC,SM,ALI")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-12")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
