@@ -871,3 +871,75 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.join(exact, "event_type").select(
         "event_type", "n_seen", "kth", est.alias("est_distinct"), "exact_distinct"
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS BIGINT) AS stage
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("funnel", "sequence-analytics"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (MATCH_RECOGNIZE-lite): per user, the
+    earliest signup, the earliest click strictly after it, and the
+    earliest purchase strictly after that; `stage` counts how deep the
+    user got. Expressed as staged min-aggregations + joins — every
+    shuffle keys on user_id, so the three stages co-partition and AQE
+    collapses them onto one exchange; no per-user iteration, no window
+    over the whole event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("long")
+                + F.col("purchase_ts").isNotNull().cast("long")
+            ).alias("stage"),
+        )
+    )

@@ -38,6 +38,7 @@ from ..operators.merge import merge_dataframes
 
 _CURRENT = "_CURRENT"
 _VERSIONS = "_versions"
+_SCHEMA = "_schema.json"
 
 
 class ParquetTable:
@@ -53,6 +54,23 @@ class ParquetTable:
         self.schema = schema
         self.partition_by = tuple(partition_by)
         os.makedirs(os.path.join(path, _VERSIONS), exist_ok=True)
+        # A persisted schema (written by evolve-on-merge) supersedes the
+        # constructor's: like Delta's log, the table — not the caller —
+        # owns the current schema once it has evolved.
+        sp = os.path.join(path, _SCHEMA)
+        if os.path.exists(sp):
+            import json
+
+            with open(sp) as f:
+                self.schema = T.StructType.fromJson(json.load(f))
+
+    def _persist_schema(self) -> None:
+        import json
+
+        tmp = os.path.join(self.path, f".{_SCHEMA}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.schema.jsonValue(), f)
+        os.replace(tmp, os.path.join(self.path, _SCHEMA))
 
     # -- commit protocol ---------------------------------------------------
     def _pointer(self) -> str | None:
@@ -127,9 +145,16 @@ class ParquetTable:
         freshness_col: str | None = None,
         dedup_order: Sequence[Column | str] | None = None,
         set_on_write: dict[str, Column] | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """K2/K3: keyed upsert (optionally freshness-guarded) with the
         mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4).
+
+        `evolve_schema=True` is Delta's `mergeSchema`: source columns
+        the table lacks are appended (nullable) to the table schema and
+        persisted; existing files need no rewrite — the parquet reader
+        null-fills declared-but-absent columns, including hardlinked
+        partition dirs carried by the pruned fast path.
 
         Partition-pruned fast path: when the table is partitioned on a
         merge-key column (the date-partitioned fact), only partitions
@@ -140,6 +165,16 @@ class ParquetTable:
         reason an incremental sync of a trailing window costs
         O(window), not O(table) (SCALE.md "Merge / upsert").
         """
+        if evolve_schema:
+            existing = {f.name for f in self.schema.fields}
+            added = [
+                T.StructField(f.name, f.dataType, True)
+                for f in source.schema.fields
+                if f.name not in existing
+            ]
+            if added:
+                self.schema = T.StructType(list(self.schema.fields) + added)
+                self._persist_schema()
         pcol = (
             self.partition_by[0]
             if len(self.partition_by) == 1 and self.partition_by[0] in keys

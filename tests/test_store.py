@@ -284,3 +284,33 @@ def test_time_travel_read_and_history(table, spark):
     with pytest.raises(ValueError, match="not retained"):
         table.read(version=1)
     assert table.read(version=3).count() == 2
+
+
+def test_merge_schema_evolution(table, spark, tmp_path):
+    table.overwrite(
+        spark.createDataFrame(
+            _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA
+        )
+    )
+    evolved = T.StructType(
+        SCHEMA.fields + [T.StructField("note", T.StringType(), True)]
+    )
+    src = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 9.0, dt.datetime(2024, 1, 2), "upd"),
+            ("b", dt.date(2024, 1, 2), 2.0, dt.datetime(2024, 1, 2), "new"),
+        ],
+        evolved,
+    )
+    table.merge(src, keys=("k", "d"), evolve_schema=True)
+    out = {r.k: r for r in table.read().collect()}
+    assert set(table.read().columns) == {"k", "d", "v", "extracted_at", "note"}
+    assert out["a"].note == "upd" and out["a"].v == 9.0
+    assert out["b"].note == "new"
+    # A fresh handle constructed with the ORIGINAL schema sees the
+    # evolved one (the table owns its schema, like the Delta log).
+    t2 = ParquetTable(spark, table.path, SCHEMA)
+    assert "note" in t2.read().columns
+    # Time travel across the evolution boundary null-fills the new col.
+    old = t2.read(version=2).collect()
+    assert old[0].note is None
