@@ -87,3 +87,48 @@ def test_argmax_dedup_picks_max_with_deterministic_tiebreak(spark, rows):
         if cur is None or (v, -f) > (cur[0], -cur[1]):
             model[k] = (v, f)
     assert got == model
+
+
+pack_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 999),      # doc_id
+        st.integers(1, 60),       # token count (words in text)
+        st.sampled_from(["a", "b", "c"]),  # source shard
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=pack_strategy)
+@SETTINGS
+def test_pack_chunks_invariants(spark, tmp_path_factory, docs):
+    """Packing invariants, independent of the SQL oracle: per source,
+    token spans are contiguous and gap-free in doc_id order; chunk ids
+    are exactly the integer spans the offsets dictate; every doc spans
+    >= 1 chunk."""
+    from pse_stocks_etl_spark.plans.corpus_queries import PACK_CAPACITY
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("pack")
+    df = spark.createDataFrame(
+        [(i, "w " * n, "en", src, 2 * n) for i, n, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    rows = REGISTRY["docs_pack_chunks"].fn(spark, str(tmp)).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    n_by_id = {i: n for i, n, _ in docs}
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rs:
+            assert r.n_tokens == n_by_id[r.doc_id]
+            assert r.start_off == expect_off          # contiguous, gap-free
+            assert r.first_chunk == r.start_off // PACK_CAPACITY
+            assert r.last_chunk == (r.start_off + r.n_tokens - 1) // PACK_CAPACITY
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
+            expect_off += r.n_tokens
