@@ -521,3 +521,177 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey so the result is deterministic on both engines."""
     register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "returned_items_topn",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           (SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey ASC LIMIT 20
+    """,
+    tags=("tpch-q10", "J5", "topn"),
+)
+def returned_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: which customers returned
+    the most revenue. Fact filtered on the return flag at the scan
+    (pushed), dims broadcast, grouped exact-cents revenue, global
+    top-20 with a total-order tiebreak."""
+    from ..functions.money import cents
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+        .select("custkey", "name", "nation", "revenue", "n_items")
+    )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           (SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0)
+             AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    tags=("tpch-q7", "J5"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: the two-role dimension
+    pattern (nation joined twice under different roles) with a
+    cross-dimension disjunctive predicate. year() on TIMESTAMP_NTZ is
+    pure wall-clock — session-timezone-proof on both engines."""
+    from ..functions.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Binned range join (range predicate → equi-join on time bucket)
+# --------------------------------------------------------------------------
+INCIDENT_MIN_ERRORS = 6
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _hour_bucket(col: str) -> F.Column:
+    return F.expr(f"timestampdiff(HOUR, {_EPOCH}, {col})")
+
+
+@register(
+    "range_join_binned",
+    oracle=f"""
+    WITH inc AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING count(*) >= {INCIDENT_MIN_ERRORS}
+    ),
+    win AS (
+      SELECT h - INTERVAL 30 MINUTE AS ws, h + INTERVAL 90 MINUTE AS we
+      FROM inc
+    )
+    SELECT w.ws AS window_start, count(*) AS n_clicks
+    FROM win w JOIN events e
+      ON e.event_type = 'click' AND e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.ws
+    """,
+    tags=("range-join", "binning"),
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join WITHOUT an equality key — clicks falling inside
+    derived 2-hour incident windows — executed as an equi-join via
+    time-bucket binning: windows explode to the hour buckets they
+    overlap, probes carry their own bucket, the join runs hash-on-
+    bucket, and the exact range predicate filters after. The naive
+    plan for a pure range condition is a nested-loop/cartesian — a
+    scale-killer the moment both sides are large; binning turns it
+    into a shuffle join whose per-bucket cost is bounded by window
+    density. The oracle is DuckDB's native range join over the same
+    predicate, proving the rewrite is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        f"timestampadd(HOUR, timestampdiff(HOUR, {_EPOCH}, ts), {_EPOCH})"
+    )
+    win = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hour.alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= INCIDENT_MIN_ERRORS)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("ws"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("we"),
+        )
+    )
+    win_binned = win.withColumn(
+        "bucket", F.explode(F.sequence(_hour_bucket("ws"), _hour_bucket("we")))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "bucket", _hour_bucket("ts")
+    )
+    return (
+        clicks.join(win_binned, "bucket")
+        .filter((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .groupBy(F.col("ws").alias("window_start"))
+        .agg(F.count("*").alias("n_clicks"))
+    )

@@ -201,3 +201,21 @@ def test_lateral_top_orders_is_per_customer_topk(spark, sf_dir):
     }
     for cust, cents in per_cust.items():
         assert max(cents) == best[cust]
+
+
+def test_range_join_binned_is_hash_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_binned")
+    # The binning rewrite must give the range join an equality key:
+    # a pure range predicate would plan as BroadcastNestedLoopJoin /
+    # CartesianProduct — the quadratic plan binning exists to avoid.
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(bucket|BroadcastHashJoin", plan)
+
+
+def test_q7_and_q10_broadcast_all_dimensions(spark, sf_dir):
+    for q in ("returned_items_topn", "nation_trade_volume"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        # the only sort-merge allowed is the fact-to-orders join
+        assert plan.count("SortMergeJoin") <= 1, q
