@@ -190,3 +190,27 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     joined = fact.join(dim.filter(F.col("tag") == "keep"), "d").agg(F.sum("v"))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
+    """Registry-wide §2.10 guard at the PLAN level (stronger than the
+    source grep): no registered query may contain a row-at-a-time
+    Python eval node, and Arrow-batched Python nodes are allowed only
+    in the queries that declare them (grouped-map medians, multimodal
+    decode plumbing, the Python DataSource scan)."""
+    arrow_ok = {
+        "pandas_median_per_segment",   # applyInPandas grouped-map
+        "multimodal_decode",           # mapInPandas decode plumbing
+        "multimodal_frame_sample",     # mapInPandas frame expansion
+        "datasource_price_scan",       # Python DataSource scan
+    }
+    offenders = {}
+    for name, q in plans.REGISTRY.items():
+        plan = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython (row-at-a-time UDF)"
+        elif name not in arrow_ok and re.search(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan
+        ):
+            offenders[name] = "undeclared Arrow python node"
+    assert not offenders, offenders
