@@ -1188,3 +1188,100 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Iterative KMeans refinement (Lloyd steps) for the IVF coarse centroids
+# --------------------------------------------------------------------------
+KMEANS_INIT_IDS = tuple(range(10, 18))  # K=8 seeds, fixed → deterministic
+KMEANS_ITERS = 2
+
+
+def _sql_kmeans() -> str:
+    cids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
+    unnest = (
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS vq "
+        "FROM embeddings"
+    )
+    cos = sql_cosine("(e.embedding::DOUBLE[])", "c.cvec", EMB_DIM)
+    assign = (
+        "SELECT vec_id, cid FROM ("
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cid ASC) AS rn "
+        "FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1"
+    )
+    mean = (
+        "SELECT a.cid, u.dim, SUM(u.vq) * 1.0 / COUNT(*) / 1000000.0 AS val, "
+        "COUNT(*) AS n_vecs "
+        "FROM {assign} a JOIN u ON a.vec_id = u.vec_id GROUP BY a.cid, u.dim"
+    )
+    parts = [
+        f"WITH u AS ({unnest})",
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec "
+        f"FROM embeddings WHERE vec_id IN ({cids}))",
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(f"a{it + 1} AS ({assign.format(cents=f'c{it}')})")
+        parts.append(f"m{it + 1} AS ({mean.format(assign=f'a{it + 1}')})")
+        parts.append(
+            f"c{it + 1} AS (SELECT cid, list(val ORDER BY dim) AS cvec "
+            f"FROM m{it + 1} GROUP BY cid)"
+        )
+    last = f"m{KMEANS_ITERS}"
+    return "\n, ".join(parts) + (
+        f"\nSELECT cid, dim, val AS centroid_val, n_vecs FROM {last}"
+    )
+
+
+@register(
+    "emb_kmeans_refine",
+    oracle=_sql_kmeans(),
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's KMeans refinement of the IVF coarse centroids, run for a
+    fixed 2 iterations with fully deterministic arithmetic — an
+    ITERATIVE algorithm that still hash-matches an unrolled SQL oracle:
+    assignment is the parity-proven rounded cosine with (cos, cid)
+    total order, and each new centroid component is SUM(quantized)/n —
+    exact integer sum then two correctly-rounded IEEE divisions, so
+    both engines walk through bit-identical centroids each round.
+
+    Scale: per iteration, one broadcast of K centroid vectors + one
+    (cid, dim) hash-agg over the posexploded corpus — the canonical
+    distributed Lloyd step (no all-pairs, no driver loop over rows; the
+    Python `for` only stacks plans). At real scale each iteration ends
+    in a localCheckpoint to stop plan growth — here 2 iterations stay
+    well inside analysis limits."""
+    from ..operators.dedup import topk_per_group
+
+    e = _emb(spark, sf_dir)
+    base = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents = base.filter(F.col("vec_id").isin(*KMEANS_INIT_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    mean = None
+    for _ in range(KMEANS_ITERS):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cvec")).alias("cs")
+        )
+        assign = topk_per_group(
+            scored, ["vec_id"], [F.col("cs").desc(), F.col("cid").asc()], k=1
+        ).select("vec_id", "v", "cid")
+        long = assign.select(
+            "cid", F.posexplode("v").alias("dim", "val")
+        ).select(
+            "cid", "dim", F.round(F.col("val") * 1_000_000).cast("long").alias("vq")
+        )
+        mean = long.groupBy("cid", "dim").agg(
+            (F.sum("vq") * 1.0 / F.count("*") / 1_000_000.0).alias("val"),
+            F.count("*").alias("n_vecs"),
+        )
+        cents = mean.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cvec")
+        )
+    return mean.select("cid", "dim", F.col("val").alias("centroid_val"), "n_vecs")

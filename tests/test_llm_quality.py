@@ -127,3 +127,28 @@ def test_emb_near_dup_lsh_recall_vs_brute_force(spark, sf_dir):
     assert got <= brute  # verify stage guarantees zero false positives
     assert brute, "expected threshold pairs in the corpus"
     assert got, "LSH found no pairs at all"
+
+
+def test_kmeans_refine_moves_centroids_and_partitions_all_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.llm_queries import KMEANS_INIT_IDS
+
+    rows = plans.REGISTRY["emb_kmeans_refine"].fn(spark, sf_dir).collect()
+    total = plans.llm_queries._emb(spark, sf_dir).count()
+    # Every vector is assigned to exactly one cluster.
+    assert sum(r.n_vecs for r in rows if r.dim == 0) == total
+    assert {r.cid for r in rows} <= set(KMEANS_INIT_IDS)
+    # Refinement actually moved the centroids off their seed vectors.
+    seeds = {
+        (r.vec_id, i): float(v)
+        for r in plans.llm_queries._emb(spark, sf_dir)
+        .filter(F.col("vec_id").isin(*KMEANS_INIT_IDS))
+        .collect()
+        for i, v in enumerate(r.embedding)
+    }
+    moved = sum(
+        1 for r in rows if abs(r.centroid_val - seeds[(r.cid, r.dim)]) > 1e-9
+    )
+    assert moved > len(rows) // 2
