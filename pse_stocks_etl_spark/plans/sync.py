@@ -50,7 +50,12 @@ class PseDatasets:
             os.path.join(root, "daily_stock_price"),
             DAILY_STOCK_PRICE_SCHEMA,
             partition_by=("date",),
+            # CHECK constraints (Delta/DLT expectation analog): a feed
+            # regression that emits inverted or non-positive OHLC bars
+            # fails the commit instead of poisoning the table.
+            constraints={"valid_ohlc": "low > 0 AND low <= close AND close <= high"},
         )
+        self.last_batch_metrics: dict = {}
 
     # -- actions (src/main.py:25-28) --------------------------------------
     def initdb(self) -> None:
@@ -106,9 +111,26 @@ class PseDatasets:
         # connector fetch — 4× the API cost, and a live connector could
         # return *different* rows per execution, making the merge's
         # branches disagree (duplicate/dropped keys).
-        batch = distributed_fetch(plan, fetch).persist()
+        # Observation API: batch telemetry (row count, symbol spread,
+        # date range) rides along with the count() action — no second
+        # pass over the fetched data for metrics.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = (
+            distributed_fetch(plan, fetch)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.approx_count_distinct("symbol").alias("approx_symbols"),
+                F.min("date").alias("min_date"),
+                F.max("date").alias("max_date"),
+            )
+            .persist()
+        )
         try:
             n = batch.count()
+            self.last_batch_metrics = dict(obs.get)
             if n == 0:  # empty-batch short-circuit (pse_edge.py:239-240)
                 return 0
             self.prices.merge(

@@ -48,11 +48,17 @@ class ParquetTable:
         path: str,
         schema: T.StructType,
         partition_by: Sequence[str] = (),
+        constraints: dict[str, str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.schema = schema
         self.partition_by = tuple(partition_by)
+        # Delta CHECK-constraint analog: {name: SQL predicate}. Enforced
+        # on every commit with SQL CHECK semantics — a row violates only
+        # when the predicate is FALSE (NULL passes). One predicate scan
+        # of the commit batch (the new version only, never the table).
+        self.constraints = dict(constraints or {})
         os.makedirs(os.path.join(path, _VERSIONS), exist_ok=True)
         # A persisted schema (written by evolve-on-merge) supersedes the
         # constructor's: like Delta's log, the table — not the caller —
@@ -84,7 +90,16 @@ class ParquetTable:
         v = self._pointer()
         return int(v[1:]) if v else 0
 
+    def _check_constraints(self, df: DataFrame) -> None:
+        for name, predicate in self.constraints.items():
+            bad = df.filter(F.expr(predicate).eqNullSafe(F.lit(False))).limit(1)
+            if bad.take(1):
+                raise ValueError(
+                    f"CHECK constraint '{name}' violated: {predicate}"
+                )
+
     def _commit(self, df: DataFrame) -> None:
+        self._check_constraints(df)
         version = self.current_version() + 1
         vname = f"v{version:05d}"
         target = os.path.join(self.path, _VERSIONS, vname)
@@ -212,6 +227,7 @@ class ParquetTable:
     def _commit_partitions(self, merged: DataFrame, pcol: str, affected: list) -> None:
         """Write `merged` (covering `affected` partition values) as a new
         version; hardlink every other partition dir from the current one."""
+        self._check_constraints(merged)
         current = self._pointer()
         version = self.current_version() + 1
         vname = f"v{version:05d}"

@@ -314,3 +314,21 @@ def test_merge_schema_evolution(table, spark, tmp_path):
     # Time travel across the evolution boundary null-fills the new col.
     old = t2.read(version=2).collect()
     assert old[0].note is None
+
+
+def test_check_constraint_blocks_bad_commit(spark, tmp_path):
+    t = ParquetTable(
+        spark, str(tmp_path / "c"), SCHEMA, constraints={"v_pos": "v > 0"}
+    )
+    t.init_empty()
+    ok = _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00"))
+    t.overwrite(spark.createDataFrame(ok, SCHEMA))
+    assert t.read().count() == 1
+    bad = _rows(("b", "2024-01-02", -5.0, "2024-01-02T00:00:00"))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite(spark.createDataFrame(bad, SCHEMA))
+    assert t.read().count() == 1  # failed commit left the table untouched
+    # NULL predicate passes (SQL CHECK semantics), like Delta.
+    nullv = [("c", dt.date(2024, 1, 3), None, dt.datetime(2024, 1, 3))]
+    t.merge(spark.createDataFrame(nullv, SCHEMA), keys=("k", "d"))
+    assert t.read().count() == 2

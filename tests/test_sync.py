@@ -113,3 +113,21 @@ def test_datasource_scan_partitions_per_symbol(spark):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sync_observes_batch_metrics(spark, tmp_path):
+    """The Observation metrics ride the count() action and must agree
+    with the fetched batch's actual stats."""
+    from pse_stocks_etl_spark.plans.sync import PseDatasets
+
+    ds = PseDatasets(spark, str(tmp_path / "obs"))
+    ds.initdb()
+    out = ds.sync(today="2024-01-20")
+    m = ds.last_batch_metrics
+    assert m["rows"] == out["price_rows"] > 0
+    facts = ds.prices.read()
+    import datetime as dt
+
+    assert m["min_date"] == dt.date(2024, 1, 1)
+    assert m["max_date"] == facts.agg(F.max("date")).first()[0]
+    assert m["approx_symbols"] > 0
