@@ -695,3 +695,133 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ws").alias("window_start"))
         .agg(F.count("*").alias("n_clicks"))
     )
+
+
+@register(
+    "docs_token_outliers",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+      FROM documents
+    ),
+    fences AS (
+      SELECT lang,
+             quantile_cont(n, 0.25) AS q1, quantile_cont(n, 0.75) AS q3
+      FROM tk GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, CAST(t.n AS BIGINT) AS n_tokens,
+           (f.q1 - 1.5 * (f.q3 - f.q1)) AS lo_fence,
+           (f.q3 + 1.5 * (f.q3 - f.q1)) AS hi_fence,
+           (t.n < f.q1 - 1.5 * (f.q3 - f.q1)
+            OR t.n > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier,
+           greatest(f.q1 - 1.5 * (f.q3 - f.q1),
+                    least(f.q3 + 1.5 * (f.q3 - f.q1), CAST(t.n AS DOUBLE)))
+             AS winsorized
+    FROM tk t JOIN fences f ON t.lang = f.lang
+    """,
+    tags=("llm", "text-quality", "outliers"),
+)
+def docs_token_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection + winsorization of per-doc token
+    counts, stratified by language — the standard length-filter stage
+    of a corpus pipeline, exact across engines: quartiles of integers
+    at DYADIC quantiles interpolate through exact dyadic doubles
+    ((n-1)/4 and the .25/.5/.75 fractions are exact in binary), and
+    the 1.5·IQR fence arithmetic is exact-dyadic × integer. A P1/P99
+    fence would NOT hash-match (0.01 is inexact in binary and the two
+    engines' interpolation formulas can differ in the last ulp).
+
+    Scale: one (lang) quantile agg — tiny result — broadcast back over
+    the corpus; the flagging pass is a projection."""
+    from ..functions.text import token_count
+
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", "lang", token_count(F.col("text")).alias("n"))
+    fences = tk.groupBy("lang").agg(
+        F.expr("percentile(n, 0.25D)").alias("q1"),
+        F.expr("percentile(n, 0.75D)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        tk.join(F.broadcast(fences), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("long").alias("n_tokens"),
+            lo.alias("lo_fence"),
+            hi.alias("hi_fence"),
+            ((F.col("n") < lo) | (F.col("n") > hi)).alias("is_outlier"),
+            F.greatest(lo, F.least(hi, F.col("n").cast("double"))).alias(
+                "winsorized"
+            ),
+        )
+    )
+
+
+@register(
+    "value_zscore_outliers",
+    # stddev is computed FROM INTEGER SUMS in both engines — never the
+    # engines' own stddev() aggregates, whose streaming (Welford)
+    # updates accumulate different rounding per partition order.
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           (c.vc / 100.0) AS value,
+           ((c.vc - CAST(s.s AS DOUBLE) / s.n)
+            / sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * s.s / s.n)
+                   / s.n)) AS zscore
+    FROM c JOIN stats s ON c.event_type = s.event_type
+    WHERE abs((c.vc - CAST(s.s AS DOUBLE) / s.n)
+              / sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * s.s / s.n)
+                     / s.n)) > 2.5
+    """,
+    tags=("robust-stats", "outliers"),
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging of event values per type, exact across
+    engines: moments come from integer-cents sums (exact, associative),
+    variance/σ/z are then a fixed dag of correctly-rounded IEEE ops
+    (divisions, sqrt) on identical inputs — so even a threshold
+    comparison at |z| > 2.5 cannot flicker between engines.
+
+    Scale: per-type moment agg (map-side combinable, |types| rows)
+    broadcast back; flagging is a projection. Sums of squared cents
+    stay exact: |vc| ≤ ~1e5 → vc² ≤ 1e10, 2^63 holds ~9e8 such rows
+    per type per partial; at larger volumes widen to DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.col("n")
+    z = (F.col("vc") - mean) / F.sqrt(var)
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("vc") / 100.0).alias("value"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
