@@ -65,7 +65,12 @@ def incremental_windows(
         F.date_sub(today_col, freshness_days).alias("target_end"),
     ).withColumn(
         "up_to_date",
-        (F.lit(lookback_days) == 0) & (F.col("target_start") > F.col("target_end")),
+        # lookback_days is a plan-time constant: branch in Python rather
+        # than emitting a `lit(n) == 0` predicate into the plan (a
+        # lookback forces a refetch regardless of the window).
+        (F.col("target_start") > F.col("target_end"))
+        if lookback_days == 0
+        else F.lit(False),
     )
 
 
