@@ -332,3 +332,25 @@ def test_check_constraint_blocks_bad_commit(spark, tmp_path):
     nullv = [("c", dt.date(2024, 1, 3), None, dt.datetime(2024, 1, 3))]
     t.merge(spark.createDataFrame(nullv, SCHEMA), keys=("k", "d"))
     assert t.read().count() == 2
+
+
+def test_commit_is_atomic_for_concurrent_readers(table, spark):
+    """Pointer-swap atomicity: a reader that resolved the CURRENT
+    pointer before a new commit keeps reading its complete old version
+    (never a half-written directory), and a fresh resolve sees the new
+    one. This is the single-writer Delta-log-style guarantee the store
+    documents."""
+    v1 = _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00"))
+    table.overwrite(spark.createDataFrame(v1, SCHEMA))
+    old_reader = table.read()  # plan bound to the old version dir
+    old_version = table.current_version()
+    v2 = _rows(
+        ("b", "2024-01-02", 2.0, "2024-01-02T00:00:00"),
+        ("c", "2024-01-03", 3.0, "2024-01-03T00:00:00"),
+    )
+    table.overwrite(spark.createDataFrame(v2, SCHEMA))
+    # The pre-commit reader still sees exactly the old snapshot...
+    assert [r.k for r in old_reader.collect()] == ["a"]
+    # ...while a new resolve sees the new version, fully.
+    assert table.current_version() == old_version + 1
+    assert sorted(r.k for r in table.read().collect()) == ["b", "c"]
