@@ -825,3 +825,106 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore")) > 2.5)
     )
+
+
+def _sql_pipeline_keep() -> str:
+    """Composes the already-registered stages' own oracle SQL as
+    subqueries (DuckDB accepts CTEs inside parenthesized subqueries),
+    so the pipeline oracle can never drift from the stage oracles."""
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["docs_minhash_lsh_pairs"].oracle
+    rep = REGISTRY["docs_repetition_stats"].oracle
+    cont = REGISTRY["docs_contamination"].oracle
+    return f"""
+    WITH keepers AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ),
+    near AS (SELECT DISTINCT doc_b AS doc_id FROM ({pairs})),
+    rep AS (SELECT doc_id FROM ({rep}) WHERE repetitive),
+    cont AS (SELECT DISTINCT doc_id FROM ({cont}))
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN r.doc_id IS NOT NULL THEN 'repetitive'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+           END AS drop_reason,
+           (d.doc_id = k.keep_id AND n.doc_id IS NULL
+            AND r.doc_id IS NULL AND c.doc_id IS NULL) AS keep
+    FROM documents d
+    JOIN keepers k ON md5(d.text) = k.h
+    LEFT JOIN near n ON d.doc_id = n.doc_id
+    LEFT JOIN rep r ON d.doc_id = r.doc_id
+    LEFT JOIN cont c ON d.doc_id = c.doc_id
+    """
+
+
+@register(
+    "docs_pipeline_keep",
+    oracle=_sql_pipeline_keep(),
+    tags=("llm", "pipeline", "composition"),
+)
+def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning pipeline END-TO-END: one decision per
+    document — exact-dup (keep the smallest doc_id per content hash),
+    MinHash-LSH near-dup (pairwise greedy: the larger id of each
+    verified pair drops), Gopher repetition, benchmark contamination —
+    with the first matching stage as the drop reason. Built by
+    COMPOSING the registered stage queries (both their DataFrames here
+    and their oracle SQL in the oracle), so this result is consistent
+    with each stage's own gate by construction.
+
+    Scale: each stage is its (already audited) plan; the composition
+    adds only broadcast-able left joins on doc_id — drop sets are
+    small relative to the corpus. The shingle working set is shared
+    via the session cache, so LSH + contamination pay one explode."""
+    from .registry import REGISTRY
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    near = (
+        REGISTRY["docs_minhash_lsh_pairs"]
+        .fn(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    rep = (
+        REGISTRY["docs_repetition_stats"]
+        .fn(spark, sf_dir)
+        .filter(F.col("repetitive"))
+        .select("doc_id")
+        .withColumn("rep", F.lit(True))
+    )
+    cont = (
+        REGISTRY["docs_contamination"]
+        .fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("cont", F.lit(True))
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(F.col("near"), "near_dup")
+        .when(F.col("rep"), "repetitive")
+        .when(F.col("cont"), "contaminated")
+    )
+    return (
+        d.join(keepers, F.md5("text") == F.col("h"))
+        .join(F.broadcast(near), "doc_id", "left")
+        .join(F.broadcast(rep), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("drop_reason"),
+            (
+                (F.col("doc_id") == F.col("keep_id"))
+                & F.col("near").isNull()
+                & F.col("rep").isNull()
+                & F.col("cont").isNull()
+            ).alias("keep"),
+        )
+    )

@@ -219,3 +219,26 @@ def test_q7_and_q10_broadcast_all_dimensions(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, q
         # the only sort-merge allowed is the fact-to-orders join
         assert plan.count("SortMergeJoin") <= 1, q
+
+
+def test_pipeline_keep_invariants(spark, sf_dir):
+    """Composition invariants: kept docs are unique by content hash and
+    never the dropped side of a verified near-dup pair; every doc gets
+    exactly one verdict (reason XOR keep)."""
+    import pyspark.sql.functions as F
+
+    out = plans.REGISTRY["docs_pipeline_keep"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all((r.drop_reason is None) == r.keep for r in rows)
+    kept_ids = {r.doc_id for r in rows if r.keep}
+    docs = plans.corpus_queries._docs(spark, sf_dir)
+    hashes = [
+        r.h for r in docs.filter(F.col("doc_id").isin(kept_ids))
+        .select(F.md5("text").alias("h")).collect()
+    ]
+    assert len(hashes) == len(set(hashes))  # exact-dup free
+    dropped_b = {
+        r.doc_b
+        for r in plans.REGISTRY["docs_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert not (kept_ids & dropped_b)  # near-dup free (pairwise rule)
