@@ -22,3 +22,77 @@ try:  # corpus-prep queries (repetition, contamination, packing, TF-IDF)
     from . import corpus_queries  # noqa: F401
 except ImportError:  # pragma: no cover - partial checkouts
     pass
+
+# ---------------------------------------------------------------------------
+# Driver-verification rotation.
+#
+# The correctness driver records the FIRST 50 registry entries in iteration
+# order each round. Rounds 1-2 verified 59 of the queries; the list below
+# front-loads the remainder so CORRECTNESS_r03 confirms them:
+#   1. the three round-1 FAILs whose fixes were only locally verified
+#      (csv_roundtrip_counts, json_extract_props, approx_distinct_per_key),
+#   2. the 29 queries that have never had a driver row,
+#   3. queries added in round 3,
+#   4. the six round-1-green queries rotated out of round 2's window.
+# Everything not named keeps its original (round-2-green) order after these.
+# COVERAGE.md records the cumulative per-round driver-green map.
+# ---------------------------------------------------------------------------
+_DRIVER_FIRST = [
+    # -- block 1: r1 driver FAILs, fixed in r2, never driver-reconfirmed --
+    "csv_roundtrip_counts",
+    "json_extract_props",
+    "approx_distinct_per_key",
+    # -- block 2: never driver-checked (beyond the 50-row window in r1+r2) --
+    "sql_api_top_nations",
+    "pandas_median_per_segment",
+    "session_window_native",
+    "salted_hot_key_agg",
+    "except_lapsed_customers",
+    "cube_order_stats",
+    "unpivot_event_counts",
+    "array_agg_user_profile",
+    "grouping_sets_revenue",
+    "range_interval_user_stats",
+    "window_rank_suite",
+    "approx_quantile_per_key",
+    "kmv_distinct_users",
+    "funnel_stages",
+    "docs_repetition_stats",
+    "docs_contamination",
+    "docs_pack_chunks",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_global_index",
+    "intersect_trading_nations",
+    "above_avg_orders",
+    "lateral_top_orders",
+    "returned_items_topn",
+    "nation_trade_volume",
+    "range_join_binned",
+    "docs_token_outliers",
+    "value_zscore_outliers",
+    "docs_pipeline_keep",
+    # -- block 3: round-3 additions (driver-unseen by definition) --
+    "zorder_pruned_scan",
+    "multimodal_wav_decode",
+    "delta_cdf_preview",
+    "grouped_rollup_store_roundtrip",
+    # -- block 4: r1-green queries rotated out of r2's window --
+    "concat_key_distinct",
+    "emb_centroid_per_label",
+    "empty_relation_clone",
+    "median_price_per_flag",
+    "moving_avg_price",
+    "running_total_per_customer",
+]
+
+
+def _reorder_registry() -> None:
+    """Re-key REGISTRY so driver-priority queries iterate first."""
+    ordered = {n: REGISTRY.pop(n) for n in _DRIVER_FIRST if n in REGISTRY}
+    ordered.update(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pyarrow as pa
 
 from .schemas import TESTDATA_TABLES
 
@@ -47,6 +48,91 @@ def compare(s_cols, s_rows, d_cols, d_rows) -> list[str]:
     if len(a) != len(b):
         problems.append(f"row count differs: spark={len(a)} duck={len(b)}")
     diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    if diffs:
+        problems.append(f"{len(diffs)} differing rows; first: {diffs[:3]}")
+    return problems
+
+
+# ---------------------------------------------------------------------------
+# Strict (driver-grade) Arrow-level comparison. DuckDB widens integer SUM
+# to HUGEINT, which its Arrow export surfaces as decimal128(38,0) while
+# Spark emits int64; the driver's value hasher canonicalizes those
+# differently even when every value is numerically equal, so the local
+# gate must fail on any such divergence. Floats compare at full
+# round-trip precision (repr), not %.9g.
+# ---------------------------------------------------------------------------
+
+
+def canon_dtype(t: pa.DataType) -> str:
+    """Canonical cross-engine dtype label (int widths collapse; decimal
+    stays distinct from int64/float64 so HUGEINT leaks are caught)."""
+    if pa.types.is_integer(t):
+        return "int64"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz is None else f"timestamp[tz={t.tz}]"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_dtype(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_dtype(t.field(i).type)}" for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def strict_norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest round-trip form: bit-exact comparison
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(strict_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{strict_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def arrow_summary(tbl: pa.Table):
+    """(sorted col names, {col: canon dtype}, sorted normalized rows)."""
+    cols = sorted(tbl.column_names)
+    dtypes = {name: canon_dtype(tbl.schema.field(name).type) for name in tbl.column_names}
+    pydata = {name: tbl.column(name).to_pylist() for name in cols}
+    rows = sorted(
+        tuple(strict_norm_cell(pydata[c][i]) for c in cols) for i in range(tbl.num_rows)
+    )
+    return cols, dtypes, rows
+
+
+def strict_compare(s_tbl: pa.Table, d_tbl: pa.Table) -> list[str]:
+    """Driver-grade parity: column names + canonical dtypes + bit-exact
+    sorted values. Empty list == parity."""
+    s_cols, s_dtypes, s_rows = arrow_summary(s_tbl)
+    d_cols, d_dtypes, d_rows = arrow_summary(d_tbl)
+    if s_cols != d_cols:
+        return [f"columns differ: spark={s_cols} duck={d_cols}"]
+    bad_dtypes = {c: (s_dtypes[c], d_dtypes[c]) for c in s_cols if s_dtypes[c] != d_dtypes[c]}
+    if bad_dtypes:
+        return [f"dtype mismatch (spark, duck): {bad_dtypes}"]
+    problems: list[str] = []
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    diffs = [(x, y) for x, y in zip(s_rows, d_rows) if x != y]
     if diffs:
         problems.append(f"{len(diffs)} differing rows; first: {diffs[:3]}")
     return problems

@@ -18,7 +18,6 @@ Usage: python scripts/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -26,76 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
-import pyarrow as pa  # noqa: E402
 
 from pse_stocks_etl_spark import plans  # noqa: E402
 from pse_stocks_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from pse_stocks_etl_spark.session import get_spark  # noqa: E402
-
-
-def canon_dtype(t: pa.DataType) -> str:
-    """Canonical cross-engine dtype label.
-
-    Integer widths collapse (Spark int vs DuckDB BIGINT both count as
-    int64 — the driver's schema gate passed on those in round 1), but
-    decimal stays distinct from int64/float64: DuckDB HUGEINT arrives
-    as decimal128(38,0) and MUST fail against Spark's int64.
-    """
-    if pa.types.is_integer(t):
-        return "int64"
-    if pa.types.is_floating(t):
-        return "float64"
-    if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "bytes"
-    if pa.types.is_timestamp(t):
-        return "timestamp" if t.tz is None else f"timestamp[tz={t.tz}]"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return f"list<{canon_dtype(t.value_type)}>"
-    if pa.types.is_struct(t):
-        inner = ",".join(
-            f"{t.field(i).name}:{canon_dtype(t.field(i).type)}" for i in range(t.num_fields)
-        )
-        return f"struct<{inner}>"
-    return str(t)
-
-
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # repr = shortest round-trip form: bit-exact comparison
-        # (distinguishes 0.1 from 0.1+1ulp, -0.0 from 0.0) — strictly
-        # tighter than any reasonable driver canonicalization.
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
-
-
-def table_summary(tbl: pa.Table):
-    """(sorted col names, {col: canon dtype}, sorted normalized rows)."""
-    cols = sorted(tbl.column_names)
-    dtypes = {
-        name: canon_dtype(tbl.schema.field(name).type) for name in tbl.column_names
-    }
-    pydata = {name: tbl.column(name).to_pylist() for name in cols}
-    n = tbl.num_rows
-    rows = sorted(tuple(norm_cell(pydata[c][i]) for c in cols) for i in range(n))
-    return cols, dtypes, rows
+from pse_stocks_etl_spark.testing import arrow_summary  # noqa: E402
 
 
 def main() -> int:
@@ -125,8 +59,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        s_cols, s_dtypes, s_rows = table_summary(s_tbl)
-        d_cols, d_dtypes, d_rows = table_summary(d_tbl)
+        s_cols, s_dtypes, s_rows = arrow_summary(s_tbl)
+        d_cols, d_dtypes, d_rows = arrow_summary(d_tbl)
         if s_cols != d_cols:
             failures.append(name)
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
