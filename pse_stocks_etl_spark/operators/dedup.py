@@ -97,11 +97,17 @@ def connected_components_min_label(
     Each vertex starts labeled with its own id; every round each vertex
     takes the min of its label and its neighbors' labels; stop when no
     label changes. The min label travels ONE hop per round, so the loop
-    needs `component diameter` rounds (raises if max_iterations is hit
-    before convergence). For near-dup clustering components are tiny
-    (pairs / small cliques), so a handful of rounds suffices — the
-    driver loop runs one small shuffle join per round, nothing collects
-    to the driver except the single changed-count.
+    needs `component diameter` rounds. For near-dup clustering
+    components are tiny (pairs / small cliques), so a handful of rounds
+    suffices — the driver loop runs one small shuffle join per round,
+    nothing collects to the driver except the single changed-count.
+
+    If the budget is exhausted before convergence (a component with
+    diameter > max_iterations), the call DELEGATES to
+    `connected_components_star`, whose round count is
+    O(log² n) independent of diameter — so this API always returns the
+    correct components rather than raising or silently splitting them
+    (round-2 review item 7).
 
     `edges` must be undirected (both directions present) or will be
     symmetrized here. Returns (id_col, 'component') — component = min id
@@ -146,11 +152,11 @@ def connected_components_min_label(
     sym.unpersist()
     if not converged:
         # Plain propagation moves a label ONE HOP per round; a component
-        # with diameter > max_iterations would silently come out split.
-        raise RuntimeError(
-            f"connected components did not converge in {max_iterations} "
-            "rounds — component diameter exceeds the iteration budget; "
-            "raise max_iterations (or use connected_components_star)."
+        # with diameter > max_iterations would come out split. Hand the
+        # graph to the diameter-independent star contraction instead.
+        prev_persisted.unpersist()
+        return connected_components_star(
+            vertices, edges, id_col=id_col, src_col=src_col, dst_col=dst_col
         )
     return labels.withColumnRenamed("u", id_col)
 

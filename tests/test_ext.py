@@ -29,20 +29,19 @@ def test_asof_attribution_clicks_precede_purchases(spark, sf_dir):
     assert all(r.click_ts <= r.ts for r in matched)
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
-    import pytest
-    from pyspark.sql import types as T
-
+def test_connected_components_budget_exhaustion_falls_back_to_star(spark):
     from pse_stocks_etl_spark.operators.dedup import connected_components_min_label
 
-    # path graph 0-1-2-...-6: diameter 6 > max_iterations=3 → must raise
+    # path graph 0-1-2-...-6: diameter 6 > max_iterations=3 → propagation
+    # alone would split the component; the API must delegate to star
+    # contraction and still return the right answer (VERDICT r2 item 7)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "src long, dst long"
     )
     vertices = spark.createDataFrame([(i,) for i in range(7)], "id long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components_min_label(vertices, edges, max_iterations=3)
-    # and converges fine with enough rounds
+    out = connected_components_min_label(vertices, edges, max_iterations=3)
+    assert {(r.id, r.component) for r in out.collect()} == {(i, 0) for i in range(7)}
+    # and converges on its own with enough rounds
     out = connected_components_min_label(vertices, edges, max_iterations=10)
     assert {r.component for r in out.collect()} == {0}
 
