@@ -12,11 +12,15 @@ DeltaTable):
   K9  vacuum           deltalake_sync.py:90,255
   K10 empty init       spark_deltalake_sync.py:125-128,194-198
 
-Commit protocol: every write lands in a fresh `_versions/v{N}` directory,
-then `_CURRENT` is atomically repointed (os.replace of a one-line pointer
-file — the same pointer-swap idea as the Delta log). Readers resolve
-`_CURRENT` at read time and never observe partial writes; failed writes
-leave only orphan version dirs, which `vacuum()` collects.
+Commit protocol: every write lands in a fresh `_versions/v{N}` directory
+(data + a `_schema.json` snapshot), then `_CURRENT` is atomically
+repointed (os.replace of a one-line pointer file — the same pointer-swap
+idea as the Delta log). Readers resolve `_CURRENT` at read time and
+never observe partial writes; failed writes leave only orphan version
+dirs, which `vacuum()` collects. Because the schema snapshot lives
+INSIDE the version dir, schema evolution commits atomically with its
+data (a failed merge leaves no evolved schema behind), and time travel
+replays the schema as of that version — both Delta behaviors.
 
 Scale posture: `partition_by` lays the fact table out by date (mirrors
 BigQuery `PARTITION BY date`, SURVEY.md §4) so incremental merges and
@@ -26,7 +30,9 @@ winners plan from operators/merge.py, which shuffles only on the key.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 from collections.abc import Sequence
 
@@ -39,6 +45,9 @@ from ..operators.merge import merge_dataframes
 _CURRENT = "_CURRENT"
 _VERSIONS = "_versions"
 _SCHEMA = "_schema.json"
+# Strict version-dir name: a stray file or partial artifact (e.g.
+# 'v_tmp') must never be parsed as a version (round-2 review).
+_VERSION_RE = re.compile(r"^v\d{5}$")
 
 
 class ParquetTable:
@@ -60,23 +69,29 @@ class ParquetTable:
         # of the commit batch (the new version only, never the table).
         self.constraints = dict(constraints or {})
         os.makedirs(os.path.join(path, _VERSIONS), exist_ok=True)
-        # A persisted schema (written by evolve-on-merge) supersedes the
+        # The current version's schema snapshot supersedes the
         # constructor's: like Delta's log, the table — not the caller —
         # owns the current schema once it has evolved.
-        sp = os.path.join(path, _SCHEMA)
-        if os.path.exists(sp):
-            import json
+        cur = self._pointer()
+        snap = self._version_schema(cur) if cur else None
+        if snap is not None:
+            self.schema = snap
 
-            with open(sp) as f:
-                self.schema = T.StructType.fromJson(json.load(f))
+    def _version_schema(self, vname: str) -> T.StructType | None:
+        """Schema snapshot stored inside a version dir, if any."""
+        sp = os.path.join(self.path, _VERSIONS, vname, _SCHEMA)
+        if not os.path.exists(sp):
+            return None
+        with open(sp) as f:
+            return T.StructType.fromJson(json.load(f))
 
-    def _persist_schema(self) -> None:
-        import json
-
-        tmp = os.path.join(self.path, f".{_SCHEMA}.tmp")
-        with open(tmp, "w") as f:
+    def _write_version_schema(self, target: str) -> None:
+        """Snapshot self.schema into the (not-yet-committed) version dir.
+        Spark's parquet reader ignores underscore-prefixed files, so the
+        snapshot can live beside the data it describes — and the
+        _CURRENT repoint then commits schema + data atomically."""
+        with open(os.path.join(target, _SCHEMA), "w") as f:
             json.dump(self.schema.jsonValue(), f)
-        os.replace(tmp, os.path.join(self.path, _SCHEMA))
 
     # -- commit protocol ---------------------------------------------------
     def _pointer(self) -> str | None:
@@ -91,6 +106,15 @@ class ParquetTable:
         return int(v[1:]) if v else 0
 
     def _check_constraints(self, df: DataFrame) -> None:
+        """Enforce CHECK constraints on the commit batch.
+
+        The check is a separate Spark action from the write that
+        follows, so commit inputs must be DETERMINISTIC (or persisted by
+        the caller, as the sync path does): a nondeterministic source
+        could present different rows to the check and the write. Delta
+        has the same contract — its invariant check runs inside the
+        write job only because the log gives it a transaction to abort.
+        """
         for name, predicate in self.constraints.items():
             bad = df.filter(F.expr(predicate).eqNullSafe(F.lit(False))).limit(1)
             if bad.take(1):
@@ -107,6 +131,7 @@ class ParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(target)
+        self._write_version_schema(target)
         tmp = os.path.join(self.path, f".{_CURRENT}.tmp")
         with open(tmp, "w") as f:
             f.write(vname)
@@ -126,28 +151,41 @@ class ParquetTable:
         time-travels to any retained version (Delta's `versionAsOf`):
         every commit is a full immutable version dir (unchanged
         partitions hardlinked, not copied), so historical reads are
-        plain scans until `vacuum` reclaims them."""
+        plain scans until `vacuum` reclaims them. Each version is read
+        with ITS OWN schema snapshot (Delta replays the schema as of
+        that version) — an old version does not grow null-filled
+        columns added by later evolution."""
         if version is None:
             v = self._pointer()
             if v is None:
                 return self.spark.createDataFrame([], self.schema)
+            # Current reads use the LIVE table schema (self.schema), not
+            # the stored snapshot: during an evolving merge the target
+            # must already present the new null-filled columns so the
+            # upsert union lines up. The constructor seeds self.schema
+            # from the current snapshot, so fresh handles agree.
+            schema = self.schema
         else:
             v = f"v{version:05d}"
             if not os.path.isdir(os.path.join(self.path, _VERSIONS, v)):
                 raise ValueError(
                     f"version {version} not retained; available: {self.history()}"
                 )
-        return self.spark.read.schema(self.schema).parquet(
+            schema = self._version_schema(v) or self.schema
+        return self.spark.read.schema(schema).parquet(
             os.path.join(self.path, _VERSIONS, v)
         )
 
     def history(self) -> list[int]:
         """Retained version numbers, oldest first (Delta `DESCRIBE
-        HISTORY` analog — what `read(version=)` accepts)."""
+        HISTORY` analog — what `read(version=)` accepts). Only strict
+        v\\d{5} entries count: stray files / partial artifacts in
+        _versions never break history() or the read(version=) error
+        path."""
         vdir = os.path.join(self.path, _VERSIONS)
         if not os.path.isdir(vdir):
             return []
-        return sorted(int(v[1:]) for v in os.listdir(vdir) if v.startswith("v"))
+        return sorted(int(v[1:]) for v in os.listdir(vdir) if _VERSION_RE.match(v))
 
     def overwrite(self, df: DataFrame) -> None:
         """K1: full replace."""
@@ -166,10 +204,12 @@ class ParquetTable:
         mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4).
 
         `evolve_schema=True` is Delta's `mergeSchema`: source columns
-        the table lacks are appended (nullable) to the table schema and
-        persisted; existing files need no rewrite — the parquet reader
-        null-fills declared-but-absent columns, including hardlinked
-        partition dirs carried by the pruned fast path.
+        the table lacks are appended (nullable) to the table schema,
+        snapshotted INSIDE the new version dir so the evolution commits
+        atomically with its data (a failed commit evolves nothing);
+        existing files need no rewrite — the parquet reader null-fills
+        declared-but-absent columns, including hardlinked partition
+        dirs carried by the pruned fast path.
 
         Partition-pruned fast path: when the table is partitioned on a
         merge-key column (the date-partitioned fact), only partitions
@@ -180,6 +220,7 @@ class ParquetTable:
         reason an incremental sync of a trailing window costs
         O(window), not O(table) (SCALE.md "Merge / upsert").
         """
+        old_schema = self.schema
         if evolve_schema:
             existing = {f.name for f in self.schema.fields}
             added = [
@@ -188,8 +229,23 @@ class ParquetTable:
                 if f.name not in existing
             ]
             if added:
+                # In-memory only: the commit below snapshots it into the
+                # version dir; a failed commit rolls it back (atomic).
                 self.schema = T.StructType(list(self.schema.fields) + added)
-                self._persist_schema()
+        try:
+            self._merge_impl(source, keys, freshness_col, dedup_order, set_on_write)
+        except Exception:
+            self.schema = old_schema
+            raise
+
+    def _merge_impl(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        freshness_col: str | None,
+        dedup_order: Sequence[Column | str] | None,
+        set_on_write: dict[str, Column] | None,
+    ) -> None:
         pcol = (
             self.partition_by[0]
             if len(self.partition_by) == 1 and self.partition_by[0] in keys
@@ -238,6 +294,7 @@ class ParquetTable:
             .partitionBy(*self.partition_by)
             .parquet(target)
         )
+        self._write_version_schema(target)
         if current:
             src_root = os.path.join(self.path, _VERSIONS, current)
             # The rewritten (affected) partitions are exactly the pcol=
@@ -361,7 +418,7 @@ class ParquetTable:
         """K9: drop version dirs older than the newest `retain_versions`.
         Returns removed version names."""
         vdir = os.path.join(self.path, _VERSIONS)
-        versions = sorted(os.listdir(vdir))
+        versions = sorted(v for v in os.listdir(vdir) if _VERSION_RE.match(v))
         current = self._pointer()
         keep = set(versions[-retain_versions:])
         if current:

@@ -311,9 +311,54 @@ def test_merge_schema_evolution(table, spark, tmp_path):
     # evolved one (the table owns its schema, like the Delta log).
     t2 = ParquetTable(spark, table.path, SCHEMA)
     assert "note" in t2.read().columns
-    # Time travel across the evolution boundary null-fills the new col.
-    old = t2.read(version=2).collect()
-    assert old[0].note is None
+    # Time travel replays the schema AS OF that version (Delta
+    # versionAsOf semantics): the pre-evolution version has no `note`.
+    old = t2.read(version=2)
+    assert "note" not in old.columns
+    assert old.count() == 1
+
+
+def test_schema_evolution_atomic_on_failed_commit(spark, tmp_path):
+    t = ParquetTable(
+        spark, str(tmp_path / "evo"), SCHEMA, constraints={"v_pos": "v > 0"}
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA
+        )
+    )
+    evolved = T.StructType(
+        SCHEMA.fields + [T.StructField("note", T.StringType(), True)]
+    )
+    bad = spark.createDataFrame(
+        [("b", dt.date(2024, 1, 2), -5.0, dt.datetime(2024, 1, 2), "boom")],
+        evolved,
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge(bad, keys=("k", "d"), evolve_schema=True)
+    # the failed commit must not leave an evolved schema behind —
+    # neither in memory, on disk, nor visible to a fresh handle
+    assert "note" not in {f.name for f in t.schema.fields}
+    assert "note" not in t.read().columns
+    assert "note" not in ParquetTable(spark, t.path, SCHEMA).read().columns
+
+
+def test_history_ignores_stray_version_artifacts(spark, tmp_path):
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "stray"), SCHEMA)
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("a", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA
+        )
+    )
+    # a partial artifact and a stray file must not break history/vacuum
+    os.makedirs(os.path.join(t.path, "_versions", "v_tmp"))
+    with open(os.path.join(t.path, "_versions", "junk.txt"), "w") as f:
+        f.write("x")
+    assert t.history() == [1]
+    assert t.read().count() == 1
+    assert t.vacuum(retain_versions=1) == []
 
 
 def test_check_constraint_blocks_bad_commit(spark, tmp_path):
