@@ -6,10 +6,14 @@ src/utils/multithreading.py). This engine keeps the connector OUT of the
 query path and distributes the fetch itself:
 
 - `PseEdgeClient` — the real HTTP client surface (company directory,
-  company info, daily price history). Network access and bs4/lxml are
-  not available in this image, so the methods raise a clearly-marked
-  NotImplementedError unless `requests` is importable; the API shape
-  (and the column contract) is what matters for the engine.
+  company info, daily price history). The TRANSPORT is injectable: the
+  default `RequestsTransport` does live HTTP (with per-call
+  connect/read timeouts and bounded retry+backoff — a stalled
+  connection can never hang a sync), while tests inject a recorded
+  transport so all three client methods run their full
+  request→parse→normalize path hermetically. `requests` itself is
+  absent from this image, so the live transport raises a
+  clearly-marked NotImplementedError at construction.
 - `FakePseEdge` — a deterministic synthetic market-data source with the
   exact same contract, seeded per (symbol, date) via md5, used by tests
   and the sync demo. Prices are 2-dp decimals satisfying
@@ -55,15 +59,80 @@ class UnknownSymbolError(Exception):
     reference's UnknownSymbolException, pse_edge.py:63-67)."""
 
 
+class RequestsTransport:
+    """Live HTTP transport: `requests` with (connect, read) timeouts on
+    every call and bounded retry with exponential backoff on transient
+    failures (connection errors, timeouts, HTTP 5xx). 4xx responses
+    raise immediately — retrying a bad request never helps.
+
+    The reference's requests calls pass no timeout (reference
+    pse_edge.py:80-118); this surface runs on real networks, so a
+    stalled connection must fail the task, not hang the sync.
+    """
+
+    def __init__(
+        self,
+        timeout: tuple[float, float] = (5.0, 30.0),
+        retries: int = 3,
+        backoff: float = 1.0,
+    ) -> None:
+        try:
+            import requests
+        except ImportError:
+            raise NotImplementedError(
+                "PSE Edge HTTP connector requires network + `requests`; "
+                "use FakePseEdge or a recorded transport in offline "
+                "environments."
+            ) from None
+        self._requests = requests
+        self.timeout = timeout
+        self.retries = retries
+        self.backoff = backoff
+
+    def _call(self, fn) -> tuple[str, dict]:  # pragma: no cover - network
+        import time
+
+        exc = self._requests.exceptions
+        last: Exception | None = None
+        for attempt in range(self.retries):
+            try:
+                r = fn()
+                if r.status_code >= 500 and attempt < self.retries - 1:
+                    last = exc.HTTPError(f"HTTP {r.status_code}", response=r)
+                    time.sleep(self.backoff * (2**attempt))
+                    continue
+                r.raise_for_status()
+                return r.text, dict(r.headers)
+            except (exc.ConnectionError, exc.Timeout) as e:
+                last = e
+                if attempt < self.retries - 1:
+                    time.sleep(self.backoff * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    def get(self, url: str) -> tuple[str, dict]:  # pragma: no cover - network
+        return self._call(lambda: self._requests.get(url, timeout=self.timeout))
+
+    def post(
+        self, url: str, data: dict | None = None, json: dict | None = None
+    ) -> tuple[str, dict]:  # pragma: no cover - network
+        return self._call(
+            lambda: self._requests.post(url, data=data, json=json, timeout=self.timeout)
+        )
+
+
 class PseEdgeClient:
     """Driver-side HTTP connector against the public PSE Edge endpoints
     (the reference's extractor surface, pse_edge.py:70-261).
 
-    All response EXTRACTION is pure and lives in pse_edge_parse.py —
-    tested hermetically against recorded fixtures, including the
-    reference's own golden values (JFC company_id=86 / security_id=158;
-    2022-03-01 OHLC 241.4/245/240/240). Only the transport below needs
-    `requests` + network, which this image lacks."""
+    All response EXTRACTION is pure and lives in pse_edge_parse.py; the
+    transport is injected (`transport=`), so the full
+    request→parse→normalize path of all three methods runs hermetically
+    against recorded responses — including the reference's own golden
+    values (JFC company_id=86 / security_id=158; 2022-03-01 OHLC
+    241.4/245/240/240; reference tests/integration/test_pse_edge.py:
+    38-46, 60-75). The default transport is live `RequestsTransport`
+    (constructed lazily on first use, since this image lacks
+    `requests`)."""
 
     COMPANY_SEARCH_URL = "https://edge.pse.com.ph/companyDirectory/search.ax"
     AUTOCOMPLETE_URL = (
@@ -82,31 +151,22 @@ class PseEdgeClient:
         "subsector": "ALL",
     }
 
-    def __init__(self) -> None:
-        try:
-            import requests  # noqa: F401
+    def __init__(self, transport=None) -> None:
+        self._transport = transport
 
-            self._requests = requests
-        except ImportError:  # pragma: no cover
-            self._requests = None
+    @property
+    def transport(self):
+        if self._transport is None:
+            self._transport = RequestsTransport()
+        return self._transport
 
-    def _require(self):
-        if self._requests is None:  # pragma: no cover
-            raise NotImplementedError(
-                "PSE Edge HTTP connector requires network + `requests`; "
-                "use FakePseEdge in offline environments."
-            )
-        return self._requests
-
-    def _search_page(self, **payload):  # pragma: no cover - network
-        requests = self._require()
-        r = requests.post(
+    def _search_page(self, **payload) -> tuple[str, str]:
+        text, headers = self.transport.post(
             self.COMPANY_SEARCH_URL, data={**self.SEARCH_PAYLOAD, **payload}
         )
-        r.raise_for_status()
-        return r.text, r.headers.get("Date", "")
+        return text, headers.get("Date", "")
 
-    def get_listed_companies(self) -> pd.DataFrame:  # pragma: no cover - network
+    def get_listed_companies(self) -> pd.DataFrame:
         """S1: paginated company-directory scan → COMPANY_COLUMNS frame
         (reference pse_edge.py:80-118: first page discovers the page
         count from the pager anchors, then every page's table parses)."""
@@ -119,16 +179,14 @@ class PseEdgeClient:
             rows.extend(parse_directory_page(page_html)[0])
         return normalize_companies(rows, retrieved_at)
 
-    def get_company_info(self, symbol: str) -> dict:  # pragma: no cover - network
+    def get_company_info(self, symbol: str) -> dict:
         """S2: company point lookup (reference pse_edge.py:120-178):
         autocomplete exact-match → company_id, then the metadata table →
         security_id / sector / subsector / listing date."""
         from .pse_edge_parse import filter_autocomplete, parse_company_info_page
 
-        requests = self._require()
-        r = requests.get(self.AUTOCOMPLETE_URL.format(symbol))
-        r.raise_for_status()
-        hit = filter_autocomplete(r.text, symbol)
+        text, _ = self.transport.get(self.AUTOCOMPLETE_URL.format(symbol))
+        hit = filter_autocomplete(text, symbol)
         if hit is None:
             raise UnknownSymbolError(f"Symbol {symbol!r} was not found in PSE Edge.")
         html, _ = self._search_page(
@@ -138,17 +196,14 @@ class PseEdgeClient:
             html, symbol, hit["company_name"], hit["company_id"]
         )
 
-    def get_stock_data(
-        self, symbol: str, start: date, end: date
-    ) -> pd.DataFrame:  # pragma: no cover - network
+    def get_stock_data(self, symbol: str, start: date, end: date) -> pd.DataFrame:
         """S3: daily OHLC history for [start, end] → PRICE_COLUMNS frame
         (reference pse_edge.py:182-261: chartData JSON, empty
         short-circuit, max-close dedup)."""
         from .pse_edge_parse import parse_chart_data, trim_to_window
 
-        requests = self._require()
         info = self.get_company_info(symbol)
-        r = requests.post(
+        text, headers = self.transport.post(
             self.STOCK_DATA_URL,
             json={
                 "cmpy_id": info["company_id"],
@@ -157,8 +212,7 @@ class PseEdgeClient:
                 "endDate": pd.Timestamp(end).strftime("%m-%d-%Y"),
             },
         )
-        r.raise_for_status()
-        parsed = parse_chart_data(r.text, symbol, r.headers.get("Date", ""))
+        parsed = parse_chart_data(text, symbol, headers.get("Date", ""))
         return trim_to_window(parsed, start, end)
 
 
