@@ -139,6 +139,44 @@ def merge_dataframes(
     return kept.unionByName(winners)
 
 
+def merge_cdf(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    freshness_col: str | None = None,
+) -> DataFrame:
+    """Change-data-feed view of a merge (Delta CDF semantics: the rows
+    `table_changes()` would emit for this MERGE commit): every insert
+    row tagged `insert`, every updated key contributing BOTH its
+    before-row (`update_preimage`, from the target) and its after-row
+    (`update_postimage`, from the source). Skipped rows (freshness
+    guard) emit nothing — they are not part of the commit.
+
+    Columns = target columns + `_change_type` (Delta's reserved name).
+    Built from one `classify_merge` pass; the preimage is a semi-join
+    of the target against the updated keys, so the plan shuffles on the
+    merge keys only — the same cost envelope as the merge itself.
+    """
+    cols = list(target.columns)
+    classified = classify_merge(target, source, keys, freshness_col)
+    inserts = (
+        classified.filter(F.col("merge_action") == "insert")
+        .select(*cols)
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    updates = classified.filter(F.col("merge_action") == "update")
+    post = updates.select(*cols).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    ukeys = updates.select(*[F.col(k).alias(f"__u_{k}") for k in keys])
+    pre = target.join(
+        ukeys,
+        on=_null_safe_key_cond(target, ukeys, keys, [f"__u_{k}" for k in keys]),
+        how="left_semi",
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    return inserts.unionByName(pre).unionByName(post)
+
+
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1: union-all of homogeneous batches by column name (reference
     pd.concat at pse_edge.py:104; glob CSV read at deltalake_sync.py:229)."""

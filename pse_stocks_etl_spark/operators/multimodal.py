@@ -69,11 +69,16 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
-def real_decode(payload: bytes) -> dict:  # pragma: no cover - integration point
-    """STUB: the real image/audio decode (PIL / torchaudio / ffmpeg) —
-    not available in this container."""
-    raise NotImplementedError(
-        "media codecs unavailable; deterministic fake used instead (decode_features)"
+def real_decode(payload: bytes) -> dict:
+    """The real decode integration point. WAV (RIFF PCM16) decodes for
+    real — stdlib struct, `parse_wav` below. Image/video formats need
+    PIL / ffmpeg, which this container lacks, so those stay a marked
+    stub with `decode_features`' deterministic fake carrying the tests."""
+    if payload[:4] == b"RIFF":
+        return parse_wav(payload)
+    raise NotImplementedError(  # pragma: no cover - integration point
+        "image/video codecs unavailable; deterministic fake used instead "
+        "(decode_features)"
     )
 
 
@@ -209,3 +214,139 @@ def sample_frames(
             )
 
     return media.mapInPandas(frames_partition, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WAV: the one REAL codec in this engine (round-2 review item 8).
+#
+# RIFF/WAVE PCM is fully parseable with stdlib `struct` — no external
+# media libraries — so the audio modality gets a genuine decode path:
+# `parse_wav` walks the chunk list (not fixed offsets: it tolerates
+# extra chunks and word-aligned padding, like real files have), checks
+# the magics, and reads the PCM samples. `real_decode` dispatches to it
+# on the RIFF magic, so the integration point is live for audio and
+# stubbed only for formats whose codecs the image lacks (JPEG/PNG/mp4).
+#
+# The synth side writes samples from closed-form integer arithmetic on
+# (doc_id, sample index) so a SQL oracle can recompute every aggregate
+# the decoder reports — byte-exact, engine-independent.
+# --------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 16000
+_WAV_N_BASE, _WAV_N_MOD = 64, 193  # n_samples = 64 + doc_id % 193
+_WAV_MULT, _WAV_STEP = 2654435761, 40503  # Knuth multiplicative constants
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """A standard little-endian RIFF/WAVE PCM16 mono file whose samples
+    are `((doc_id*2654435761 + i*40503) % 65536) - 32768`. Includes a
+    LIST/INFO chunk between fmt and data so parsers that hard-code the
+    44-byte layout (instead of walking chunks) break on it."""
+    import struct
+
+    n = _WAV_N_BASE + doc_id % _WAV_N_MOD
+    samples = [
+        ((doc_id * _WAV_MULT + i * _WAV_STEP) % 65536) - 32768 for i in range(n)
+    ]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def parse_wav(payload: bytes) -> dict:
+    """REAL decode: parse a RIFF/WAVE payload with stdlib struct only.
+
+    Validates the RIFF/WAVE magics, walks the chunk list (word-aligned,
+    order-independent, unknown chunks skipped), reads the fmt fields and
+    the PCM16 samples, and reports header metadata plus exact integer
+    sample aggregates. Raises ValueError on anything that is not
+    uncompressed PCM16 — a codec must fail loudly, not guess."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos)
+        elif cid == b"data":
+            data = payload[pos : pos + size]
+        pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding: format={audio_format} bits={bits}")
+    amp = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "bits_per_sample": int(bits),
+        "n_samples": int(amp.size // n_channels),
+        "sum_amp": int(amp.sum()),
+        "min_amp": int(amp.min()),
+        "max_amp": int(amp.max()),
+    }
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [
+        T.StructField(c, T.LongType(), True)
+        for c in (
+            "sample_rate",
+            "n_channels",
+            "bits_per_sample",
+            "n_samples",
+            "sum_amp",
+            "min_amp",
+            "max_amp",
+        )
+    ]
+)
+
+
+def attach_wav(docs: DataFrame) -> DataFrame:
+    """Synthesize one WAV payload per document, executor-side (the audio
+    ingest stand-in; payload bytes never visit the driver)."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads (header fields + exact
+    integer sample aggregates) — same mapInPandas plumbing as
+    `decode_features`, but nothing is faked."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_wav(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in WAV_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=WAV_FEATURES_SCHEMA)

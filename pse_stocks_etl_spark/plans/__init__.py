@@ -23,6 +23,11 @@ try:  # corpus-prep queries (repetition, contamination, packing, TF-IDF)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # store-path queries (Z-order, rollup roundtrip, CDF preview)
+    from . import store_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #

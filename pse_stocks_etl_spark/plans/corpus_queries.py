@@ -864,6 +864,14 @@ def _sql_pipeline_keep() -> str:
     "docs_pipeline_keep",
     oracle=_sql_pipeline_keep(),
     tags=("llm", "pipeline", "composition"),
+    # Headline bench entry (round-2 review item 6): the composed
+    # quality→near-dup→contamination cleaner is the closest thing to a
+    # real corpus-cleaning job, so its wall time tracks the end-to-end
+    # cost users feel. Stage costs ≈ exact-dup groupBy (one shuffle) +
+    # MinHash-LSH (explode, band join — the dominant stage) + repetition
+    # stats (pure projections) + contamination (broadcast semi-join);
+    # the final assembly joins are all broadcast.
+    bench=True,
 )
 def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-cleaning pipeline END-TO-END: one decision per

@@ -75,6 +75,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_decode",
+    # FULL hash oracle for a REAL codec (round-2 review item 8): the
+    # payload is a genuine RIFF/WAVE PCM16 file (with a LIST chunk, so
+    # only a chunk-walking parser survives) and the decoder reads it
+    # with stdlib struct — nothing faked. The samples are closed-form
+    # integer arithmetic on (doc_id, i), so DuckDB recomputes every
+    # aggregate the decoder reports without ever seeing the bytes.
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 2654435761 + u.i * 40503) % 65536) - 32768 AS amp
+      FROM documents d, UNNEST(range(0, 64 + d.doc_id % 193)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(amp) AS BIGINT) AS sum_amp,
+           CAST(MIN(amp) AS BIGINT) AS min_amp,
+           CAST(MAX(amp) AS BIGINT) AS max_amp
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality with a REAL codec: synthesize a RIFF/WAVE PCM16
+    payload per document executor-side, then parse it back — magics,
+    chunk walk, fmt fields, PCM samples — with stdlib struct via
+    Arrow-batched mapInPandas (operators/multimodal.py::parse_wav).
+    Header metadata and exact integer sample aggregates come out; the
+    oracle recomputes them from the generation formula."""
+    from ..operators.multimodal import attach_wav, decode_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(attach_wav(docs))
+
+
+@register(
     "streaming_hourly_counts",
     # Full hash oracle (upgraded from rows-only in r2): the streaming
     # window agg must equal the batch hourly rollup bit-for-bit — same

@@ -33,9 +33,66 @@ def test_decode_features_deterministic(spark, sf_dir):
     assert len(a) == 50
 
 
-def test_real_decode_is_marked_stub():
+def test_real_decode_is_marked_stub_for_image_formats():
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00")
+
+
+def test_real_decode_parses_wav_for_real():
+    from pse_stocks_etl_spark.operators.multimodal import synth_wav
+
+    feats = real_decode(synth_wav(42))
+    n = 64 + 42 % 193
+    samples = [((42 * 2654435761 + i * 40503) % 65536) - 32768 for i in range(n)]
+    assert feats == {
+        "sample_rate": 16000,
+        "n_channels": 1,
+        "bits_per_sample": 16,
+        "n_samples": n,
+        "sum_amp": sum(samples),
+        "min_amp": min(samples),
+        "max_amp": max(samples),
+    }
+
+
+def test_parse_wav_walks_chunks_and_rejects_non_pcm():
+    import struct
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_wav, synth_wav
+
+    wav = synth_wav(7)
+    assert b"LIST" in wav  # the synth inserts a chunk between fmt and data,
+    # so a fixed-offset (44-byte-header) reader would misparse; parse_wav
+    # must walk the chunk list to pass the golden test above.
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + wav[4:])  # bad magic
+    with pytest.raises(ValueError):
+        parse_wav(wav[:12])  # no fmt/data chunks
+    # IEEE-float WAV (format code 3) must be rejected, not guessed at
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    bad = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        parse_wav(bad)
+
+
+def test_decode_wav_distributed_matches_local_parse(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav,
+        parse_wav,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = {r.doc_id: r.asDict() for r in decode_wav(attach_wav(docs)).collect()}
+    assert len(out) == 30
+    for doc_id, row in out.items():
+        expect = parse_wav(synth_wav(doc_id))
+        assert {k: row[k] for k in expect} == expect
 
 
 def test_resize_media_composes_and_is_deterministic(spark, sf_dir):

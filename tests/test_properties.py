@@ -75,6 +75,36 @@ def test_merge_is_idempotent(spark, rows):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+@given(target=rows_strategy, source=rows_strategy)
+@SETTINGS
+def test_merge_cdf_agrees_with_merge_result(spark, target, source):
+    """The CDF view must be exactly the delta of the merge: target rows
+    minus preimages plus postimages/inserts == merge_dataframes result,
+    and every update key contributes one preimage and one postimage."""
+    from pse_stocks_etl_spark.operators.merge import merge_cdf
+
+    target = _unique_by_key(target)
+    source = _unique_by_key(source)
+    tdf = spark.createDataFrame(target, ROW_SCHEMA)
+    sdf = spark.createDataFrame(source, ROW_SCHEMA)
+    cdf = merge_cdf(tdf, sdf, ["k"], freshness_col="fresh").collect()
+    pre = {r.k: (r.k, r.v, r.fresh) for r in cdf if r._change_type == "update_preimage"}
+    post = {r.k: (r.k, r.v, r.fresh) for r in cdf if r._change_type == "update_postimage"}
+    ins = {r.k: (r.k, r.v, r.fresh) for r in cdf if r._change_type == "insert"}
+    assert set(pre) == set(post)  # paired before/after images
+    assert not (set(ins) & {row[0] for row in target})  # inserts are new keys
+    applied = {row[0]: row for row in target}
+    applied.update(post)
+    applied.update(ins)
+    merged = sorted(
+        map(tuple, merge_dataframes(tdf, sdf, ["k"], freshness_col="fresh").collect())
+    )
+    assert merged == sorted(applied.values())
+    # preimages really are the target's current rows for those keys
+    tmap = {row[0]: row for row in target}
+    assert all(pre[k] == tmap[k] for k in pre)
+
+
 @given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15))
 @SETTINGS
 def test_argmax_dedup_picks_max_with_deterministic_tiebreak(spark, rows):
