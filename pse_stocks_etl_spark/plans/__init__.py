@@ -82,6 +82,7 @@ _DRIVER_FIRST = [
     "multimodal_wav_decode",
     "delta_cdf_preview",
     "grouped_rollup_store_roundtrip",
+    "gapfill_locf_daily",
     # -- block 4: r1-green queries rotated out of r2's window --
     "concat_key_distinct",
     "emb_centroid_per_label",

@@ -202,6 +202,7 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "pandas_median_per_segment",   # applyInPandas grouped-map
         "multimodal_decode",           # mapInPandas decode plumbing
         "multimodal_frame_sample",     # mapInPandas frame expansion
+        "multimodal_wav_decode",       # mapInPandas REAL WAV codec
         "datasource_price_scan",       # Python DataSource scan
     }
     offenders = {}
