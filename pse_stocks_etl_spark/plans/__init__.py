@@ -83,6 +83,12 @@ _DRIVER_FIRST = [
     "delta_cdf_preview",
     "grouped_rollup_store_roundtrip",
     "gapfill_locf_daily",
+    "orc_roundtrip_counts",
+    "jsonl_roundtrip_stats",
+    "scd2_intervals",
+    "user_interarrival_stats",
+    "wau_rolling_distinct",
+    "weekly_ohlc_bars",
     # -- block 4: r1-green queries rotated out of r2's window --
     "concat_key_distinct",
     "emb_centroid_per_label",

@@ -1019,3 +1019,279 @@ def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().alias("is_filled"),
         )
     )
+
+
+@register(
+    "orc_roundtrip_counts",
+    oracle="""
+    SELECT o_orderstatus AS orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("S4", "orc"),
+)
+def orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC staging round-trip (S4 sibling): write a lossless slice to
+    ORC, read it back through read_orc_dir with a declared schema,
+    aggregate; the oracle computes straight from parquet — equality
+    proves the ORC path is faithful. ORC keeps parquet's pushdown and
+    pruning (Spark native reader), so the staging hop costs one
+    columnar write + one columnar scan at any scale."""
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import read_orc_dir
+
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    slice_df = od.select("o_orderkey", "o_orderstatus")
+    tmp = getattr(orc_roundtrip_counts, "_staging_dir", None)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="orc_stage_")
+        orc_roundtrip_counts._staging_dir = tmp
+    slice_df.write.mode("overwrite").orc(os.path.join(tmp, "stage"))
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_orderstatus", T.StringType(), True),
+        ]
+    )
+    back = read_orc_dir(spark, os.path.join(tmp, "stage"), schema)
+    return back.groupBy(F.col("o_orderstatus").alias("orderstatus")).agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum
+    FROM events GROUP BY event_type
+    """,
+    tags=("S4", "json"),
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines staging round-trip (S4 sibling): write an int/string
+    slice of events to JSON-lines, read it back through read_json_dir
+    with a DECLARED schema (no inference pass — at 100 TB inference
+    reads everything twice), aggregate; oracle computes from parquet."""
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import read_json_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    tmp = getattr(jsonl_roundtrip_stats, "_staging_dir", None)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="jsonl_stage_")
+        jsonl_roundtrip_stats._staging_dir = tmp
+    ev.write.mode("overwrite").json(os.path.join(tmp, "stage"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+        ]
+    )
+    back = read_json_dir(spark, os.path.join(tmp, "stage"), schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("user_sum")
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+    FROM c WHERE prev IS NULL OR prev <> event_type
+    """,
+    tags=("scd2", "window", "etl"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: collapse
+    consecutive identical states per key, then derive [valid_from,
+    valid_to) intervals with LEAD (open interval = NULL valid_to = the
+    current row). The standard warehouse dimension-history pattern.
+
+    Scale: both windows partition by user_id — ONE shuffle; the
+    change-filter runs on the first sorted pass and the interval pass
+    re-sorts the (much smaller) change set within unchanged partitions.
+    Deterministic total order via (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+@register(
+    "user_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
+             AS avg_gap_us
+    FROM g GROUP BY user_id
+    """,
+    tags=("window", "timeseries"),
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per key (event-cadence profiling —
+    the feed-health check a market-data operator runs per symbol).
+
+    Determinism: gaps are exact BIGINT microseconds (epoch_micros is
+    wall-clock-pure on NTZ); the mean is a SINGLE IEEE division of two
+    exactly-representable integers, so it hash-matches cross-engine
+    (repeated double summation would not). Single-event keys yield NULL
+    min/max/avg in both engines (SUM over an empty gap set is NULL).
+    Scale: lag-window and groupBy share the user_id shuffle key."""
+    from ..functions.datetime import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_micros("ts")
+    g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us").cast("double")).alias(
+            "avg_gap_us"
+        ),
+    )
+
+
+@register(
+    "wau_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day, COUNT(DISTINCT du.user_id) AS wau
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    tags=("rolling-distinct", "analytics"),
+)
+def wau_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (WAU) — rolling COUNT
+    (DISTINCT) has no window form in either engine; the scalable plan
+    is a BOUNDED EXPLODE: each distinct (day, user) pair is replicated
+    to the <=7 window-end days it feeds, then a plain groupBy
+    count_distinct. Expansion factor = window length (a constant), all
+    joins equi-joins — no range join, no per-day self-join. The oracle
+    uses DuckDB's range join; same semantics. Observed-day filter keeps
+    windows anchored on days that exist in the data."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    # explode the 7 window-end offsets, then keep only observed days
+    exploded = (
+        du.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("day", F.expr("date_add(d, off)"))
+        .join(F.broadcast(days), "day")
+    )
+    return exploded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+@register(
+    "weekly_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT l_suppkey, CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+             l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      FROM lineitem
+    ),
+    wk AS (
+      SELECT *, DATE '1970-01-05'
+               + CAST(7 * ((d - DATE '1970-01-05') // 7) AS INT) AS week_start
+      FROM b
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_suppkey, week_start
+               ORDER BY d, l_orderkey, l_linenumber) AS ra,
+             row_number() OVER (PARTITION BY l_suppkey, week_start
+               ORDER BY d DESC, l_orderkey DESC, l_linenumber DESC) AS rd
+      FROM wk
+    )
+    SELECT l_suppkey AS suppkey, week_start,
+           MAX(CASE WHEN ra = 1 THEN l_extendedprice END) AS open_price,
+           MAX(l_extendedprice) AS high_price,
+           MIN(l_extendedprice) AS low_price,
+           MAX(CASE WHEN rd = 1 THEN l_extendedprice END) AS close_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+           COUNT(*) AS n_trades
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("timeseries", "resample", "ohlc"),
+)
+def weekly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample a daily price feed to weekly OHLC bars (the resample
+    every market-data store exposes; reference domain: daily_stock_price
+    rollups). open/close = argmin/argmax by a unique (day, orderkey,
+    linenumber) total order; high/low = plain MIN/MAX; volume = integer
+    sum.
+
+    Week bucketing is session-timezone-free DATE arithmetic anchored on
+    Monday 1970-01-05 (date_trunc('week') on NTZ would route through
+    the session zone). The whole thing is ONE aggregation with map-side
+    partial combine — min_by/max_by over a struct key instead of the
+    oracle's two ranked window passes, so the shuffle carries one row
+    per (task, suppkey, week). Spark plans it sort-based (the struct
+    agg buffer is not hash-mutable) but the sort is on grouping keys
+    within each task, not a global window sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    wk = li.withColumn(
+        "week_start",
+        F.expr(
+            "date_add(DATE '1970-01-05', "
+            "CAST(7 * (datediff(d, DATE '1970-01-05') div 7) AS INT))"
+        ),
+    )
+    key = F.struct("d", "l_orderkey", "l_linenumber")
+    return wk.groupBy(
+        F.col("l_suppkey").alias("suppkey"), "week_start"
+    ).agg(
+        F.min_by("l_extendedprice", key).alias("open_price"),
+        F.max("l_extendedprice").alias("high_price"),
+        F.min("l_extendedprice").alias("low_price"),
+        F.max_by("l_extendedprice", key).alias("close_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("volume"),
+        F.count("*").alias("n_trades"),
+    )

@@ -69,6 +69,27 @@ def read_csv_dir(spark: SparkSession, path_glob: str, schema: T.StructType) -> D
     return spark.read.csv(path_glob, header=True, schema=schema)
 
 
+def read_orc_dir(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+    """ORC directory scan with a declared schema (S4 sibling).
+
+    ORC is the second columnar staging format warehouses hand off in
+    (Hive/Trino interchange); Spark's reader is built-in and supports
+    the same predicate pushdown + column pruning as parquet. The
+    declared schema keeps the no-inference rule (SURVEY.md §7.4)."""
+    return spark.read.schema(schema).orc(path_glob)
+
+
+def read_json_dir(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines directory scan with a declared schema (S4 sibling).
+
+    The declared schema matters even more than for CSV: schema
+    inference over JSON reads the whole dataset once before the real
+    scan, and silently widens types across files. With an explicit
+    schema the scan is single-pass and missing keys become typed
+    nulls."""
+    return spark.read.schema(schema).json(path_glob)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
