@@ -1295,3 +1295,40 @@ def weekly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).alias("volume"),
         F.count("*").alias("n_trades"),
     )
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT ({sql_cents('value')} // 1000) AS bin, value FROM events
+    )
+    SELECT bin, CAST(bin * 10.0 AS DOUBLE) AS lo,
+           CAST((bin + 1) * 10.0 AS DOUBLE) AS hi,
+           COUNT(*) AS n, {sql_sum_money('value')} AS sum_value
+    FROM b GROUP BY bin
+    """,
+    tags=("histogram", "analytics"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram ($10 buckets) over a money column — the
+    width_bucket/histogram primitive every BI layer asks for, computed
+    as one hash aggregate (integer bucket key from exact cents, so the
+    bin edges are deterministic; a double division would put .xx5
+    boundary values in different bins per engine). Bin edges are exact
+    single IEEE multiplications of small integers."""
+    from ..functions.money import cents
+
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(cents(F.col("value")) / 1000)
+    return (
+        ev.groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"), sum_money(F.col("value")).alias("sum_value"))
+        .select(
+            "bin",
+            (F.col("bin") * 10.0).cast("double").alias("lo"),
+            ((F.col("bin") + 1) * 10.0).cast("double").alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )
