@@ -1332,3 +1332,182 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "vwap_weekly",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_suppkey,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+             {sql_cents('l_extendedprice')} AS c,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    wk AS (
+      SELECT *, DATE '1970-01-05'
+               + CAST(7 * ((d - DATE '1970-01-05') // 7) AS INT) AS week_start
+      FROM b
+    )
+    SELECT l_suppkey AS suppkey, week_start,
+           CAST(SUM(c * q) AS DOUBLE) / CAST(100 * SUM(q) AS DOUBLE) AS vwap,
+           CAST(SUM(q) AS BIGINT) AS total_qty
+    FROM wk GROUP BY 1, 2
+    """,
+    tags=("timeseries", "vwap"),
+)
+def vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per symbol-week — the standard
+    execution benchmark in market data. Numerator and denominator are
+    EXACT integer sums (cents x quantity), combined by one IEEE
+    division, so the result hash-matches cross-engine (a SUM over
+    price*qty doubles would depend on summation order). One hash
+    aggregate with map-side partial combine; same Monday-anchored
+    tz-free week bucketing as weekly_ohlc_bars."""
+    from ..functions.money import cents
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("d"),
+        cents(F.col("l_extendedprice")).alias("c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    wk = li.withColumn(
+        "week_start",
+        F.expr(
+            "date_add(DATE '1970-01-05', "
+            "CAST(7 * (datediff(d, DATE '1970-01-05') div 7) AS INT))"
+        ),
+    )
+    return wk.groupBy(F.col("l_suppkey").alias("suppkey"), "week_start").agg(
+        (
+            F.sum(F.col("c") * F.col("q")).cast("double")
+            / (F.lit(100) * F.sum("q")).cast("double")
+        ).alias("vwap"),
+        F.sum("q").alias("total_qty"),
+    )
+
+
+@register(
+    "rolling_volatility",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_suppkey,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+             {sql_cents('l_extendedprice')} AS c,
+             row_number() OVER (
+               PARTITION BY l_suppkey, CAST(date_trunc('day', l_shipdate) AS DATE)
+               ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM lineitem
+    ),
+    daily AS (SELECT l_suppkey, d, c FROM ranked WHERE rn = 1),
+    rets AS (
+      SELECT l_suppkey, d,
+             c - lag(c) OVER (PARTITION BY l_suppkey ORDER BY d) AS ret
+      FROM daily
+    ),
+    acc AS (
+      SELECT l_suppkey, d,
+             CAST(COUNT(ret) OVER w AS BIGINT) AS n_obs,
+             CAST(SUM(ret) OVER w AS BIGINT) AS s1,
+             CAST(SUM(ret * ret) OVER w AS BIGINT) AS s2
+      FROM rets
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey AS suppkey, d AS day, n_obs,
+           CASE WHEN n_obs > 0 THEN
+             CAST(n_obs * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n_obs * n_obs AS DOUBLE)
+           END AS var_cents2
+    FROM acc
+    """,
+    tags=("timeseries", "volatility", "window"),
+)
+def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-observation variance of daily price changes per symbol
+    (the volatility input to any risk model), with EXACT cross-engine
+    parity: rolling Σx and Σx² are integer-cents window sums, and the
+    population variance (n·Σx² − (Σx)²)/n² is formed from exact BIGINTs
+    with one IEEE division. The engines' own var_pop/stddev are
+    Welford-style accumulations whose rounding is order-dependent and
+    never hash-matches (same trick as value_zscore_outliers).
+
+    Scale: daily close (argmax within day), LAG, and both rolling sums
+    all share the suppkey partition key — ONE shuffle, streaming O(1)
+    window state per frame."""
+    from ..functions.money import cents
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("d"),
+        cents(F.col("l_extendedprice")).alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    daily = li.groupBy("l_suppkey", "d").agg(
+        F.max_by("c", F.struct("l_orderkey", "l_linenumber")).alias("c")
+    )
+    wd = Window.partitionBy("l_suppkey").orderBy("d")
+    rets = daily.select(
+        "l_suppkey", "d", (F.col("c") - F.lag("c").over(wd)).alias("ret")
+    )
+    wf = wd.rowsBetween(-19, 0)
+    acc = rets.select(
+        "l_suppkey",
+        "d",
+        F.count("ret").over(wf).alias("n_obs"),
+        F.sum("ret").over(wf).alias("s1"),
+        F.sum(F.col("ret") * F.col("ret")).over(wf).alias("s2"),
+    )
+    num = F.col("n_obs") * F.col("s2") - F.col("s1") * F.col("s1")
+    var = F.when(
+        F.col("n_obs") > 0,
+        num.cast("double") / (F.col("n_obs") * F.col("n_obs")).cast("double"),
+    )
+    return acc.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("d").alias("day"),
+        "n_obs",
+        var.alias("var_cents2"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + (month(o_orderdate) - 1)) AS m
+      FROM orders
+    ),
+    first_m AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY o_custkey)
+    SELECT CAST(f.m0 // 12 AS BIGINT) AS cohort_year,
+           CAST(f.m0 % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(o.m - f.m0 AS BIGINT) AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM om o JOIN first_m f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("cohort", "analytics"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: customers grouped by first-order month,
+    counted per month offset — the standard product-analytics rollup.
+    Month indices are pure integer arithmetic (year*12+month), immune
+    to session timezone and date-diff semantics differences.
+
+    Scale: first-order month is a groupBy on custkey, joined back on
+    the same key (co-partitioned — AQE plans one shuffle for both
+    sides), then a low-cardinality (cohort, offset) distinct count."""
+    om = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("m"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    joined = om.join(first_m, "o_custkey")
+    return joined.groupBy(
+        (F.col("m0") / 12).cast("long").alias("cohort_year"),
+        (F.col("m0") % 12 + 1).cast("long").alias("cohort_month"),
+        (F.col("m") - F.col("m0")).cast("long").alias("month_offset"),
+    ).agg(F.countDistinct("o_custkey").alias("n_customers"))
