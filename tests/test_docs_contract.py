@@ -1,0 +1,47 @@
+"""Doc-drift guards: the coverage/readme headline numbers must match
+the live registry (a stale count was a round-2 review finding)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry():
+    from pse_stocks_etl_spark import plans
+
+    return plans.REGISTRY
+
+
+def test_coverage_header_matches_registry():
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(r"\*\*(\d+) queries — (\d+) with exact DuckDB", text)
+    assert m, "COVERAGE.md totals header not found"
+    reg = _registry()
+    n_oracle = sum(1 for q in reg.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(reg)
+    assert int(m.group(2)) == n_oracle
+
+
+def test_readme_counts_match_registry():
+    text = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"`queries\(\)` — (\d+) named operators", text)
+    assert m, "README.md queries() count not found"
+    reg = _registry()
+    assert int(m.group(1)) == len(reg)
+    m2 = re.search(r"(\d+) carry exact DuckDB oracles", text)
+    assert m2, "README.md oracle count not found"
+    assert int(m2.group(1)) == sum(1 for q in reg.values() if q.oracle is not None)
+
+
+def test_coverage_driver_map_covers_registry():
+    """Every registry query appears in the driver-verification map, and
+    every mapped name exists in the registry (no ghost rows)."""
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    section = text.split("## Driver-verification map", 1)[1]
+    mapped = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.MULTILINE))
+    reg = set(_registry())
+    assert reg - mapped == set(), f"missing from driver map: {sorted(reg - mapped)}"
+    assert mapped - reg == set(), f"ghost rows in driver map: {sorted(mapped - reg)}"
