@@ -613,7 +613,7 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_user_profile",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS profile
     FROM events GROUP BY user_id
     """,
@@ -623,11 +623,15 @@ def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/string aggregation: per-user DISTINCT event-type set,
     sorted before emission — collect_set order is partition-dependent,
     so sort_array makes the result deterministic and oracle-comparable
-    (same rule as every other tie-break in this engine)."""
+    (same rule as every other tie-break in this engine). The array is
+    built and exercised in-plan (collect_set → sort_array) but emitted
+    as scalars (size + joined string): the driver's canonicalizer
+    sorts result columns with pandas, which cannot order list values —
+    CORRECTNESS_r03 `unhashable type: 'list'`."""
     ev = _t(spark, sf_dir, "events")
     types = F.sort_array(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        types.alias("event_types"),
+        F.size(types).cast("long").alias("n_types"),
         F.array_join(types, ",").alias("profile"),
     )
 
@@ -780,10 +784,13 @@ def approx_quantile_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — the scale path when exact percentiles would need a
     per-group sort. Exact percentile twin: median_price_per_flag."""
     ev = _t(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10_000)
+    # One sketch pass computes both percentiles; emit them as scalar
+    # columns — the driver's canonicalizer cannot sort list-typed
+    # result columns (CORRECTNESS_r03 `unhashable type: 'list'`).
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10_000).alias(
-            "approx_p50_p90"
-        ),
+        q.getItem(0).alias("approx_p50"),
+        q.getItem(1).alias("approx_p90"),
         F.count("*").alias("n"),
     )
 

@@ -107,7 +107,7 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     from pse_stocks_etl_spark.sources.catalog import load_table
 
     approx = {
-        r.event_type: r.approx_p50_p90
+        r.event_type: (r.approx_p50, r.approx_p90)
         for r in plans.REGISTRY["approx_quantile_per_key"].fn(spark, sf_dir).collect()
     }
     exact = {
