@@ -156,7 +156,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window_start is a true TIMESTAMP (the streaming runtime needs
     # TimestampType for watermarks); its epoch micros ARE the wall-clock
     # micros (stream_events builds instants from the stored wall-clock
-    # nanos), so the NTZ reconstruction is exact and session-tz-free.
+    # value, whatever unit the file carries), so the NTZ reconstruction
+    # is exact and session-tz-free.
     hour = F.expr(
         "timestampadd(MICROSECOND, unix_micros(window_start), "
         "TIMESTAMP_NTZ '1970-01-01 00:00:00')"

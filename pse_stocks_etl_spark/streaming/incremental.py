@@ -4,9 +4,13 @@ The reference's `sync` is a micro-batch incremental pattern (per-key
 watermark + late-data window + idempotent upsert). This module is the
 same semantics on Spark's native streaming runtime:
 
-- `stream_events` — file-source stream over the events table (declared
-  schema; the nano-timestamp parquet is read as long and converted with
-  wall-clock NTZ arithmetic, same as the batch reader).
+- `stream_events` — file-source stream over the events table. The
+  declared schema is chosen from the files' ACTUAL parquet logical
+  type (footer-only pyarrow inspection): TIMESTAMP(MICROS/MILLIS)
+  columns read natively as TIMESTAMP_NTZ, TIMESTAMP(NANOS)/raw-int64
+  columns read as nanos longs — never hard-coded, so a fixture
+  regeneration or writer change can't silently rescale event time
+  (the round-4 1000×-collapse failure mode).
 - `windowed_event_counts` — event-time tumbling-window aggregation with
   a watermark for late data (T2's principled replacement: instead of a
   re-fetch lookback, late rows within the watermark delay fold into
@@ -28,35 +32,101 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..store.parquet_table import ParquetTable
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Declared-schema variants; which one applies depends on the files' real
+# parquet logical type (see `events_ts_unit`).
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())  # TIMESTAMP(NANOS)/int64 as long
+EVENTS_NTZ_SCHEMA = _events_schema(T.TimestampNTZType())  # TIMESTAMP(MICROS/MILLIS)
+
+
+def events_ts_unit(path: str) -> str:
+    """Learn how `ts` is physically stored by reading ONE parquet footer
+    under `path` (file, directory, or glob): returns ``"timestamp"`` for
+    TIMESTAMP(MICROS/MILLIS) logical columns (native TIMESTAMP_NTZ read)
+    or ``"long_ns"`` for TIMESTAMP(NANOS)/raw-int64 columns (nanos-long
+    read). Footer-only — no data pages are touched, so this is O(1)
+    driver-side regardless of dataset size.
+
+    Declared schemas MUST match the file's physical type: a LongType
+    declaration over a micros column yields raw micros (not nanos), and
+    any hard-coded unit conversion then rescales the timeline silently —
+    the exact bug this probe exists to prevent. Defaults to
+    ``"timestamp"`` (the testdata writer's convention) when no file
+    exists yet (e.g. streaming an initially-empty source directory)."""
+    import glob as globlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def first_parquet(entry: str) -> str | None:
+        if os.path.isfile(entry):
+            return entry if entry.endswith(".parquet") else None
+        if os.path.isdir(entry):
+            for root, dirs, files in sorted(os.walk(entry)):
+                dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+                for f in sorted(files):
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        return os.path.join(root, f)
+        return None
+
+    sample = None
+    for entry in sorted(globlib.glob(path)) or [path]:
+        sample = first_parquet(entry)
+        if sample:
+            break
+    if sample is None:
+        return "timestamp"
+    field = pq.ParquetFile(sample).schema_arrow.field("ts")
+    if pa.types.is_timestamp(field.type) and field.type.unit in ("us", "ms"):
+        return "timestamp"
+    return "long_ns"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one file = one micro-batch
-    at most; `maxFilesPerTrigger` would shard real feeds)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    at most; `maxFilesPerTrigger` would shard real feeds).
+
+    Event time comes out as a true TIMESTAMP instant (epoch-µs == the
+    stored wall-clock µs, session-tz-free): Spark's watermark machinery
+    requires TimestampType, and both unit branches build the instant
+    with pure wall-clock arithmetic."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    unit = events_ts_unit(sf_dir)
+    if unit == "long_ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = EVENTS_RAW_SCHEMA if unit == "long_ns" else EVENTS_NTZ_SCHEMA
+    reader = spark.readStream.schema(schema).format("parquet")
     if os.path.isfile(sf_dir):
         # File streams source requires a directory: stream the parent,
         # glob-filtered to the one file.
         reader = reader.option("pathGlobFilter", os.path.basename(sf_dir))
         sf_dir = os.path.dirname(sf_dir)
     raw = reader.load(sf_dir)
-    # Event-time here becomes a true TIMESTAMP instant (epoch-µs), not
-    # NTZ: Spark's watermark machinery requires TimestampType
-    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "long_ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ wall-clock → instant carrying the same µs value: timestampdiff
+    # against an NTZ epoch base never consults the session timezone.
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 def windowed_event_counts(

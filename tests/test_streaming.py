@@ -124,10 +124,13 @@ def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
 
     from pse_stocks_etl_spark.streaming.incremental import interval_join_clicks
 
-    HOUR = 3_600 * 10**9  # nanos
-    T0 = 1_700_000_000 * 10**9
+    HOUR = 3_600 * 10**6  # micros — fixtures carry the driver files' unit
+    T0 = 1_700_000_000 * 10**6
 
     def rows(*specs):
+        # Written as TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS), the same
+        # physical type as /root/testdata's events.parquet, so the unit
+        # probe in stream_events sees what production sees.
         return spark.createDataFrame(
             [
                 (eid, T0 + int(h * HOUR), uid, etype, 1.0, "{}")
@@ -135,6 +138,11 @@ def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
             ],
             "event_id long, ts long, user_id long, event_type string, "
             "value double, props string",
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
 
     batches = [
@@ -176,9 +184,7 @@ def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
     }
     # Batch reference: the same operator on the unioned batch frame
     # (withWatermark is a no-op in batch execution).
-    union = batches[0].unionAll(batches[1]).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    union = batches[0].unionAll(batches[1])
     expected = {
         (r.click_id, r.purchase_id)
         for r in interval_join_clicks(union).collect()
