@@ -32,70 +32,77 @@ except ImportError:  # pragma: no cover - partial checkouts
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. Rounds 1-2 verified 59 of the queries; the list below
-# front-loads the remainder so CORRECTNESS_r03 confirms them:
-#   1. the three round-1 FAILs whose fixes were only locally verified
-#      (csv_roundtrip_counts, json_extract_props, approx_distinct_per_key),
-#   2. the 29 queries that have never had a driver row,
-#   3. queries added in round 3,
-#   4. the six round-1-green queries rotated out of round 2's window.
-# Everything not named keeps its original (round-2-green) order after these.
+# order each round. The round-5 window below leads with every query that has
+# NO hash-green row in any CORRECTNESS_r*.json (the rotation contract
+# tests/test_parity.py::test_driver_window_covers_unverified_queries now
+# enforces mechanically — a no-rotation round turns the suite red):
+#   1. the two streaming queries fixed this round (timestamp-unit bug —
+#      the driver must re-confirm the fix end-to-end),
+#   2. the five round-3 additions that were queued for the r4 rotation but
+#      never entered a window (r4 did not rotate — r4 verdict item 2),
+#   3. the two sketch queries upgraded from rows-only to full error-bound
+#      oracles this round (never hash-checked before by construction),
+#   4. array_agg_user_profile (r4's one fix — one more confirmation),
+#   5. refresh: the oldest greens (last seen by the driver in round 2), in
+#      registry order; the 7 that don't fit this window lead round 6's.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- block 1: r1 driver FAILs, fixed in r2, never driver-reconfirmed --
-    "csv_roundtrip_counts",
-    "json_extract_props",
+    # -- block 1: fixed in r5, driver must re-confirm --
+    "streaming_hourly_counts",
+    "streaming_click_join",
+    # -- block 2: never driver-checked (r4 rotation queue) --
+    "docs_incremental_dedup",
+    "value_histogram",
+    "vwap_weekly",
+    "rolling_volatility",
+    "retention_cohorts",
+    # -- block 3: sketch queries, now with full error-bound oracles --
     "approx_distinct_per_key",
-    # -- block 2: never driver-checked (beyond the 50-row window in r1+r2) --
-    "sql_api_top_nations",
-    "pandas_median_per_segment",
-    "session_window_native",
-    "salted_hot_key_agg",
-    "except_lapsed_customers",
-    "cube_order_stats",
-    "unpivot_event_counts",
-    "array_agg_user_profile",
-    "grouping_sets_revenue",
-    "range_interval_user_stats",
-    "window_rank_suite",
     "approx_quantile_per_key",
-    "kmv_distinct_users",
-    "funnel_stages",
-    "docs_repetition_stats",
-    "docs_contamination",
-    "docs_pack_chunks",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_global_index",
-    "intersect_trading_nations",
-    "above_avg_orders",
-    "lateral_top_orders",
-    "returned_items_topn",
-    "nation_trade_volume",
-    "range_join_binned",
-    "docs_token_outliers",
-    "value_zscore_outliers",
-    "docs_pipeline_keep",
-    # -- block 3: round-3 additions (driver-unseen by definition) --
-    "zorder_pruned_scan",
-    "multimodal_wav_decode",
-    "delta_cdf_preview",
-    "grouped_rollup_store_roundtrip",
-    "gapfill_locf_daily",
-    "orc_roundtrip_counts",
-    "jsonl_roundtrip_stats",
-    "scd2_intervals",
-    "user_interarrival_stats",
-    "wau_rolling_distinct",
-    "weekly_ohlc_bars",
-    # -- block 4: r1-green queries rotated out of r2's window --
-    "concat_key_distinct",
-    "emb_centroid_per_label",
-    "empty_relation_clone",
-    "median_price_per_flag",
-    "moving_avg_price",
-    "running_total_per_customer",
+    # -- block 4: r4's fix, reconfirm --
+    "array_agg_user_profile",
+    # -- block 5: refresh of the oldest (round-2) greens, registry order --
+    "pricing_summary",
+    "watermark_per_key",
+    "dedup_argmax",
+    "topk_per_group",
+    "select_rename_filter",
+    "distinct_dims",
+    "union_all_batches",
+    "classify_freshness",
+    "merge_upsert_preview",
+    "freshness_merge_preview",
+    "semi_join_in",
+    "anti_join_uptodate",
+    "broadcast_watermark_join",
+    "incremental_windows",
+    "date_parse_format",
+    "top_n_orders",
+    "sessionization",
+    "hourly_event_rollup",
+    "rollup_orders",
+    "pivot_event_counts",
+    "star_join_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_token_stats",
+    "docs_lang_id",
+    "docs_ngram_jaccard_pairs",
+    "docs_minhash_lsh_pairs",
+    "docs_simhash",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+    "emb_near_dup_pairs",
+    "docs_near_dup_clusters",
+    "docs_top_terms",
+    "docs_bpe_token_stats",
+    "docs_quality_score",
+    "docs_pii_scrub",
+    "docs_split_assign",
 ]
 
 

@@ -594,6 +594,9 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("window-agg", "streaming-analog"),
+    # benched as the batch twin of streaming_hourly_counts: the pair
+    # quantifies the micro-batch runtime's overhead on identical logic
+    bench=True,
 )
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch analog of the Structured

@@ -114,22 +114,41 @@ def distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_per_key",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check;
-    # accuracy is asserted against the exact counts in tests/test_ext.py
-    tags=("approx-agg", "rows-only"),
+    # FULL hash oracle via an error-bound VERDICT (round-4 review item
+    # 5): the HLL++ estimates themselves are engine-specific, so the
+    # query emits the exact counts plus booleans asserting the sketch
+    # landed within its accuracy contract (|approx - exact| <= 2 +
+    # exact/10 — rsd=0.02, so the 10% band is a ~5-sigma envelope). The
+    # oracle recomputes the exact counts and asserts the verdicts TRUE:
+    # a Spark upgrade that broke the sketch would hash-mismatch.
+    oracle="""
+    SELECT l_suppkey AS suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           TRUE AS parts_ok, TRUE AS orders_ok
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("approx-agg", "sketch", "error-bound-verdict"),
 )
 def approx_distinct_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates: approx_count_distinct (HyperLogLog++) and
-    percentile_approx (KLL-style quantile sketch) — the at-scale forms
-    of distinct_count_per_key / median_price_per_flag. Sketches merge
-    map-side; no distinct shuffle of the full key/value set. Sketch
-    internals are engine-specific → rows-only check; accuracy is
-    asserted against the exact counts in tests/test_ext.py."""
+    """Approximate distinct counts (approx_count_distinct — HLL++): the
+    at-scale form of distinct_count_per_key. Sketches merge map-side;
+    no distinct shuffle of the full key set. The exact twins computed
+    alongside exist to grade the sketch (integer-only error bound →
+    deterministic verdict); a pure production plan would drop them."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return agg.select(
+        "suppkey",
+        "n_parts",
+        "n_orders",
+        F.expr("abs(ap - n_parts) <= 2 + n_parts div 10").alias("parts_ok"),
+        F.expr("abs(ao - n_orders) <= 2 + n_orders div 10").alias("orders_ok"),
     )
 
 
@@ -611,11 +630,21 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_agg_user_profile",
+    # NULL-proof on both sides (r4 ADVICE): Spark's collect_set DROPS
+    # NULL elements while DuckDB's list(DISTINCT ...) KEEPS one, so the
+    # oracle filters NULLs explicitly — the two stay aligned even if the
+    # testdata ever gains NULL event_type rows.
     oracle="""
+    WITH sets AS (
+      SELECT user_id,
+             coalesce(list(DISTINCT event_type) FILTER (event_type IS NOT NULL),
+                      []) AS types
+      FROM events GROUP BY user_id
+    )
     SELECT user_id,
-           CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS profile
-    FROM events GROUP BY user_id
+           CAST(len(types) AS BIGINT) AS n_types,
+           coalesce(array_to_string(list_sort(types), ','), '') AS profile
+    FROM sets
     """,
     tags=("array-agg", "collect"),
 )
@@ -772,26 +801,56 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantile_per_key",
-    oracle=None,  # GK-sketch internals are engine-specific (rows-only);
-    # accuracy vs the exact percentile is asserted in
-    # tests/test_ext.py::test_approx_quantiles_close_to_exact
-    tags=("approx", "sketch", "rows-only"),
+    # FULL hash oracle via a RANK-error verdict (round-4 review item 5).
+    # The GK estimate is engine-specific, but its contract is exact and
+    # integer-checkable: the returned value's rank within the group must
+    # sit inside [p - tol, p + tol]. The plan counts rows <= / < the
+    # estimate (pure integers, tie-robust) and emits booleans; the
+    # oracle asserts them TRUE and recomputes the exact dyadic median
+    # over integer cents (cross-engine bit-exact, cf.
+    # median_price_per_flag).
+    oracle=f"""
+    SELECT event_type, COUNT(value) AS n,
+           (quantile_cont({sql_cents('value')}, 0.5) / 100.0) AS exact_p50,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("approx", "sketch", "error-bound-verdict"),
 )
 def approx_quantile_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per key (percentile_approx — the
     Greenwald-Khanna sketch): mergeable partial state, so the shuffle
     moves one bounded sketch per (key, partition) instead of the raw
     values — the scale path when exact percentiles would need a
-    per-group sort. Exact percentile twin: median_price_per_flag."""
+    per-group sort. With accuracy=10000 the rank error is <= n/10000;
+    the verdict allows +-5% of rank (integer arithmetic only: floor /
+    ceil via `div`), so any conforming sketch passes and a broken one
+    hash-mismatches. The second pass that grades the estimate joins the
+    tiny per-key sketch output back broadcast — no extra shuffle of the
+    raw rows."""
     ev = _t(spark, sf_dir, "events")
     q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10_000)
-    # One sketch pass computes both percentiles; emit them as scalar
-    # columns — the driver's canonicalizer cannot sort list-typed
-    # result columns (CORRECTNESS_r03 `unhashable type: 'list'`).
-    return ev.groupBy("event_type").agg(
-        q.getItem(0).alias("approx_p50"),
-        q.getItem(1).alias("approx_p90"),
-        F.count("*").alias("n"),
+    sk = ev.groupBy("event_type").agg(
+        q.getItem(0).alias("a50"), q.getItem(1).alias("a90")
+    )
+    graded = ev.join(F.broadcast(sk), "event_type").groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a90")).cast("long")).alias("le90"),
+        F.sum((F.col("value") < F.col("a90")).cast("long")).alias("lt90"),
+        F.expr(f"percentile({sql_cents('value')}, 0.5)").alias("p50c"),
+    )
+    return graded.select(
+        "event_type",
+        "n",
+        (F.col("p50c") / 100.0).alias("exact_p50"),
+        F.expr("le50 >= (9 * n) div 20 AND lt50 <= (11 * n + 19) div 20").alias(
+            "p50_ok"
+        ),
+        F.expr("le90 >= (17 * n) div 20 AND lt90 <= (19 * n + 19) div 20").alias(
+            "p90_ok"
+        ),
     )
 
 

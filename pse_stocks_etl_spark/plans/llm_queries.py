@@ -262,32 +262,71 @@ def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every near-dup query references it several times (self-join sides,
 # sizes, signatures, verify), and per-call persists would accumulate
 # orphaned cached copies across bench/parity sweeps. ~16 B/row
-# MEMORY_AND_DISK; a handful of sf_dirs per session → bounded.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# MEMORY_AND_DISK. Capped LRU (r4 verdict item 7): beyond
+# SHINGLE_CACHE_CAP entries the least-recently-used working set is
+# unpersisted and dropped, so a long-lived service sweeping many
+# sf_dirs can never pin executor storage without bound.
+SHINGLE_CACHE_CAP = 2
+
+
+class _PersistedLRU:
+    """LRU of persisted DataFrames; evicted entries are unpersisted.
+
+    Eviction survives dead sessions: unpersist on a stopped
+    SparkContext raises, which must not break the NEXT session's
+    cache fill."""
+
+    def __init__(self, cap: int):
+        from collections import OrderedDict
+
+        self.cap = cap
+        self._entries: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
+
+    def get_or_build(self, key, build):
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        df = build()
+        self._entries[key] = df
+        while len(self._entries) > self.cap:
+            _, evicted = self._entries.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to free
+        return df
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+_SHINGLE_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = _shingle_explode(spark, sf_dir).persist(
+    return _SHINGLE_CACHE.get_or_build(
+        key,
+        lambda: _shingle_explode(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK
-        )
-    return _SHINGLE_CACHE[key]
+        ),
+    )
 
 
 # The df-capped working set is shared the same way: the exact-Jaccard
 # pairs query and the clustering query both need it, and the hot-set
 # aggregation + anti-join shouldn't run twice per session.
-_SHINGLE_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CAPPED_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
 
 
 def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CAPPED_CACHE:
+
+    def build() -> DataFrame:
         sh = _shingles_cached(spark, sf_dir)
         hot = (
             sh.groupBy("sh")
@@ -295,10 +334,11 @@ def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") > NGRAM_DF_CAP)
             .select("sh")
         )
-        _SHINGLE_CAPPED_CACHE[key] = sh.join(
-            F.broadcast(hot), "sh", "left_anti"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    return _SHINGLE_CAPPED_CACHE[key]
+        return sh.join(F.broadcast(hot), "sh", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    return _SHINGLE_CAPPED_CACHE.get_or_build(key, build)
 
 
 def _exact_jaccard(

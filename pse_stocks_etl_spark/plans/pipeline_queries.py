@@ -128,6 +128,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming",),
+    # benched (r4 verdict item 6) so micro-batch overhead is tracked
+    # against the batch twin hourly_event_rollup every round
+    bench=True,
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation executed on the Structured

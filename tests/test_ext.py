@@ -6,19 +6,16 @@ from pse_stocks_etl_spark import plans
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """The query now grades its own sketch (error-bound verdict, r4
+    item 5): exact counts must agree with the exact-distinct twin and
+    every verdict must hold."""
     exact = {
         r.suppkey: (r.n_parts, r.n_orders)
         for r in plans.REGISTRY["distinct_count_per_key"].fn(spark, sf_dir).collect()
     }
-    approx = {
-        r.suppkey: (r.approx_parts, r.approx_orders)
-        for r in plans.REGISTRY["approx_distinct_per_key"].fn(spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for k, (p, o) in exact.items():
-        ap, ao = approx[k]
-        assert abs(ap - p) <= max(3, 0.1 * p)  # rsd=2% sketch, generous bound
-        assert abs(ao - o) <= max(3, 0.1 * o)
+    graded = plans.REGISTRY["approx_distinct_per_key"].fn(spark, sf_dir).collect()
+    assert {r.suppkey: (r.n_parts, r.n_orders) for r in graded} == exact
+    assert all(r.parts_ok and r.orders_ok for r in graded)
 
 
 def test_asof_attribution_clicks_precede_purchases(spark, sf_dir):
@@ -84,44 +81,28 @@ def test_star_cc_matches_min_label_on_multi_component_graph(spark):
                     (10, 10), (11, 10), (12, 10), (99, 99)}
 
 
-def test_approx_median_close_to_exact(spark, sf_dir):
-    approx = {
-        r.suppkey: r.approx_median_price
-        for r in plans.REGISTRY["approx_distinct_per_key"].fn(spark, sf_dir).collect()
-    }
-    exact_all = {
-        r.returnflag: r.median_price
-        for r in plans.REGISTRY["median_price_per_flag"].fn(spark, sf_dir).collect()
-    }
-    # sanity: per-supplier approx medians live in the plausible price band
-    lo, hi = min(exact_all.values()) * 0.2, max(exact_all.values()) * 5
-    assert all(lo <= v <= hi for v in approx.values())
-
-
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
-    """percentile_approx per event_type vs the exact percentile: with
-    accuracy=10000 the GK sketch's rank error is <= n/10000, far inside
-    a 2% value tolerance on this data."""
+    """percentile_approx per event_type, graded by the query's own
+    rank-error verdict (r4 item 5): with accuracy=10000 the GK sketch's
+    rank error is <= n/10000, far inside the +-5%-of-rank band the
+    verdict allows; exact_p50 must match the direct exact percentile."""
     from pyspark.sql import functions as F
 
     from pse_stocks_etl_spark.sources.catalog import load_table
 
-    approx = {
-        r.event_type: (r.approx_p50, r.approx_p90)
-        for r in plans.REGISTRY["approx_quantile_per_key"].fn(spark, sf_dir).collect()
-    }
+    graded = plans.REGISTRY["approx_quantile_per_key"].fn(spark, sf_dir).collect()
+    assert graded
+    assert all(r.p50_ok and r.p90_ok for r in graded)
     exact = {
-        r.event_type: (r.p50, r.p90)
+        r.event_type: r.p50
         for r in load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.9).alias("p90"),
+            F.expr(
+                "percentile(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0"
+            ).alias("p50")
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, (a50, a90) in approx.items():
-        e50, e90 = exact[et]
-        assert abs(a50 - e50) <= 0.02 * max(abs(e50), 1.0), (et, a50, e50)
-        assert abs(a90 - e90) <= 0.02 * max(abs(e90), 1.0), (et, a90, e90)
+    for r in graded:
+        assert r.exact_p50 == exact[r.event_type], (r.event_type, r.exact_p50)

@@ -152,3 +152,62 @@ def test_kmeans_refine_moves_centroids_and_partitions_all_vectors(spark, sf_dir)
         1 for r in rows if abs(r.centroid_val - seeds[(r.cid, r.dim)]) > 1e-9
     )
     assert moved > len(rows) // 2
+
+
+def test_shingle_cache_lru_unpersists_beyond_cap(spark, sf_dir, tmp_path):
+    """The persisted shingle working sets are a capped LRU (r4 verdict
+    item 7): touching more sf_dirs than SHINGLE_CACHE_CAP evicts AND
+    unpersists the oldest, so a long-lived service can't pin executor
+    storage per sf_dir forever."""
+    import os
+
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    # distinct sf_dir keys over the same tiny data: symlink farms
+    def clone(name):
+        d = tmp_path / name
+        d.mkdir()
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"), d / "documents.parquet"
+        )
+        return str(d)
+
+    dirs = [clone(f"sf_clone_{i}") for i in range(lq.SHINGLE_CACHE_CAP + 1)]
+    frames = [lq._shingles_cached(spark, d) for d in dirs]
+    for df in frames:
+        df.count()  # materialize the persist
+    assert len(lq._SHINGLE_CACHE) <= lq.SHINGLE_CACHE_CAP
+    # the first (least recently used) entry was evicted and unpersisted
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[0].storageLevel.useDisk is False
+    # the newest is still persisted and still served from the cache
+    assert frames[-1].storageLevel.useMemory is True
+    assert lq._shingles_cached(spark, dirs[-1]) is frames[-1]
+
+
+def test_persisted_lru_eviction_order_and_dead_session_safety():
+    """Unit contract of the LRU itself: move-to-end on re-access, evict
+    oldest first, and an unpersist that raises (stopped SparkContext)
+    must not break the next fill."""
+    from pse_stocks_etl_spark.plans.llm_queries import _PersistedLRU
+
+    class Frame:
+        def __init__(self, explode=False):
+            self.explode = explode
+            self.unpersisted = False
+
+        def unpersist(self):
+            if self.explode:
+                raise RuntimeError("SparkContext was shut down")
+            self.unpersisted = True
+
+    lru = _PersistedLRU(cap=2)
+    a, b, c, d = Frame(explode=True), Frame(), Frame(), Frame()
+    assert lru.get_or_build("a", lambda: a) is a
+    assert lru.get_or_build("b", lambda: b) is b
+    assert lru.get_or_build("a", lambda: None) is a  # cache hit, no rebuild
+    lru.get_or_build("c", lambda: c)  # evicts b (a was re-accessed)
+    assert b.unpersisted and not a.unpersisted
+    lru.get_or_build("d", lambda: d)  # evicts a — its unpersist raises
+    assert len(lru) == 2  # dead-session unpersist swallowed, cache intact
+    assert lru.get_or_build("c", lambda: None) is c

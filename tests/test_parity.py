@@ -42,17 +42,36 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_covers_unverified_queries():
-    """The driver records the first 50 registry entries; every query
-    without a cumulative driver-green row (r1+r2) must sit inside that
-    window, former r1 FAILs first (VERDICT r2 item 1)."""
+    """Rotation contract, mechanically enforced (VERDICT r4 item 3): the
+    driver records the first 50 registry entries, so every registry
+    query that has NEVER had a hash-green row in any CORRECTNESS_r*.json
+    MUST sit inside that window. Round 4 skipped the rotation and the
+    driver silently re-confirmed 47 already-green queries while a real
+    streaming regression hid beyond the window — this test makes a
+    no-rotation round red instead of silent."""
+    import glob
+    import json
+    import os
+
     names = list(plans.REGISTRY)
     window = set(names[:50])
     priority = [n for n in _DRIVER_FIRST if n in plans.REGISTRY]
-    # the priority block must lead the registry, in order
+    # the priority block must lead the registry, in order, inside the window
     assert names[: len(priority)] == priority
-    assert names[:3] == [
-        "csv_roundtrip_counts",
-        "json_extract_props",
-        "approx_distinct_per_key",
-    ]
     assert set(priority) <= window, sorted(set(priority) - window)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hash_green: set[str] = set()
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert rounds, "driver CORRECTNESS files missing from repo root"
+    for path in rounds:
+        for name, rec in json.load(open(path)).items():
+            if rec.get("hash_match") is True:
+                hash_green.add(name)
+    never_checked = set(names) - hash_green
+    outside = sorted(never_checked - window)
+    assert not outside, (
+        "registry queries with no driver hash-green row in any round are "
+        f"outside the 50-entry driver window — rotate _DRIVER_FIRST "
+        f"(plans/__init__.py): {outside}"
+    )
