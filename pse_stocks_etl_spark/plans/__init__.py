@@ -43,8 +43,9 @@ except ImportError:  # pragma: no cover - partial checkouts
 #   3. the two sketch queries upgraded from rows-only to full error-bound
 #      oracles this round (never hash-checked before by construction),
 #   4. array_agg_user_profile (r4's one fix — one more confirmation),
+#   4b. the five round-5 additions (never driver-seen by definition),
 #   5. refresh: the oldest greens (last seen by the driver in round 2), in
-#      registry order; the 7 that don't fit this window lead round 6's.
+#      registry order; the 12 that don't fit this window lead round 6's.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
@@ -62,6 +63,12 @@ _DRIVER_FIRST = [
     "approx_quantile_per_key",
     # -- block 4: r4's fix, reconfirm --
     "array_agg_user_profile",
+    # -- block 4b: round-5 additions (driver-unseen by definition) --
+    "streaming_user_stats",
+    "kmv_set_algebra",
+    "table_profile",
+    "user_time_weighted_avg",
+    "docs_mixture_weights",
     # -- block 5: refresh of the oldest (round-2) greens, registry order --
     "pricing_summary",
     "watermark_per_key",
@@ -98,11 +105,6 @@ _DRIVER_FIRST = [
     "emb_ann_ivf",
     "emb_near_dup_pairs",
     "docs_near_dup_clusters",
-    "docs_top_terms",
-    "docs_bpe_token_stats",
-    "docs_quality_score",
-    "docs_pii_scrub",
-    "docs_split_assign",
 ]
 
 

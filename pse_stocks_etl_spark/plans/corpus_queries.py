@@ -936,3 +936,68 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "docs_mixture_weights",
+    # Temperature-reweighted domain mixing (the multilingual/domain
+    # balancing step of an LLM data pipeline: upsample rare strata,
+    # damp dominant ones — alpha=0.5 square-root temperature). The
+    # normalizer is a SUM of INTEGER weight units (round(sqrt(n)*1e6)),
+    # not of floats: float sums are order-dependent across engines,
+    # integer sums are not, and sqrt/round/multiply are each single
+    # correctly-rounded IEEE ops on exact inputs — bit-identical.
+    oracle="""
+    WITH s AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_units
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT SUM(weight_units) AS total_units FROM s)
+    SELECT s.source, s.lang, s.n_docs, s.n_chars, s.weight_units,
+           (CAST(s.weight_units AS DOUBLE) / CAST(t.total_units AS DOUBLE))
+             AS sample_share,
+           CAST(round((CAST(s.weight_units AS DOUBLE)
+                       / CAST(t.total_units AS DOUBLE)) * 100000) AS BIGINT)
+             AS expected_docs_per_100k
+    FROM s, t
+    """,
+    tags=("llm", "mixing", "sampling"),
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights per (source, lang) stratum under square-root
+    temperature sampling (alpha=0.5): stratum weight ~ sqrt(n_docs),
+    normalized to a sampling share and an expected-docs-per-100k
+    budget. Rare strata are upsampled relative to raw proportions,
+    dominant ones damped — the standard mixing recipe for training-data
+    assembly.
+
+    Scale: one map-side-combinable groupBy over the corpus; the stratum
+    table (sources x langs) is tiny, so the normalizer join is a
+    broadcast of ONE row — no second pass over the data."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    ).withColumn(
+        "weight_units",
+        F.expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"),
+    )
+    total = s.agg(F.sum("weight_units").alias("total_units"))
+    share = F.col("weight_units").cast("double") / F.col("total_units").cast(
+        "double"
+    )
+    return s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        "weight_units",
+        share.alias("sample_share"),
+        F.expr(
+            "CAST(round((CAST(weight_units AS DOUBLE) "
+            "/ CAST(total_units AS DOUBLE)) * 100000) AS BIGINT)"
+        ).alias("expected_docs_per_100k"),
+    )

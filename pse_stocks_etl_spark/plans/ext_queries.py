@@ -940,6 +940,174 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_set_algebra",
+    # KMV sketch ALGEBRA — the property that makes bounded sketches the
+    # 100 TB answer for cross-shard distinct arithmetic: two per-key
+    # sketches merge (K smallest of the union of the two hash sets)
+    # into a sketch of the union, and the Jaccard estimator
+    # |M ∩ S_A ∩ S_B| / |M| turns it into an intersection estimate —
+    # no re-scan of the raw data. Portable md5 hashing keeps every
+    # estimate cross-engine EXACT (same sketches → same kth → same
+    # floats), and the exact union/intersection ride along so the
+    # query is its own accuracy proof.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS et,
+             (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)))::BIGINT
+               AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT et, hv FROM (
+        SELECT et, hv, row_number() OVER (PARTITION BY et ORDER BY hv) AS rn FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.et AS type_a, b.et AS type_b
+      FROM (SELECT DISTINCT et FROM h) a JOIN (SELECT DISTINCT et FROM h) b
+        ON a.et < b.et
+    ),
+    m AS (
+      SELECT type_a, type_b, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.type_a, p.type_b, s.hv, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.et = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.hv, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.et = p.type_b
+      ) GROUP BY type_a, type_b, hv
+    ),
+    mk AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+             MAX(hv) AS kth, CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        FROM m
+      ) WHERE rn <= {KMV_K} GROUP BY type_a, type_b
+    ),
+    ca AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY et),
+    ei AS (
+      SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM pairs p
+      JOIN h x ON x.et = p.type_a
+      JOIN h y ON y.et = p.type_b AND y.hv = x.hv
+      GROUP BY p.type_a, p.type_b
+    )
+    SELECT mk.type_a, mk.type_b, mk.k_used, mk.kth, mk.n_both,
+           CASE WHEN mk.k_used < {KMV_K} THEN CAST(mk.k_used AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({_POW60} AS DOUBLE)
+                     / CAST(mk.kth AS DOUBLE)
+           END AS est_union,
+           (CAST(mk.n_both AS DOUBLE) / CAST(mk.k_used AS DOUBLE))
+             * (CASE WHEN mk.k_used < {KMV_K} THEN CAST(mk.k_used AS DOUBLE)
+                     ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({_POW60} AS DOUBLE)
+                          / CAST(mk.kth AS DOUBLE)
+                END) AS est_inter,
+           (ca_a.c + ca_b.c - coalesce(ei.exact_inter, 0)) AS exact_union,
+           coalesce(ei.exact_inter, 0) AS exact_inter
+    FROM mk
+    JOIN ca ca_a ON ca_a.et = mk.type_a
+    JOIN ca ca_b ON ca_b.et = mk.type_b
+    LEFT JOIN ei ON ei.type_a = mk.type_a AND ei.type_b = mk.type_b
+    """,
+    tags=("approx", "sketch", "kmv", "set-algebra"),
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra on merged KMV sketches, per event-type pair:
+    |A ∪ B| from the merged sketch's k-th minimum, |A ∩ B| via the
+    Jaccard estimator over the merged sketch, with exact counts
+    alongside. At scale the per-key sketches are the only thing that
+    crosses the wire (K·8 bytes per key per shard, mergeable
+    associatively); here the sketch build reuses the two-phase
+    k-smallest ranking (no full-key sort on one task) and the pair
+    merge operates on ≤2K rows per pair."""
+    from ..functions.text import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("et"),
+        portable_hash64(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    ).distinct()
+    # per-type K-smallest, two-phase (cf. kmv_distinct_users)
+    w1 = Window.partitionBy("et", F.pmod(F.col("hv"), F.lit(32))).orderBy("hv")
+    w2 = Window.partitionBy("et").orderBy("hv")
+    sk = (
+        h.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .select("et", "hv")
+    )
+    types = h.select("et").distinct()
+    pairs = (
+        types.alias("a")
+        .crossJoin(F.broadcast(types.alias("b")))
+        .filter(F.col("a.et") < F.col("b.et"))
+        .select(F.col("a.et").alias("type_a"), F.col("b.et").alias("type_b"))
+    )
+    side_a = pairs.join(F.broadcast(sk), F.col("et") == F.col("type_a")).select(
+        "type_a", "type_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(F.broadcast(sk), F.col("et") == F.col("type_b")).select(
+        "type_a", "type_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        side_a.unionAll(side_b)
+        .groupBy("type_a", "type_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    mk = (
+        m.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("hv").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    ca = h.groupBy("et").agg(F.count("*").alias("c"))
+    ei = (
+        pairs.join(h.alias("x"), F.col("x.et") == F.col("type_a"))
+        .join(
+            h.alias("y"),
+            (F.col("y.et") == F.col("type_b")) & (F.col("y.hv") == F.col("x.hv")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    est_union = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(KMV_K - 1).cast("double")
+        * F.lit(_POW60).cast("double")
+        / F.col("kth").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return (
+        mk.join(F.broadcast(ca.alias("ca_a")), F.col("ca_a.et") == F.col("type_a"))
+        .join(F.broadcast(ca.alias("ca_b")), F.col("ca_b.et") == F.col("type_b"))
+        .join(F.broadcast(ei), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "kth",
+            "n_both",
+            est_union.alias("est_union"),
+            (jac * est_union).alias("est_inter"),
+            (
+                F.col("ca_a.c") + F.col("ca_b.c")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+        )
+    )
+
+
+@register(
     "funnel_stages",
     oracle="""
     WITH s AS (
@@ -1577,3 +1745,123 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m0") % 12 + 1).cast("long").alias("cohort_month"),
         (F.col("m") - F.col("m0")).cast("long").alias("month_offset"),
     ).agg(F.countDistinct("o_custkey").alias("n_customers"))
+
+
+def _profile_oracle_piece(col: str, kind: str) -> str:
+    """DuckDB twin of operators/profiling.py::_repr_col per type."""
+    if kind == "double":
+        mn = f"CAST(CAST(round(MIN({col}) * 100) AS BIGINT) AS VARCHAR)"
+        mx = f"CAST(CAST(round(MAX({col}) * 100) AS BIGINT) AS VARCHAR)"
+    elif kind == "timestamp":
+        mn = f"CAST(epoch_us(MIN({col})) AS VARCHAR)"
+        mx = f"CAST(epoch_us(MAX({col})) AS VARCHAR)"
+    else:
+        mn = f"CAST(MIN({col}) AS VARCHAR)"
+        mx = f"CAST(MAX({col}) AS VARCHAR)"
+    return f"""
+    SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_repr, {mx} AS max_repr
+    FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+@register(
+    "table_profile",
+    # One UNION ALL branch per profiled column: DuckDB recomputes the
+    # same six metrics per column that the Spark plan derives in its
+    # single-pass aggregation. repr strings are canonical per type
+    # (ints/strings verbatim, doubles as integer cents, timestamps as
+    # tz-free epoch micros) so min/max hash-match bit-for-bit.
+    oracle=" UNION ALL ".join(
+        _profile_oracle_piece(c, k) for c, k in _PROFILE_COLS
+    ),
+    tags=("profiling", "data-quality"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table in ONE scan
+    (operators/profiling.py): row count, null count, exact distinct
+    count, canonical min/max reprs — the pre-flight check a pipeline
+    runs on every new data drop. The oracle pays one scan per column;
+    the engine pays one total (Catalyst expand covers the per-column
+    distincts), which is the whole point of the operator at 100 TB."""
+    from ..operators.profiling import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), [c for c, _ in _PROFILE_COLS]
+    )
+
+
+@register(
+    "user_time_weighted_avg",
+    # TimescaleDB `time_weight('locf')` analog: each observation is
+    # weighted by how long it stayed current (gap to the next event,
+    # exact integer MICROSECONDS via tz-free NTZ arithmetic). All
+    # accumulation is integer (cents x micros stays < 2^63 for a
+    # year-scale key span); the two IEEE divisions at the end are
+    # written identically in both engines.
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             datediff('microsecond', ts,
+                      LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(gap) AS BIGINT) AS micros_observed,
+           ((CAST(SUM(cents * gap) AS DOUBLE) / CAST(SUM(gap) AS DOUBLE))
+            / 100.0) AS tw_avg
+    FROM g GROUP BY user_id
+    """,
+    tags=("timeseries", "time-weighted", "locf"),
+)
+def user_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted (LOCF-integral) average value per user: irregular
+    samples weighted by their holding duration — the correct mean for
+    state-like series (a price that held for 3 days counts 3x a price
+    that held for 1). Single-event users emit NULL (zero observed time)
+    rather than a fake average.
+
+    Scale: one window pass partitioned by user_id (10k+ keys — no
+    5-key event_type skew), then a groupBy on the SAME key: AQE plans
+    one shuffle for both. Tie-broken by event_id so replays are
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.lead("ts").over(w).alias("next_ts"),
+        "ts",
+    ).withColumn(
+        "gap", F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("cents") * F.col("gap")).alias("sum_cg"),
+        F.sum("gap").alias("micros_observed"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "micros_observed",
+        (
+            (
+                F.col("sum_cg").cast("double")
+                / F.col("micros_observed").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("tw_avg"),
+    )

@@ -312,3 +312,62 @@ def sync_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds.sync(today="2024-02-01", lookback_days=30)
     ds.sync(today="2024-02-01", lookback_days=30)  # replay must converge
     return ds.prices.read()
+
+
+@register(
+    "streaming_user_stats",
+    # FULL hash oracle for the applyInPandasWithState path (previously
+    # exercised only by tests/test_stateful.py): after the stream
+    # drains, every user's final state row must equal the batch
+    # aggregate exactly. Money goes through per-row integer cents
+    # inside the state update (micro-batch-boundary-independent), and
+    # event time rides as long micros so the pandas conversion can
+    # never shift it under a non-UTC session timezone.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS value_sum,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_seen_us
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary keyed streaming state (applyInPandasWithState): per-user
+    running totals carried across micro-batches, emitted in update mode,
+    driven to completion synchronously. The last emission per user (the
+    one with the highest running count — strictly monotone per key) is
+    the final state and must hash-match the batch GROUP BY."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.incremental import stream_events
+    from ..streaming.stateful import running_user_stats
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        # instant -> epoch micros == stored wall-clock micros (tz-free)
+        F.unix_micros("ts").alias("ts"),
+        "value",
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "value_sum", "last_seen_us")
+    )

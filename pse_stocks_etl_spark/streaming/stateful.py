@@ -52,7 +52,14 @@ def _update(
         # residues accumulate differently per batching).
         cents += int((pdf["value"] * 100).round().astype("int64").sum())
         if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+            v = pdf["ts"].max()
+            # ts arrives either as a pandas Timestamp (.value = epoch ns)
+            # or already as long micros (the tz-free path callers use
+            # when the result must hash-match an oracle under ANY
+            # session timezone — Arrow localizes TimestampType to the
+            # session tz on the way into pandas, long never shifts).
+            us = int(v.value // 1000) if hasattr(v, "value") else int(v)
+            last_us = max(last_us, us)
     state.update((n, cents, last_us))
     yield pd.DataFrame(
         {
