@@ -974,9 +974,13 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant ones damped — the standard mixing recipe for training-data
     assembly.
 
-    Scale: one map-side-combinable groupBy over the corpus; the stratum
-    table (sources x langs) is tiny, so the normalizer join is a
-    broadcast of ONE row — no second pass over the data."""
+    Scale: one map-side-combinable groupBy over the corpus — the ONLY
+    pass over the data. The normalizer is a global-frame window over
+    the already-aggregated stratum table (sources x langs — tiny by
+    definition), not a second aggregation of the corpus: a naive
+    `s.agg(...)` + crossJoin would make Catalyst recompute the groupBy
+    subtree and SCAN THE TABLE TWICE (verified via executedPlan during
+    round 5)."""
     d = _docs(spark, sf_dir)
     s = d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -985,11 +989,14 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_units",
         F.expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"),
     )
-    total = s.agg(F.sum("weight_units").alias("total_units"))
+    s = s.withColumn(
+        "total_units",
+        F.sum("weight_units").over(Window.partitionBy(F.lit(1))),
+    )
     share = F.col("weight_units").cast("double") / F.col("total_units").cast(
         "double"
     )
-    return s.crossJoin(F.broadcast(total)).select(
+    return s.select(
         "source",
         "lang",
         "n_docs",

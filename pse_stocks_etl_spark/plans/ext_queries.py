@@ -1023,12 +1023,23 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import portable_hash64
 
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
-        F.col("event_type").alias("et"),
-        portable_hash64(
-            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
-        ).alias("hv"),
-    ).distinct()
+    # The distinct hash set is a diamond: sketches, type list, exact
+    # counts and exact intersections all branch from it (10+ plan
+    # references). A lazy localCheckpoint materializes the post-distinct
+    # working set ONCE on executor storage and truncates lineage, so
+    # every branch — including the broadcast-build jobs — reuses it
+    # instead of re-scanning events per reference (12 scans observed
+    # without it).
+    h = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            portable_hash64(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+            ).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # per-type K-smallest, two-phase (cf. kmv_distinct_users)
     w1 = Window.partitionBy("et", F.pmod(F.col("hv"), F.lit(32))).orderBy("hv")
     w2 = Window.partitionBy("et").orderBy("hv")

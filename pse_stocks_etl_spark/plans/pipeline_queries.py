@@ -1,9 +1,12 @@
-"""Non-SQL-expressible pipeline queries (rows-only checks): multimodal
-decode plumbing, Structured-Streaming aggregation, and the end-to-end
-incremental sync engine. The driver records a weaker rows-only check for
-these (no oracle_sql entry) — their full semantics are covered by
-dedicated pytest suites instead (tests/test_store.py, test_sync.py,
-test_streaming.py, test_multimodal.py).
+"""Pipeline queries whose PLANS are not SQL (multimodal decode
+plumbing, Structured-Streaming aggregation, keyed streaming state, the
+end-to-end incremental sync engine) but whose RESULTS are — every one
+now carries a FULL value-hash oracle: deterministic codecs/connectors
+make even the mapInPandas and streaming paths value-checkable against
+closed-form DuckDB SQL. Deeper semantics (replay, checkpoint recovery,
+cross-micro-batch state) are covered by the dedicated pytest suites
+(tests/test_store.py, test_sync.py, test_streaming.py,
+test_stateful.py, test_multimodal.py).
 """
 
 from __future__ import annotations

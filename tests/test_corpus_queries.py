@@ -242,3 +242,21 @@ def test_pipeline_keep_invariants(spark, sf_dir):
         for r in plans.REGISTRY["docs_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
     }
     assert not (kept_ids & dropped_b)  # near-dup free (pairwise rule)
+
+
+def test_mixture_weights_shares_normalize_and_damp(spark, sf_dir):
+    from pse_stocks_etl_spark import plans
+
+    rows = plans.REGISTRY["docs_mixture_weights"].fn(spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r.sample_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-9
+    assert sum(r.weight_units for r in rows) > 0
+    # temperature damping: the biggest stratum's share of the sample is
+    # strictly below its share of the raw corpus; the smallest is above
+    n_total = sum(r.n_docs for r in rows)
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs != small.n_docs:
+        assert big.sample_share < big.n_docs / n_total
+        assert small.sample_share > small.n_docs / n_total

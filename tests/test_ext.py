@@ -106,3 +106,54 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     }
     for r in graded:
         assert r.exact_p50 == exact[r.event_type], (r.event_type, r.exact_p50)
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from pyspark.sql import types as T
+
+    from pse_stocks_etl_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.25, None),
+            (2, "a", None, None),
+            (3, None, -0.005, None),
+            (3, "b", 1.25, None),
+        ],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("t", T.TimestampNTZType()),
+            ]
+        ),
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "v", "t"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert (prof["k"].n_nulls, prof["k"].n_distinct) == (0, 3)
+    assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
+    assert (prof["v"].n_nulls, prof["v"].n_distinct) == (1, 2)
+    assert (prof["t"].n_nulls, prof["t"].n_distinct) == (4, 0)
+    assert (prof["k"].min_repr, prof["k"].max_repr) == ("1", "3")
+    assert (prof["s"].min_repr, prof["s"].max_repr) == ("a", "b")
+    # doubles repr as integer cents; round() is half-away-from-zero
+    assert (prof["v"].min_repr, prof["v"].max_repr) == ("-1", "125")
+    assert prof["t"].min_repr is None and prof["t"].max_repr is None
+    # approx mode swaps countDistinct for the HLL sketch but keeps shape
+    aprof = {r.column_name: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert aprof["k"].n_distinct == 3  # tiny input: sketch is exact
+
+
+def test_kmv_set_algebra_estimates_and_exacts_consistent(spark, sf_dir):
+    rows = plans.REGISTRY["kmv_set_algebra"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # inclusion-exclusion sanity on the exact side
+        assert r.exact_union >= max(r.exact_inter, 1)
+        assert r.n_both <= r.k_used
+        # the estimators must land within the KMV error envelope
+        # (K=64 -> rsd ~ 1/sqrt(62) ~ 13%; allow 4 sigma + small slack)
+        assert abs(r.est_union - r.exact_union) <= max(8.0, 0.5 * r.exact_union)
+        assert abs(r.est_inter - r.exact_inter) <= max(8.0, 0.5 * r.exact_union)
