@@ -374,3 +374,66 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "value_sum", "last_seen_us")
     )
+
+
+@register(
+    "streaming_sessions",
+    # Hash-checked against the SAME portable lag+cumsum oracle as the
+    # batch twin session_window_native: the streaming runtime's
+    # mergeable session state must produce exactly the sessions the
+    # batch operator (and the SQL reconstruction) produce.
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, vc,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+           (SUM(vc) / 100.0) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window"),
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed on the Structured Streaming runtime
+    (file source → watermark → session_window aggregation with
+    mergeable session state → memory sink), driven to completion
+    synchronously and hash-checked against the batch session oracle.
+    session_start converts back to TIMESTAMP_NTZ with tz-free epoch
+    arithmetic (cf. streaming_hourly_counts)."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import sessionized_event_counts, stream_events
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = sessionized_event_counts(events)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    start_ntz = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(session_start), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return out.select(
+        "user_id", start_ntz.alias("session_start"), "n", "sum_value"
+    )

@@ -153,6 +153,33 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Event-time SESSION windows on the streaming runtime: gap-based
+    session assignment inside the aggregation operator — the same
+    `session_window` expression the batch plan uses, so streaming and
+    batch sessions agree exactly. Sessions are merge-able state: a late
+    row within the watermark can bridge two open sessions and the
+    runtime merges their state (the semantics a hand-rolled
+    lag+cumsum cannot express incrementally).
+
+    Money through integer cents (micro-batch-boundary-independent),
+    same as every aggregate in this engine."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def interval_join_clicks(
     events: DataFrame,
     attribution_window: str = "6 hours",

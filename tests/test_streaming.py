@@ -251,3 +251,65 @@ def test_foreach_batch_merge_recovers_from_checkpoint(spark, sf_dir, tmp_path):
     assert table.read().count() == raw.count()  # every row exactly once
     # event_ids unique — no replayed duplicates slipped past the merge
     assert table.read().select("event_id").distinct().count() == raw.count()
+
+
+def test_session_state_merges_across_microbatches(spark, tmp_path):
+    """Mergeable session state: two events of one user 10 minutes apart
+    (inside the 30-minute gap) delivered in SEPARATE micro-batches must
+    come out as ONE session — the runtime merges the open session state
+    when the second event arrives. A third event far outside the gap
+    opens a fresh session."""
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import (
+        sessionized_event_counts,
+        stream_events,
+    )
+
+    MIN = 60 * 10**6  # micros
+    T0 = 1_700_000_000 * 10**6
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + int(m * MIN), uid, "click", 1.0, "{}")
+                for eid, m, uid in specs
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+
+    batches = [
+        rows((1, 0.0, 1)),            # opens session A
+        rows((2, 10.0, 1)),           # within gap -> must MERGE into A
+        rows((3, 120.0, 1)),          # far outside gap -> session B
+    ]
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    name = f"sess_merge_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+            if q is None:
+                agg = sessionized_event_counts(stream_events(spark, src + "/*"))
+                q = (
+                    agg.writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(tmp_path / "ck_sess"))
+                    .start()
+                )
+            q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+    got = {
+        (r.user_id, r.n, r.sum_value) for r in spark.table(name).collect()
+    }
+    assert got == {(1, 2, 2.0), (1, 1, 1.0)}  # merged A (2 events) + B
