@@ -612,6 +612,54 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_counts",
+    # Sliding (hopping) windows: 1-hour windows every 15 minutes, so
+    # each event lands in exactly length/slide = 4 windows. The oracle
+    # reconstructs the window set per event explicitly (15-min bucket
+    # minus k slides, k=0..3); both engines' buckets align because 15
+    # minutes divides the distance between their bucket origins.
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (u.k * INTERVAL '15 minutes') AS window_start,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events, UNNEST(range(0, 4)) AS u(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           (SUM(vc) / 100.0) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("window-agg", "sliding-window"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (`window(ts, '1 hour', '15 minutes')`):
+    the smoothing/trend form of the tumbling rollup — usable identically
+    in batch and Structured Streaming. Spark expands each row into
+    length/slide window assignments before the aggregation; that 4x row
+    expansion is the inherent cost of hopping windows at any scale
+    (keep slide a small divisor of length), and the aggregation itself
+    stays map-side combinable on (window, key). NTZ event time keeps
+    window boundaries wall-clock-pure under any session timezone."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            sum_money(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "rollup_orders",
     oracle=f"""
     SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
