@@ -437,3 +437,56 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", start_ntz.alias("session_start"), "n", "sum_value"
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    # Same oracle as the batch sliding_window_counts: hopping windows on
+    # the streaming runtime must reproduce the batch window set exactly
+    # (each event in window/slide = 4 windows; bucket origins align
+    # across engines because 15 minutes divides their offset).
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (u.k * INTERVAL '15 minutes') AS window_start,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events, UNNEST(range(0, 4)) AS u(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           (SUM(vc) / 100.0) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming", "sliding-window"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows on the Structured Streaming runtime —
+    completes the batch/streaming twin matrix (tumbling, session, and
+    sliding all hash-match their batch twins). window_start converts
+    back to TIMESTAMP_NTZ with tz-free epoch arithmetic."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import stream_events, windowed_event_counts
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = windowed_event_counts(events, window="1 hour", slide="15 minutes")
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    start_ntz = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(window_start), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return out.select(
+        start_ntz.alias("window_start"), "event_type", "n", "sum_value"
+    )

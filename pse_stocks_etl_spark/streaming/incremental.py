@@ -130,19 +130,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark_delay: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Event-time tumbling window + watermark: the streaming analog of
     the batch `hourly_event_rollup` query (same window boundaries).
+    Pass `slide` for hopping windows (the `sliding_window_counts`
+    analog — each event enters window/slide windows).
 
     The money sum goes through integer cents like every batch
     aggregate (functions/money.py): raw double summation is
     order-dependent across micro-batches, and the integer path is what
     lets the streaming result hash-match the batch oracle exactly."""
     cents = F.round(F.col("value") * 100).cast("long")
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
         .select(
             F.col("win.start").alias("window_start"),
