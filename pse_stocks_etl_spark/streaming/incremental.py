@@ -51,48 +51,70 @@ EVENTS_RAW_SCHEMA = _events_schema(T.LongType())  # TIMESTAMP(NANOS)/int64 as lo
 EVENTS_NTZ_SCHEMA = _events_schema(T.TimestampNTZType())  # TIMESTAMP(MICROS/MILLIS)
 
 
+_UNIT_PROBE_MAX_FOOTERS = 8
+
+
 def events_ts_unit(path: str) -> str:
-    """Learn how `ts` is physically stored by reading ONE parquet footer
+    """Learn how `ts` is physically stored by reading parquet footers
     under `path` (file, directory, or glob): returns ``"timestamp"`` for
     TIMESTAMP(MICROS/MILLIS) logical columns (native TIMESTAMP_NTZ read)
     or ``"long_ns"`` for TIMESTAMP(NANOS)/raw-int64 columns (nanos-long
-    read). Footer-only — no data pages are touched, so this is O(1)
-    driver-side regardless of dataset size.
+    read). Footer-only and bounded (first ``_UNIT_PROBE_MAX_FOOTERS``
+    files) — no data pages are touched, so this is O(1) driver-side
+    regardless of dataset size.
 
     Declared schemas MUST match the file's physical type: a LongType
     declaration over a micros column yields raw micros (not nanos), and
     any hard-coded unit conversion then rescales the timeline silently —
-    the exact bug this probe exists to prevent. Defaults to
-    ``"timestamp"`` (the testdata writer's convention) when no file
-    exists yet (e.g. streaming an initially-empty source directory)."""
+    the exact bug this probe exists to prevent. A MIXED-unit source
+    raises rather than silently rescaling whichever subset the declared
+    schema doesn't match (the one declared schema applies to every file
+    of the stream). Defaults to ``"timestamp"`` (the testdata writer's
+    convention) when no file exists yet (e.g. streaming an
+    initially-empty source directory)."""
     import glob as globlib
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def first_parquet(entry: str) -> str | None:
+    def parquet_files(entry: str):
         if os.path.isfile(entry):
-            return entry if entry.endswith(".parquet") else None
+            if entry.endswith(".parquet"):
+                yield entry
+            return
         if os.path.isdir(entry):
             for root, dirs, files in sorted(os.walk(entry)):
                 dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
                 for f in sorted(files):
                     if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                        return os.path.join(root, f)
-        return None
+                        yield os.path.join(root, f)
 
-    sample = None
+    samples: list[str] = []
     for entry in sorted(globlib.glob(path)) or [path]:
-        sample = first_parquet(entry)
-        if sample:
+        for f in parquet_files(entry):
+            samples.append(f)
+            if len(samples) >= _UNIT_PROBE_MAX_FOOTERS:
+                break
+        if len(samples) >= _UNIT_PROBE_MAX_FOOTERS:
             break
-    if sample is None:
+    if not samples:
         return "timestamp"
-    field = pq.ParquetFile(sample).schema_arrow.field("ts")
-    if pa.types.is_timestamp(field.type) and field.type.unit in ("us", "ms"):
-        return "timestamp"
-    return "long_ns"
+
+    def unit_of(sample: str) -> str:
+        field = pq.ParquetFile(sample).schema_arrow.field("ts")
+        if pa.types.is_timestamp(field.type) and field.type.unit in ("us", "ms"):
+            return "timestamp"
+        return "long_ns"
+
+    units = {unit_of(s) for s in samples}
+    if len(units) > 1:
+        raise ValueError(
+            f"mixed ts physical types under {path!r}: one declared stream "
+            "schema cannot read both TIMESTAMP(MICROS/MILLIS) and "
+            "NANOS/int64 files — rewrite the source to one unit"
+        )
+    return units.pop()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,3 +100,20 @@ def test_stream_read_identical_across_units(spark, unit_dirs):
     assert rows["us"] == rows["ns"]
     assert len(rows["us"]) == N_ROWS
     assert rows["us"][0][1].year >= 2000
+
+
+def test_unit_probe_rejects_mixed_unit_sources(unit_dirs, tmp_path):
+    """One declared stream schema cannot read both units; a mixed
+    directory must raise, not silently rescale one subset."""
+    import shutil
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(
+        os.path.join(unit_dirs["us"], "events.parquet"), mixed / "a.parquet"
+    )
+    shutil.copy(
+        os.path.join(unit_dirs["ns"], "events.parquet"), mixed / "b.parquet"
+    )
+    with pytest.raises(ValueError, match="mixed ts physical types"):
+        events_ts_unit(str(mixed))
