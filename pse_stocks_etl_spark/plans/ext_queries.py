@@ -1876,3 +1876,119 @@ def user_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("tw_avg"),
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+@register(
+    "cms_heavy_hitters",
+    # Count-Min sketch, cross-engine EXACT like the KMV queries: the
+    # counter matrix is pure md5 arithmetic, so both engines build the
+    # SAME sketch and the point estimates hash-match. The classic CMS
+    # guarantees ride along as integer verdicts: estimates never
+    # undercount (over_ok) and overcount by at most d*N/W against the
+    # single-row Markov bound (bound_ok) — with exact counts alongside,
+    # the query is its own accuracy proof.
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id FROM events
+    ),
+    keyed AS (
+      SELECT b.user_id, u.r,
+             (('0x' || substr(md5('cms:' || CAST(u.r AS VARCHAR) || ':'
+                                  || CAST(b.user_id AS VARCHAR)), 1, 15)))::BIGINT
+               % {CMS_W} AS col
+      FROM base b, UNNEST(range(0, {CMS_D})) AS u(r)
+    ),
+    counters AS (
+      SELECT r, col, CAST(COUNT(*) AS BIGINT) AS c FROM keyed GROUP BY r, col
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM base GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id ASC LIMIT 20
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_cnt, MIN(c.c) AS cms_est
+      FROM exact e, UNNEST(range(0, {CMS_D})) AS u(r)
+      JOIN counters c
+        ON c.r = u.r
+       AND c.col = (('0x' || substr(md5('cms:' || CAST(u.r AS VARCHAR) || ':'
+                                  || CAST(e.user_id AS VARCHAR)), 1, 15)))::BIGINT
+                   % {CMS_W}
+      GROUP BY e.user_id, e.exact_cnt
+    )
+    SELECT est.user_id, est.exact_cnt, est.cms_est,
+           (est.cms_est >= est.exact_cnt) AS over_ok,
+           (est.cms_est <= est.exact_cnt + (tot.n // {CMS_W})) AS bound_ok
+    FROM est, tot
+    """,
+    tags=("approx", "sketch", "count-min", "heavy-hitters"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: a d x w counter sketch over user_id,
+    point-estimating the top-20 users' event counts. At 100 TB the
+    sketch is the whole point — d*w counters (4 KiB here) per shard,
+    merged by cell-wise addition, answer frequency queries no matter
+    how many distinct keys the feed carries; the exact per-key twin
+    computed alongside exists only to grade the estimates.
+
+    Plan shape: ONE map-side-combinable groupBy builds the counters
+    (explode factor d), the candidate set is 20 rows, and the estimate
+    join broadcasts the 4096-row counter table — no shuffle of the raw
+    rows beyond the counter build."""
+    from ..functions.text import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def col_for(r: F.Column | int, uid: F.Column) -> F.Column:
+        r_str = (
+            F.lit(str(r)) if isinstance(r, int) else r.cast("string")
+        )
+        return F.pmod(
+            portable_hash64(
+                F.concat(F.lit("cms:"), r_str, F.lit(":"), uid.cast("string"))
+            ),
+            F.lit(CMS_W),
+        )
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_D)])
+    ).alias("r")
+    keyed = ev.select("user_id", rows).select(
+        "r", col_for(F.col("r"), F.col("user_id")).alias("col")
+    )
+    counters = keyed.groupBy("r", "col").agg(F.count("*").alias("c"))
+    # total rides as a broadcast 1-row frame: no eager driver-side count
+    total = ev.agg(F.count("*").alias("n"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    cand = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).select(
+        "user_id",
+        "exact_cnt",
+        "r",
+        col_for(F.col("r"), F.col("user_id")).alias("col"),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "col"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("over_ok"),
+        F.expr(f"cms_est <= exact_cnt + n div {CMS_W}").alias("bound_ok"),
+    )
