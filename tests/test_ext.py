@@ -157,3 +157,53 @@ def test_kmv_set_algebra_estimates_and_exacts_consistent(spark, sf_dir):
         # (K=64 -> rsd ~ 1/sqrt(62) ~ 13%; allow 4 sigma + small slack)
         assert abs(r.est_union - r.exact_union) <= max(8.0, 0.5 * r.exact_union)
         assert abs(r.est_inter - r.exact_inter) <= max(8.0, 0.5 * r.exact_union)
+
+
+def test_cms_heavy_hitters_verdicts_hold(spark, sf_dir):
+    rows = plans.REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.over_ok for r in rows)   # CMS never undercounts
+    assert all(r.bound_ok for r in rows)  # and overcounts within N/W
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+
+def test_cms_counters_merge_by_cellwise_addition(spark, sf_dir):
+    """The property that makes Count-Min the 100 TB answer: sketches of
+    two shards merged cell-wise equal the sketch of the union — no
+    re-scan of either shard."""
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark.functions.text import portable_hash64
+    from pse_stocks_etl_spark.plans.ext_queries import CMS_D, CMS_W
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def counters(df):
+        keyed = df.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+        ).select(
+            "r",
+            F.pmod(
+                portable_hash64(
+                    F.concat(
+                        F.lit("cms:"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                F.lit(CMS_W),
+            ).alias("col"),
+        )
+        return {
+            (r.r, r.col): r.c
+            for r in keyed.groupBy("r", "col").agg(F.count("*").alias("c")).collect()
+        }
+
+    whole = counters(ev)
+    a = counters(ev.filter(F.col("event_id") % 2 == 0))
+    b = counters(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
