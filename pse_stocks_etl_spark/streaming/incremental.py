@@ -288,3 +288,59 @@ def foreach_batch_merge(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def foreach_batch_cms(
+    stream_df: DataFrame,
+    table: ParquetTable,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Incremental Count-Min maintenance: every micro-batch's keys are
+    sketched (d x w counters, portable md5 hashing) and ADDED cell-wise
+    into a persistent counter table — the sketch-upkeep pattern for
+    always-on frequency service over an unbounded feed. Linearity makes
+    the result batching-invariant: any partition of the stream into
+    micro-batches converges to the counters of the union (tested).
+
+    The counter table stays d*w rows forever, no matter how many
+    distinct keys flow through — reading it answers frequency queries
+    without touching the feed. At scale the per-batch sketch is a
+    map-side-combinable groupBy of the batch only; the read-add-write
+    touches just the (tiny) counter table."""
+    from ..functions.text import portable_hash64
+
+    def sketch(df: DataFrame) -> DataFrame:
+        keyed = df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+        ).select(
+            "r",
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.lit("cms:"), F.col("r").cast("string"),
+                             F.lit(":"), F.col("k"))
+                ),
+                F.lit(w),
+            ).alias("col"),
+        )
+        return keyed.groupBy("r", "col").agg(F.count("*").alias("c"))
+
+    def add_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = sketch(batch_df)
+        merged = (
+            table.read()
+            .unionByName(delta)
+            .groupBy("r", "col")
+            .agg(F.sum("c").alias("c"))
+        )
+        table.overwrite(merged)
+
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(add_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

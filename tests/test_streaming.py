@@ -313,3 +313,61 @@ def test_session_state_merges_across_microbatches(spark, tmp_path):
         (r.user_id, r.n, r.sum_value) for r in spark.table(name).collect()
     }
     assert got == {(1, 2, 2.0), (1, 1, 1.0)}  # merged A (2 events) + B
+
+
+def test_foreach_batch_cms_converges_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Incremental Count-Min upkeep: streaming the events in two files
+    through foreach_batch_cms yields EXACTLY the counters of a one-shot
+    batch sketch — linearity makes the table batching-invariant — and
+    the table stays d*w rows regardless of how many keys flowed."""
+    from pse_stocks_etl_spark.functions.text import portable_hash64
+    from pse_stocks_etl_spark.streaming.incremental import foreach_batch_cms
+
+    d, w = 4, 64
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "cms_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("r", T.IntegerType()),
+            T.StructField("col", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    table = ParquetTable(spark, str(tmp_path / "cms_table"), schema)
+    table.init_empty()
+    events = stream_events(spark, src + "/*")
+    q = foreach_batch_cms(
+        events, table, d=d, w=w, checkpoint=str(tmp_path / "ck_cms")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.r, r.col): r.c for r in table.read().collect()}
+    expected_keyed = ev.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select(
+        "r",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("cms:"), F.col("r").cast("string"),
+                         F.lit(":"), F.col("k"))
+            ),
+            F.lit(w),
+        ).alias("col"),
+    )
+    expected = {
+        (r.r, r.col): r.c
+        for r in expected_keyed.groupBy("r", "col")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) <= d * w  # bounded no matter the key cardinality
