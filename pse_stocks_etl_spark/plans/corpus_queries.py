@@ -1008,3 +1008,47 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/ CAST(total_units AS DOUBLE)) * 100000) AS BIGINT)"
         ).alias("expected_docs_per_100k"),
     )
+
+
+SAMPLE_K = 200
+
+
+@register(
+    "docs_uniform_sample",
+    # Bottom-k hash sampling: the REPRODUCIBLE distributed replacement
+    # for reservoir sampling. The sample is a pure function of the data
+    # (k smallest md5 hashes), so it is identical across engines, runs,
+    # partitionings, and insertion orders — none of which is true of a
+    # reservoir — and it composes: the bottom-k of a union is the
+    # bottom-k of each shard's bottom-k (same mergeability as KMV).
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           {sql_portable_hash64("'sample:' || CAST(doc_id AS VARCHAR)")} AS hv
+    FROM documents
+    ORDER BY hv ASC, doc_id ASC LIMIT {SAMPLE_K}
+    """,
+    tags=("llm", "sampling", "bottom-k"),
+)
+def docs_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of SAMPLE_K documents via bottom-k
+    hashing. Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver, k rows over the
+    wire per partition, NO global sort shuffle — which is exactly the
+    shard-local bottom-k + merge a 100 TB sample runs. Tie-broken by
+    doc_id so even a hash collision cannot make the sample
+    order-dependent."""
+    d = _docs(spark, sf_dir)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("doc_id", "source", "lang", hv.alias("hv"))
+        .orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_K)
+    )
