@@ -43,9 +43,9 @@ except ImportError:  # pragma: no cover - partial checkouts
 #   3. the two sketch queries upgraded from rows-only to full error-bound
 #      oracles this round (never hash-checked before by construction),
 #   4. array_agg_user_profile (r4's one fix — one more confirmation),
-#   4b. the ten round-5 additions (never driver-seen by definition),
+#   4b. the eleven round-5 additions (never driver-seen by definition),
 #   5. refresh: the oldest greens (last seen by the driver in round 2), in
-#      registry order; the 17 that don't fit this window lead round 6's.
+#      registry order; the 18 that don't fit this window lead round 6's.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
@@ -74,6 +74,7 @@ _DRIVER_FIRST = [
     "streaming_sliding_counts",
     "cms_heavy_hitters",
     "docs_uniform_sample",
+    "streaming_dedup_counts",
     # -- block 5: refresh of the oldest (round-2) greens, registry order --
     "pricing_summary",
     "watermark_per_key",
@@ -104,7 +105,6 @@ _DRIVER_FIRST = [
     "docs_lang_id",
     "docs_ngram_jaccard_pairs",
     "docs_minhash_lsh_pairs",
-    "docs_simhash",
 ]
 
 

@@ -490,3 +490,59 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         start_ntz.alias("window_start"), "event_type", "n", "sum_value"
     )
+
+
+@register(
+    "streaming_dedup_counts",
+    # At-least-once -> exactly-once: the source below delivers EVERY
+    # event twice (two copies of the file), the stream dedups within
+    # the watermark, and the result must hash-match the batch counts of
+    # the ONCE-delivered table — a duplicate that survives (or a real
+    # row dropped) shifts n and diverges.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under redelivery:
+    dropDuplicatesWithinWatermark collapses a doubled feed (every file
+    delivered twice — the at-least-once failure mode of real sources)
+    back to exactly-once rows, verified by aggregating the deduped
+    stream and hash-matching the batch aggregate of the single copy.
+    Dedup state is bounded by the watermark, not by feed length."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.incremental import stream_events, streaming_dedup
+
+    src = tempfile.mkdtemp(prefix="dedup_feed_")
+    f = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(f, os.path.join(src, "a.parquet"))
+    shutil.copy(f, os.path.join(src, "b.parquet"))  # redelivery of every row
+    events = stream_events(spark, src)
+    deduped = streaming_dedup(events, keys=("event_id",))
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "event_type", "n", (F.col("sum_cents") / 100.0).alias("sum_value")
+        )
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
