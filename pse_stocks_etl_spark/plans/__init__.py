@@ -28,28 +28,37 @@ try:  # store-path queries (Z-order, rollup roundtrip, CDF preview)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-6 queries (runtime filters, ER, baskets, expectations)
+    from . import round6_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. The round-5 window below leads with every query that has
-# NO hash-green row in any CORRECTNESS_r*.json (the rotation contract
-# tests/test_parity.py::test_driver_window_covers_unverified_queries now
-# enforces mechanically — a no-rotation round turns the suite red):
-#   1. the two streaming queries fixed this round (timestamp-unit bug —
-#      the driver must re-confirm the fix end-to-end),
-#   2. the five round-3 additions that were queued for the r4 rotation but
-#      never entered a window (r4 did not rotate — r4 verdict item 2),
-#   3. the two sketch queries upgraded from rows-only to full error-bound
-#      oracles this round (never hash-checked before by construction),
-#   4. array_agg_user_profile (r4's one fix — one more confirmation),
-#   4b. the eleven round-5 additions (never driver-seen by definition),
-#   5. refresh: the oldest greens (last seen by the driver in round 2), in
-#      registry order; the 18 that don't fit this window lead round 6's.
+# order each round. The round-6 window below leads with every query that has
+# NO hash-green row in any CORRECTNESS_r*.json on disk (the rotation
+# contract tests/test_parity.py::test_driver_window_covers_unverified_queries
+# enforces this mechanically — a no-rotation round turns the suite red).
+# NOTE: no CORRECTNESS_r05.json was recorded, so the whole round-5 priority
+# block (the streaming timestamp fix, the r4 rotation queue, the sketch
+# oracle upgrades, and the eleven round-5 additions) is still unverified
+# and stays at the front:
+#   1. the two streaming queries fixed in r5 (timestamp-unit bug —
+#      the driver must confirm the fix end-to-end),
+#   2. the five round-3 additions never yet inside a window,
+#   3. the two sketch queries upgraded to full error-bound oracles in r5,
+#   4. array_agg_user_profile (r4's fix — confirmation),
+#   5. the eleven round-5 additions (never driver-seen by definition),
+#   6. the ten round-6 additions (this round's new operators),
+#   7. refresh: the oldest greens (last driver-seen in round 2) that did
+#      NOT fit round 5's window — exactly the queue the r5 rotation
+#      comment scheduled for this round.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- block 1: fixed in r5, driver must re-confirm --
+    # -- block 1: fixed in r5, driver must confirm --
     "streaming_hourly_counts",
     "streaming_click_join",
     # -- block 2: never driver-checked (r4 rotation queue) --
@@ -58,12 +67,12 @@ _DRIVER_FIRST = [
     "vwap_weekly",
     "rolling_volatility",
     "retention_cohorts",
-    # -- block 3: sketch queries, now with full error-bound oracles --
+    # -- block 3: sketch queries with full error-bound oracles since r5 --
     "approx_distinct_per_key",
     "approx_quantile_per_key",
     # -- block 4: r4's fix, reconfirm --
     "array_agg_user_profile",
-    # -- block 4b: round-5 additions (driver-unseen by definition) --
+    # -- block 5: round-5 additions (driver-unseen by definition) --
     "streaming_user_stats",
     "kmv_set_algebra",
     "table_profile",
@@ -75,36 +84,37 @@ _DRIVER_FIRST = [
     "cms_heavy_hitters",
     "docs_uniform_sample",
     "streaming_dedup_counts",
-    # -- block 5: refresh of the oldest (round-2) greens, registry order --
-    "pricing_summary",
-    "watermark_per_key",
-    "dedup_argmax",
-    "topk_per_group",
-    "select_rename_filter",
-    "distinct_dims",
-    "union_all_batches",
-    "classify_freshness",
-    "merge_upsert_preview",
-    "freshness_merge_preview",
-    "semi_join_in",
-    "anti_join_uptodate",
-    "broadcast_watermark_join",
-    "incremental_windows",
-    "date_parse_format",
-    "top_n_orders",
-    "sessionization",
-    "hourly_event_rollup",
-    "rollup_orders",
-    "pivot_event_counts",
-    "star_join_revenue",
-    "shipping_priority",
-    "local_supplier_volume",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_token_stats",
-    "docs_lang_id",
-    "docs_ngram_jaccard_pairs",
-    "docs_minhash_lsh_pairs",
+    # -- block 6: round-6 additions --
+    "bloom_prefilter_semi_join",
+    "event_transition_matrix",
+    "part_name_near_dup",
+    "docs_token_budget_select",
+    "basket_cooccurrence_lift",
+    "streaming_static_enrich",
+    "data_expectations_check",
+    "emb_int8_quantize",
+    "user_trend_slope",
+    "table_key_checksums",
+    # -- block 7: refresh of round-2 greens that missed the r5 window --
+    "flagship_latest_price",
+    "docs_simhash",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+    "emb_near_dup_pairs",
+    "docs_near_dup_clusters",
+    "docs_top_terms",
+    "docs_bpe_token_stats",
+    "docs_quality_score",
+    "docs_pii_scrub",
+    "docs_split_assign",
+    "emb_kmeans_refine",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_wav_decode",
+    "datasource_price_scan",
+    "sync_end_to_end",
+    "asof_click_attribution",
 ]
 
 

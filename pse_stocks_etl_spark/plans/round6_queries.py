@@ -1,0 +1,726 @@
+"""Round-6 queries: runtime-filter joins, entity resolution, market
+basket analysis, corpus selection, regression, data-quality and
+anti-entropy surfaces (SURVEY.md §2 extensions + the pyspark guide's
+"runtime filter" / "blocked similarity join" patterns).
+
+Every query is DataFrame-native (no Python UDFs anywhere) and carries a
+FULL value-hash DuckDB oracle. Float output columns are either pure
+reads (min/max of stored values), integer-ratio divisions (BIGINT /
+BIGINT → binary64, bit-identical in both engines), or integer-cents
+sums — the repo-wide determinism rules (functions/money.py,
+functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, sql_sum_money, sum_money
+from ..functions.text import portable_hash64, sql_portable_hash64, sql_token_count, token_count
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Runtime-filter join: Bloom pre-filter built from first principles
+# --------------------------------------------------------------------------
+BLOOM_BITS = 16_384  # m: 256 64-bit words — broadcastable at any dim size
+BLOOM_K = 3  # hash functions
+BLOOM_PRICE_MIN = 450_000.0  # ~p90 of o_totalprice → ~10% selective dim
+
+
+def _bloom_pos(key: F.Column, salt: int) -> F.Column:
+    """Bit position for hash function `salt`: portable 60-bit md5 hash
+    (identical in both engines, functions/text.py) mod m."""
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"b{salt}|"), key.cast("string"))),
+        F.lit(BLOOM_BITS),
+    )
+
+
+@register(
+    "bloom_prefilter_semi_join",
+    # The oracle is the EXACT semi-join: the Bloom stage only pre-filters
+    # (false positives are removed by the exact verify join), so a single
+    # dropped or phantom row means the filter bits are wrong.
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+    )
+    GROUP BY l_returnflag
+    """,
+    tags=("runtime-filter", "bloom", "semi-join"),
+    bench=True,
+)
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filter for a selective semi-join, built
+    from first principles with JVM aggregates (Spark 4.1 does not expose
+    `bloom_filter_agg`/`might_contain` in the SQL registry).
+
+    Build side: dim keys → k=3 portable-hash bit positions → groupBy
+    word → `bit_or(1 << bit)`: a 256-row (word, bits) table — a FIXED
+    16 Kbit broadcast no matter how many dim keys there are. Probe side:
+    lineitem joins the broadcast bit table k times and keeps rows whose
+    3 bits are all set, THEN an exact semi-join removes Bloom false
+    positives. At 100 TB the dim key set may be too big to broadcast
+    raw, but the Bloom bitmap never grows — survivors (~selectivity +
+    FP rate) are the only rows that pay the shuffled exact join.
+    SUM(l_quantity) is deterministic: quantities are integral, so the
+    double sum is exact integer arithmetic in binary64."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select("o_orderkey")
+
+    positions = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        positions.select(
+            F.expr("p DIV 64").alias("w"), F.pmod(F.col("p"), F.lit(64)).alias("b")
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(b AS INT))")).alias("bits"))
+    )
+
+    probe = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    for i in range(BLOOM_K):
+        probe = (
+            probe.withColumn(f"_p{i}", _bloom_pos(F.col("l_orderkey"), i))
+            .withColumn(f"_w{i}", F.expr(f"_p{i} DIV 64"))
+            .withColumn(f"_b{i}", F.pmod(F.col(f"_p{i}"), F.lit(64)))
+        )
+    for i in range(BLOOM_K):
+        wtab = words.select(
+            F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        probe = probe.join(F.broadcast(wtab), f"_w{i}", "left").filter(
+            F.col(f"_bits{i}").isNotNull()
+            & (
+                F.col(f"_bits{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, CAST(_b{i} AS INT))")
+                )
+                != 0
+            )
+        )
+    exact = probe.join(keys, probe.l_orderkey == keys.o_orderkey, "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ), c AS (
+      SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+           CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE) AS prob
+    FROM c
+    """,
+    tags=("sequence", "markov", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next=dst | cur=src). One shuffle on user_id for the lead() window
+    (map-side combinable count after), then a tiny window over the
+    |types|² matrix. The probability is BIGINT/BIGINT division — IEEE
+    binary64, bit-identical across engines. Order within a user is total
+    ((ts, event_id) — event_id is unique), so lead() is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    out = pairs.withColumn("src_total", F.sum("n").over(wt))
+    return out.withColumn(
+        "prob", F.col("n").cast("double") / F.col("src_total").cast("double")
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: blocked Levenshtein near-dup pairs
+# --------------------------------------------------------------------------
+LEV_MAX = 3
+
+
+@register(
+    "part_name_near_dup",
+    oracle=f"""
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_MAX}
+     AND levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    """,
+    tags=("entity-resolution", "levenshtein", "blocked-join"),
+)
+def part_name_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join (entity resolution): part
+    names within edit distance {LEV_MAX}, candidate pairs generated ONLY
+    inside a brand block (equi-join on p_brand → hash join, quadratic
+    cost bounded per block) with a length-band pre-filter (|len diff| ≤
+    max dist is a necessary condition for edit distance — cheap and cuts
+    the expensive levenshtein calls before they run). At 100 TB the
+    block key widens (brand, size, name-prefix) to keep blocks bounded —
+    the plan shape (equi-join on block key + cheap-then-expensive filter
+    chain) is the scalable one."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    joined = a.join(b, "brand").filter(
+        (F.col("partkey_a") < F.col("partkey_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= LEV_MAX
+        )
+        & (F.levenshtein("name_a", "name_b") <= LEV_MAX)
+    )
+    return joined.select(
+        "brand",
+        "partkey_a",
+        "partkey_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus selection under a token budget (two-phase global cumsum)
+# --------------------------------------------------------------------------
+SELECT_BUCKETS = 16
+
+
+@register(
+    "docs_token_budget_select",
+    # Oracle uses the naive single-partition global window — proving the
+    # two-phase distributed plan computes the identical selection.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {sql_token_count('text')} AS tok,
+             (10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+               // greatest(length(text), 1) AS quality_bp
+      FROM documents
+    ), tot AS (
+      SELECT CAST(SUM(tok) AS BIGINT) // 2 AS budget FROM t
+    ), c AS (
+      SELECT doc_id, tok, quality_bp,
+             CAST(SUM(tok) OVER (ORDER BY quality_bp DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM t
+    )
+    SELECT doc_id, CAST(tok AS BIGINT) AS tok, CAST(quality_bp AS BIGINT) AS quality_bp, cum_tok
+    FROM c, tot WHERE cum_tok <= budget
+    """,
+    tags=("llm", "corpus-selection", "two-phase", "global-window"),
+    bench=True,
+)
+def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus selection under a token budget: take documents in
+    quality order (integer basis-point alpha ratio — exact in both
+    engines) until the cumulative token count reaches half the corpus.
+
+    The naive plan is `SUM(tok) OVER (ORDER BY quality DESC)` — a
+    single-partition global window that collapses 100 TB onto one
+    reducer. This is the two-phase shape instead (same trick as
+    docs_global_index, corpus_queries.py): range-repartition by the sort
+    key so partition ids follow global sort order, per-partition window
+    cumsum, tiny prefix-sum over the per-partition totals broadcast back
+    as offsets. The oracle is the naive global window — the two plans
+    must agree row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("tok"),
+        F.expr(
+            "(10000 * length(regexp_replace(text, '[^A-Za-z]', ''))) "
+            "DIV greatest(length(text), 1)"
+        ).alias("quality_bp"),
+    )
+    budget = t.agg((F.sum("tok") / 2).cast("long").alias("budget"))
+    ranged = t.repartitionByRange(
+        SELECT_BUCKETS, F.desc("quality_bp"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    totals = ranged.groupBy("pid").agg(F.sum("tok").alias("ptot"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(woff), F.lit(0)).alias("off")
+    )
+    win = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_tok", F.col("off") + F.sum("tok").over(win))
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+    )
+    return cum.select("doc_id", "tok", "quality_bp", "cum_tok")
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence with lift
+# --------------------------------------------------------------------------
+MIN_SUPPORT = 2
+
+
+@register(
+    "basket_cooccurrence_lift",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_n AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           pa.n_part AS n_a, pb.n_part AS n_b,
+           CAST(p.n_ab * o.n AS DOUBLE) / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN part_n pa ON pa.l_partkey = p.part_a
+    JOIN part_n pb ON pb.l_partkey = p.part_b
+    CROSS JOIN n_orders o
+    """,
+    tags=("market-basket", "cooccurrence", "self-join"),
+    bench=True,
+)
+def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    with support and lift. The self-join is keyed on l_orderkey, so the
+    blowup is bounded by (lines per order choose 2) — ≤ 13 lines in the
+    testdata → ≤ 78 pairs per order, NOT corpus-quadratic; at 100 TB the
+    same plan holds because basket size, not table size, bounds the
+    fanout. Lift is computed as an exact BIGINT product ratio
+    ((n_ab·N) / (n_a·n_b)) so the double division is bit-identical
+    across engines. Per-part counts join back broadcast (|parts| ≪
+    |pairs|); at larger dims they'd shuffle on part key."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_ab") * F.col("n")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming: stream-static broadcast enrichment
+# --------------------------------------------------------------------------
+@register(
+    "streaming_static_enrich",
+    # Hash-checked against the BATCH join: the streaming runtime must
+    # enrich every micro-batch against the same static dim and reach the
+    # identical per-segment totals.
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n, {sql_sum_money('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins a static
+    customer dimension (broadcast — the canonical pattern for dims that
+    fit in executor memory; the static side is re-read per micro-batch,
+    picking up dim updates) and aggregates per (segment, event_type).
+    Runs on the Structured Streaming runtime to completion and is
+    hash-checked against the batch twin. Money via integer cents inside
+    the streaming agg (repo determinism rule)."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import stream_events
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = events.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n"), sum_money(F.col("value")).alias("sum_value")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations suite
+# --------------------------------------------------------------------------
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "data_expectations_check",
+    oracle=f"""
+    SELECT 'orders_fk_customer' AS rule, 'orders' AS table_name,
+           COUNT(*) AS n_checked,
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_qty_range', 'lineitem', COUNT(*),
+           COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_nonneg', 'events', COUNT(*),
+           COUNT(*) FILTER (WHERE value IS NULL OR value < 0)
+    FROM events
+    UNION ALL
+    SELECT 'events_type_domain', 'events', COUNT(*),
+           COUNT(*) FILTER (WHERE event_type IS NULL
+                            OR event_type NOT IN {EVENT_TYPES!r})
+    FROM events
+    UNION ALL
+    SELECT 'customer_key_unique', 'customer', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT c_custkey)
+    FROM customer
+    UNION ALL
+    SELECT 'documents_nonempty', 'documents', COUNT(*),
+           COUNT(*) FILTER (WHERE text IS NULL OR length(trim(text)) = 0)
+    FROM documents
+    """,
+    tags=("data-quality", "expectations"),
+)
+def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations shape, DataFrame-native): each rule is one map-side-
+    combinable aggregation over its table — null/range/domain checks are
+    conditional counts in a single scan, uniqueness is count vs distinct
+    count, referential integrity is a left join + null count. Every rule
+    emits (rule, table, n_checked, n_violations); the suite is a
+    union of 1-row aggregates, so adding rules never adds shuffles of
+    data rows."""
+
+    def rule(name: str, table: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("rule"),
+            F.lit(table).alias("table_name"),
+            F.col("n_checked"),
+            F.col("n_violations"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    fk = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == cust.c_custkey,
+        "left",
+    ).agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_violations"),
+    )
+    qty = li.agg(
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            )
+        ).alias("n_violations"),
+    )
+    val = ev.agg(
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1)
+        ).alias("n_violations"),
+    )
+    dom = ev.agg(
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*EVENT_TYPES),
+                1,
+            )
+        ).alias("n_violations"),
+    )
+    uniq = cust.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+    )
+    nonempty = docs.agg(
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0), 1
+            )
+        ).alias("n_violations"),
+    )
+    return (
+        rule("orders_fk_customer", "orders", fk)
+        .unionAll(rule("lineitem_qty_range", "lineitem", qty))
+        .unionAll(rule("events_value_nonneg", "events", val))
+        .unionAll(rule("events_type_domain", "events", dom))
+        .unionAll(rule("customer_key_unique", "customer", uniq))
+        .unionAll(rule("documents_nonempty", "documents", nonempty))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 scalar quantization (per-vector min-max)
+# --------------------------------------------------------------------------
+@register(
+    "emb_int8_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, dv, list_min(dv) AS mn, list_max(dv) AS mx FROM d
+    )
+    SELECT vec_id, CAST(len(dv) AS BIGINT) AS n_dims, mn, mx,
+           CAST(list_sum(list_transform(dv, x ->
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(round((x - mn) / (mx - mn) * 255) AS BIGINT) END
+           )) AS BIGINT) AS sum_codes
+    FROM m
+    """,
+    tags=("embedding", "quantization", "higher-order"),
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max scalar quantization of embeddings to 8-bit
+    codes (the standard ANN memory-compression step), entirely with
+    JVM higher-order array functions — transform/array_min/aggregate,
+    no Python in the path, no shuffle at all (pure per-row map; at
+    100 TB this is scan-bound). Determinism: float32 values widen to
+    binary64 EXACTLY before any arithmetic, and both engines then do
+    identical IEEE ops + round-half-up on non-negative scaled values;
+    the emitted checksum (sum of codes) is integer. mn/mx are pure
+    reads (comparison only), so the doubles are bit-identical too."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", dv.alias("dv"))
+    m = d.select(
+        "vec_id",
+        "dv",
+        F.array_min("dv").alias("mn"),
+        F.array_max("dv").alias("mx"),
+    )
+    codes = F.transform(
+        F.col("dv"),
+        lambda x: F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+            F.round((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast("long")
+        ),
+    )
+    return m.select(
+        "vec_id",
+        F.size("dv").cast("long").alias("n_dims"),
+        "mn",
+        "mx",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_codes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped ordinary-least-squares trend (exact integer sufficient stats)
+# --------------------------------------------------------------------------
+TREND_EPOCH = "2024-01-01"
+
+
+@register(
+    "user_trend_slope",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             datediff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    tags=("regression", "grouped-ols", "trend"),
+)
+def user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of spend over time — the closed-form slope
+    from integer sufficient statistics (n, Σx, Σy, Σxy, Σx²): ONE
+    map-side-combinable groupBy, no window, no iteration. All sums are
+    exact BIGINTs (day index × integer cents), so the final ratios are
+    single bit-deterministic binary64 divisions. The same five sufficient
+    statistics support intercept, R², and covariance at no extra pass —
+    this is how grouped regression should run at 100 TB (never per-group
+    fitting loops)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(TREND_EPOCH).cast("date")
+        ).cast("long").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / den.cast("double")
+            ).alias("slope_cents_per_day"),
+            (
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                    "double"
+                )
+                / den.cast("double")
+            ).alias("intercept_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-entropy: order-insensitive per-table key checksums
+# --------------------------------------------------------------------------
+CHECKSUM_MOD = 1_000_003
+CHECKSUM_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _sql_checksum_select(table: str, keys: tuple[str, ...]) -> str:
+    key_exprs = ", ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    h = sql_portable_hash64(f"concat_ws('|', '{table}', {key_exprs})")
+    return (
+        f"SELECT '{table}' AS table_name, COUNT(*) AS n_rows, "
+        f"CAST(SUM({h} % {CHECKSUM_MOD}) AS BIGINT) AS checksum FROM {table}"
+    )
+
+
+@register(
+    "table_key_checksums",
+    oracle="\nUNION ALL\n".join(
+        _sql_checksum_select(t, ks) for t, ks in CHECKSUM_KEYS.items()
+    ),
+    tags=("anti-entropy", "checksum", "replication"),
+)
+def table_key_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of every table's key set — the
+    anti-entropy primitive replica sync / migration verification needs:
+    two sides compare (n_rows, checksum) per table and only diff tables
+    that disagree. Checksum = Σ (portable_hash64(table|key) mod p), a
+    commutative mod-sum: map-side combinable single aggregate per table,
+    no shuffle of data rows, no row-order sensitivity, no driver-side
+    iteration. Keys only (not floats/timestamps) so the hashed string
+    rendering is identical in both engines."""
+    out: DataFrame | None = None
+    for table, keys in CHECKSUM_KEYS.items():
+        df = _t(spark, sf_dir, table)
+        key_cols = [F.col(k).cast("string") for k in keys]
+        h = portable_hash64(F.concat_ws("|", F.lit(table), *key_cols))
+        agg = df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.pmod(h, F.lit(CHECKSUM_MOD))).alias("checksum"),
+        ).select(
+            F.lit(table).alias("table_name"), F.col("n_rows"), F.col("checksum")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    assert out is not None
+    return out
