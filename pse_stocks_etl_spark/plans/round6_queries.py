@@ -34,13 +34,17 @@ BLOOM_K = 3  # hash functions
 BLOOM_PRICE_MIN = 450_000.0  # ~p90 of o_totalprice → ~10% selective dim
 
 
-def _bloom_pos(key: F.Column, salt: int) -> F.Column:
-    """Bit position for hash function `salt`: portable 60-bit md5 hash
-    (identical in both engines, functions/text.py) mod m."""
-    return F.pmod(
-        portable_hash64(F.concat(F.lit(f"b{salt}|"), key.cast("string"))),
-        F.lit(BLOOM_BITS),
-    )
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """k bit positions via seeded native xxhash64 on the RAW key — no
+    string cast, no md5: the Bloom internals never face the oracle
+    (false positives are removed by the exact verify join), so the
+    engine-specific hash is free to be the fast codegen one. This is
+    the one place the portable-md5 rule (functions/text.py) does NOT
+    apply."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
 
 
 @register(
@@ -64,12 +68,14 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from first principles with JVM aggregates (Spark 4.1 does not expose
     `bloom_filter_agg`/`might_contain` in the SQL registry).
 
-    Build side: dim keys → k=3 portable-hash bit positions → groupBy
-    word → `bit_or(1 << bit)`: a 256-row (word, bits) table — a FIXED
-    16 Kbit broadcast no matter how many dim keys there are. Probe side:
-    lineitem joins the broadcast bit table k times and keeps rows whose
-    3 bits are all set, THEN an exact semi-join removes Bloom false
-    positives. At 100 TB the dim key set may be too big to broadcast
+    Build side: dim keys → k=3 bit positions (seeded native xxhash64 on
+    the raw key — pure codegen, no string cast) → groupBy word →
+    `bit_or(1 << bit)` → folded to ONE row as a word→bits map: a FIXED
+    16 Kbit broadcast value no matter how many dim keys there are.
+    Probe side: lineitem crossJoins the broadcast 1-row bitmap once and
+    tests all 3 bits with `element_at` in a single codegen'd
+    projection; survivors THEN pay an exact semi-join that removes
+    Bloom false positives. At 100 TB the dim key set may be too big to broadcast
     raw, but the Bloom bitmap never grows — survivors (~selectivity +
     FP rate) are the only rows that pay the shuffled exact join.
     SUM(l_quantity) is deterministic: quantities are integral, so the
@@ -79,9 +85,7 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select("o_orderkey")
 
     positions = keys.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
-        ).alias("p")
+        F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p")
     )
     words = (
         positions.select(
@@ -91,25 +95,21 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or(F.expr("shiftleft(1L, CAST(b AS INT))")).alias("bits"))
     )
 
-    probe = li.select("l_orderkey", "l_returnflag", "l_quantity")
-    for i in range(BLOOM_K):
-        probe = (
-            probe.withColumn(f"_p{i}", _bloom_pos(F.col("l_orderkey"), i))
-            .withColumn(f"_w{i}", F.expr(f"_p{i} DIV 64"))
-            .withColumn(f"_b{i}", F.pmod(F.col(f"_p{i}"), F.lit(64)))
-        )
-    for i in range(BLOOM_K):
-        wtab = words.select(
-            F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
-        )
-        probe = probe.join(F.broadcast(wtab), f"_w{i}", "left").filter(
-            F.col(f"_bits{i}").isNotNull()
-            & (
-                F.col(f"_bits{i}").bitwiseAND(
-                    F.expr(f"shiftleft(1L, CAST(_b{i} AS INT))")
-                )
-                != 0
-            )
+    # Fold the 256-word bitmap into ONE row (a word→bits map): a single
+    # broadcast value instead of k joinable tables, so the probe pays
+    # one crossJoin(broadcast) and tests all k bits in one projection.
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bf")
+    )
+    probe = li.select("l_orderkey", "l_returnflag", "l_quantity").crossJoin(
+        F.broadcast(bitmap)
+    )
+    for i, pos in enumerate(_bloom_positions(F.col("l_orderkey"))):
+        probe = probe.withColumn(f"_p{i}", pos).filter(
+            F.coalesce(
+                F.element_at(F.col("bf"), F.expr(f"_p{i} DIV 64")), F.lit(0)
+            ).bitwiseAND(F.expr(f"shiftleft(1L, CAST(_p{i} % 64 AS INT))"))
+            != 0
         )
     exact = probe.join(keys, probe.l_orderkey == keys.o_orderkey, "left_semi")
     return exact.groupBy("l_returnflag").agg(
