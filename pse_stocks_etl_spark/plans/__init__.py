@@ -95,7 +95,11 @@ _DRIVER_FIRST = [
     "emb_int8_quantize",
     "user_trend_slope",
     "table_key_checksums",
-    # -- block 7: refresh of round-2 greens that missed the r5 window --
+    "copurchase_triangle_count",
+    "user_value_ewma",
+    # -- block 7: refresh of round-2 greens that missed the r5 window
+    # (the last two, sync_end_to_end / asof_click_attribution, yield
+    # their slots to the two extra round-6 queries and lead round 7) --
     "flagship_latest_price",
     "docs_simhash",
     "emb_cosine_topk",
@@ -113,8 +117,6 @@ _DRIVER_FIRST = [
     "multimodal_frame_sample",
     "multimodal_wav_decode",
     "datasource_price_scan",
-    "sync_end_to_end",
-    "asof_click_attribution",
 ]
 
 

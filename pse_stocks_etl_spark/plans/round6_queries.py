@@ -724,3 +724,137 @@ def table_key_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = agg if out is None else out.unionAll(agg)
     assert out is not None
     return out
+
+
+# --------------------------------------------------------------------------
+# Graph analytics: triangle counting with degree orientation
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_triangle_count",
+    # Oracle counts triangles on the SIMPLE id-orientation — the count
+    # is orientation-invariant, so the degree-oriented distributed plan
+    # must produce the identical number despite a different join tree.
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM edges e1
+              JOIN edges e2 ON e1.v = e2.u
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("graph", "triangle-count", "degree-orientation"),
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (edges =
+    part pairs bought together in ≥{MIN_SUPPORT} orders) using DEGREE
+    ORIENTATION — every edge points from its lower-(degree, id) endpoint
+    to the higher one, so wedge fanout per node is bounded by
+    out-degree ≈ O(√m) on any graph (arboricity bound) instead of the
+    raw degree: the classic fix for the hub-explosion that kills the
+    naive id-oriented join at scale. Each triangle appears exactly once
+    (its minimum vertex in the total order is the wedge center), so the
+    count equals the oracle's id-oriented count. Two equi-joins
+    (wedge-build on center, wedge-close on (x, y)) — no cross products,
+    map-side combinable final count."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.struct(F.col("deg_u"), F.col("u")) < F.struct(
+        F.col("deg_v"), F.col("v")
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("x"), F.col("deg_dst").alias("dx"))
+    w2 = oriented.select("src", F.col("dst").alias("y"), F.col("deg_dst").alias("dy"))
+    wedges = w1.join(w2, "src").filter(
+        F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    )
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(n_tri))
+
+
+# --------------------------------------------------------------------------
+# Rolling EWMA smoothing (dyadic-exact weights)
+# --------------------------------------------------------------------------
+EWMA_WINDOW = 8  # weights 1/2^j, j = 0..7 — all dyadic, all exact
+
+
+@register(
+    "user_value_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT t.user_id, t.rn, COUNT(*) AS n_window,
+           SUM(s.y / CAST((1 << (t.rn - s.rn)) AS DOUBLE))
+             / SUM(1.0 / CAST((1 << (t.rn - s.rn)) AS DOUBLE)) AS ewma_cents
+    FROM seq t JOIN seq s
+      ON s.user_id = t.user_id AND s.rn BETWEEN t.rn - {EWMA_WINDOW - 1} AND t.rn
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ewma", "window-frame", "higher-order"),
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exponentially-weighted moving average per user (α = ½,
+    {EWMA_WINDOW}-row window) in ONE shuffle: a window frame collects
+    the trailing values in frame order and a JVM higher-order fold
+    applies positional weights — no self-join (the oracle's shape),
+    no second exchange. Exactness: y is integer cents and every weight
+    is 1/2^j, so all terms are dyadic rationals exactly representable
+    in binary64 — sums are order-independent and the final single
+    division is bit-identical across engines (the same dyadic-exactness
+    rule as the Tukey/percentile queries)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(EWMA_WINDOW - 1), 0)
+    seq = ev.select(
+        "user_id",
+        cents(F.col("value")).alias("y"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.collect_list(cents(F.col("value"))).over(frame).alias("fr"),
+    )
+    num = (
+        "aggregate(transform(fr, (e, i) -> e / CAST(shiftleft(1L, "
+        "size(fr) - 1 - i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    den = (
+        "aggregate(transform(fr, (e, i) -> 1.0 / CAST(shiftleft(1L, "
+        "size(fr) - 1 - i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    return seq.select(
+        "user_id",
+        "rn",
+        F.size("fr").cast("long").alias("n_window"),
+        F.expr(f"({num}) / ({den})").alias("ewma_cents"),
+    )
