@@ -97,9 +97,11 @@ _DRIVER_FIRST = [
     "table_key_checksums",
     "copurchase_triangle_count",
     "user_value_ewma",
+    "copurchase_pagerank",
     # -- block 7: refresh of round-2 greens that missed the r5 window
-    # (the last two, sync_end_to_end / asof_click_attribution, yield
-    # their slots to the two extra round-6 queries and lead round 7) --
+    # (the last three, datasource_price_scan / sync_end_to_end /
+    # asof_click_attribution, yield their slots to the three extra
+    # round-6 queries and lead round 7's refresh) --
     "flagship_latest_price",
     "docs_simhash",
     "emb_cosine_topk",
@@ -116,7 +118,6 @@ _DRIVER_FIRST = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_wav_decode",
-    "datasource_price_scan",
 ]
 
 

@@ -299,6 +299,17 @@ class _PersistedLRU:
     def __len__(self) -> int:
         return len(self._entries)
 
+    def clear(self) -> None:
+        """Unpersist and drop every entry (memo dict AND storage
+        together — unpersisting behind the dict's back leaves stale
+        handles that silently recompute un-persisted forever)."""
+        while self._entries:
+            _, evicted = self._entries.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to free
+
 
 _SHINGLE_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
 
@@ -339,6 +350,22 @@ def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _SHINGLE_CAPPED_CACHE.get_or_build(key, build)
+
+
+# The CC query's pair set is persisted too (the propagation loop
+# re-references it every round); routing it through the same LRU makes
+# repeated invocations in one session REUSE the cached copy instead of
+# stacking a fresh orphaned persist per call.
+_CC_PAIRS_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
+
+
+def clear_working_set_caches() -> None:
+    """Unpersist + forget every session working-set cache (shingles,
+    capped shingles, CC pairs). For harnesses that need per-query
+    isolation (bench.py) and long-lived services rotating datasets."""
+    _SHINGLE_CACHE.clear()
+    _SHINGLE_CAPPED_CACHE.clear()
+    _CC_PAIRS_CACHE.clear()
 
 
 def _exact_jaccard(
@@ -1017,10 +1044,11 @@ def docs_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _SQL_JACCARD_PAIRS, so the Spark side must cap identically
     # (shared persisted capped working set; the hot-set anti-join runs
     # once per session, not once per query)
-    pairs = (
-        _exact_jaccard(_shingles_capped_cached(spark, sf_dir))
+    pairs = _CC_PAIRS_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir, "cc_pairs"),
+        lambda: _exact_jaccard(_shingles_capped_cached(spark, sf_dir))
         .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     docs = _docs(spark, sf_dir).select("doc_id")
     # only docs that appear in a pair need the iteration; singletons are

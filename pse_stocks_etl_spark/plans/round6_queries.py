@@ -858,3 +858,103 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fr").cast("long").alias("n_window"),
         F.expr(f"({num}) / ({den})").alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph centrality: integer-exact PageRank (unrolled)
+# --------------------------------------------------------------------------
+PR_ITERS = 3
+PR_MASS0 = 1_000_000_000_000  # starting integer mass per node
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer PageRank SQL (the emb_kmeans_refine precedent:
+    a bounded iterative algorithm is still oracle-able by unrolling)."""
+    base = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v AS u, u AS v FROM edges0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST({PR_MASS0} AS BIGINT) AS mass FROM nodes)"""
+    for i in range(PR_ITERS):
+        base += f""",
+    s{i + 1} AS (
+      SELECT e.v AS node,
+             CAST(SUM((r.mass * 17 // 20) // d.d) AS BIGINT) AS got
+      FROM edges e
+      JOIN r{i} r ON r.node = e.u JOIN deg d ON d.node = e.u
+      GROUP BY 1
+    ),
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST(r.mass - (r.mass * 17 // 20) + coalesce(s.got, 0) AS BIGINT) AS mass
+      FROM nodes n
+      JOIN r{i} r ON r.node = n.node LEFT JOIN s{i + 1} s ON s.node = n.node
+    )"""
+    return base + f"\n    SELECT node, mass FROM r{PR_ITERS}"
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "integer-exact"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph ({PR_ITERS} unrolled
+    iterations, damping 17/20) in INTEGER mass arithmetic: each node
+    starts with 10^12 units; per step it keeps `mass - mass·17//20`
+    and sends `(mass·17//20) // deg` to each neighbor (the division
+    remainders are deterministically dropped — the same dust on both
+    engines). Integer sums are order-independent, so the whole
+    iterative computation is bit-exact cross-engine — the float
+    formulation would diverge in final-ulp summation order. Per
+    iteration: one equi-join keyed on the sending node + one
+    map-side-combinable groupBy on the receiving node; hot receivers
+    are AQE-skew-split territory, and unbounded iteration counts move
+    to a Pregel loop with the same per-step plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = edges0.unionAll(
+        edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    r = nodes.withColumn("mass", F.lit(PR_MASS0).cast("long"))
+    for _ in range(PR_ITERS):
+        sending = (
+            edges.join(r.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(mass * 17 DIV 20) DIV d").alias("sent"),
+            )
+        )
+        got = sending.groupBy("node").agg(F.sum("sent").alias("got"))
+        r = (
+            r.join(got, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("mass")
+                    - F.expr("mass * 17 DIV 20")
+                    + F.coalesce(F.col("got"), F.lit(0))
+                ).alias("mass"),
+            )
+        )
+    return r

@@ -211,3 +211,43 @@ def test_persisted_lru_eviction_order_and_dead_session_safety():
     lru.get_or_build("d", lambda: d)  # evicts a — its unpersist raises
     assert len(lru) == 2  # dead-session unpersist swallowed, cache intact
     assert lru.get_or_build("c", lambda: None) is c
+
+
+def test_clear_working_set_caches_resets_memo_and_storage(spark, sf_dir):
+    """The round-6 isolation hook: clear() must drop memo AND storage
+    together. The failure mode it guards: `spark.catalog.clearCache()`
+    alone unpersists behind the memo's back, leaving stale handles
+    that silently recompute UN-persisted on every later call (observed
+    as docs_ngram_jaccard_pairs 1.3s -> 4.1s in the bench). After the
+    hook, the next call must REBUILD and RE-persist."""
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    before = lq._shingles_cached(spark, sf_dir)
+    before.count()
+    assert before.storageLevel.useMemory or before.storageLevel.useDisk
+
+    lq.clear_working_set_caches()
+    assert len(lq._SHINGLE_CACHE) == 0
+    assert len(lq._SHINGLE_CAPPED_CACHE) == 0
+    assert len(lq._CC_PAIRS_CACHE) == 0
+    assert not (before.storageLevel.useMemory or before.storageLevel.useDisk)
+
+    after = lq._shingles_cached(spark, sf_dir)
+    assert after is not before  # rebuilt, not the stale handle
+    after.count()
+    assert after.storageLevel.useMemory or after.storageLevel.useDisk
+    lq.clear_working_set_caches()
+
+
+def test_cc_pairs_cache_reuses_single_persist(spark, sf_dir):
+    """Repeated invocations of the clustering query in one session must
+    reuse ONE persisted pair set (keyed LRU), not stack a fresh
+    orphaned persist per call."""
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    lq.clear_working_set_caches()
+    plans.REGISTRY["docs_near_dup_clusters"].fn(spark, sf_dir).count()
+    n1 = len(lq._CC_PAIRS_CACHE)
+    plans.REGISTRY["docs_near_dup_clusters"].fn(spark, sf_dir).count()
+    assert len(lq._CC_PAIRS_CACHE) == n1 == 1
+    lq.clear_working_set_caches()

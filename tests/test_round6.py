@@ -31,13 +31,17 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_bloom_probe_uses_broadcast_bit_table(spark):
-    """The probe side must test the Bloom bitmap via BROADCAST hash
-    joins (k of them — the 256-row bit table), never a shuffle: the
-    whole point of the runtime filter is that the probe scan is only
-    touched by map-side work before the exact join."""
+def test_bloom_probe_uses_single_broadcast_bitmap(spark):
+    """The probe side must test the Bloom bitmap as ONE broadcast 1-row
+    map value (a broadcast nested-loop of a single row — not k joinable
+    bit tables, and never a shuffle): the whole point of the runtime
+    filter is that the probe scan is only touched by map-side work
+    before the exact join."""
     plan = _physical(bloom_prefilter_semi_join(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= BLOOM_K
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # all k bit tests are element_at lookups in one filter chain, with
+    # no per-test join
+    assert plan.count("element_at") >= BLOOM_K
     # the exact verify join exists too (semi)
     assert "LeftSemi" in plan
 
