@@ -98,10 +98,13 @@ _DRIVER_FIRST = [
     "copurchase_triangle_count",
     "user_value_ewma",
     "copurchase_pagerank",
+    "user_value_rolling_median",
+    "event_trigram_paths",
     # -- block 7: refresh of round-2 greens that missed the r5 window
-    # (the last three, datasource_price_scan / sync_end_to_end /
-    # asof_click_attribution, yield their slots to the three extra
-    # round-6 queries and lead round 7's refresh) --
+    # (the last five — multimodal_frame_sample, multimodal_wav_decode,
+    # datasource_price_scan, sync_end_to_end, asof_click_attribution —
+    # yield their slots to the five extra round-6 queries and lead
+    # round 7's refresh) --
     "flagship_latest_price",
     "docs_simhash",
     "emb_cosine_topk",
@@ -116,8 +119,6 @@ _DRIVER_FIRST = [
     "docs_split_assign",
     "emb_kmeans_refine",
     "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_wav_decode",
 ]
 
 

@@ -958,3 +958,94 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r
+
+
+# --------------------------------------------------------------------------
+# Robust rolling statistics: sliding-window median (exact)
+# --------------------------------------------------------------------------
+MEDIAN_WINDOW = 7
+
+
+@register(
+    "user_value_rolling_median",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, rn,
+           median(y) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN {MEDIAN_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW) AS rolling_median_cents
+    FROM seq
+    """,
+    tags=("timeseries", "rolling-median", "robust", "window-frame"),
+)
+def user_value_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (robust alternative to the rolling mean — a
+    single outlier can't move it) over a {MEDIAN_WINDOW}-row trailing
+    window, in ONE shuffle: the frame's values are collected in-frame,
+    sorted with the JVM `array_sort`, and the midpoint extracted —
+    sorting ≤{MEDIAN_WINDOW} elements per row is O(1) work, NOT a
+    per-group global sort. Exactness: integer cents; the even-count
+    midpoint (a+b)/2 is a dyadic rational, bit-equal to DuckDB's
+    interpolated windowed median."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(MEDIAN_WINDOW - 1), 0)
+    seq = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.array_sort(F.collect_list(cents(F.col("value"))).over(frame)).alias("fr"),
+    )
+    m = F.size("fr")
+    odd = F.element_at("fr", ((m + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at("fr", (m / 2).cast("int"))
+        + F.element_at("fr", (m / 2).cast("int") + 1)
+    ).cast("double") / 2.0
+    return seq.select(
+        "user_id",
+        "rn",
+        F.when(m % 2 == 1, odd).otherwise(even).alias("rolling_median_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence mining: event trigram path distribution
+# --------------------------------------------------------------------------
+@register(
+    "event_trigram_paths",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    """,
+    tags=("sequence", "path-mining", "window"),
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequence mining: the distribution of length-3
+    event-type paths per user (the behavioral-funnel complement of
+    `event_transition_matrix`'s first-order chain). One shuffle on
+    user_id computes both leads in a single Window operator; the
+    output is at most |types|³ rows, so the count agg is map-side
+    trivial. (ts, event_id) is a total order, so the paths are
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        t.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+    )
