@@ -100,11 +100,11 @@ _DRIVER_FIRST = [
     "copurchase_pagerank",
     "user_value_rolling_median",
     "event_trigram_paths",
+    "part_price_size_skyline",
     # -- block 7: refresh of round-2 greens that missed the r5 window
-    # (the last five — multimodal_frame_sample, multimodal_wav_decode,
-    # datasource_price_scan, sync_end_to_end, asof_click_attribution —
-    # yield their slots to the five extra round-6 queries and lead
-    # round 7's refresh) --
+    # (the refresh tail (multimodal_*, datasource_price_scan,
+    # sync_end_to_end, asof_click_attribution) yields slots to the
+    # extra round-6 queries and leads round 7's refresh) --
     "flagship_latest_price",
     "docs_simhash",
     "emb_cosine_topk",
@@ -118,7 +118,6 @@ _DRIVER_FIRST = [
     "docs_pii_scrub",
     "docs_split_assign",
     "emb_kmeans_refine",
-    "multimodal_decode",
 ]
 
 

@@ -1049,3 +1049,78 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("e1", "e2", "e3")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) — two-phase, sort-based
+# --------------------------------------------------------------------------
+SKYLINE_BUCKETS = 16
+
+
+def _skyline_filter(df: DataFrame, *, pid: str | None) -> DataFrame:
+    """One skyline pass (minimize price_c, maximize size) over `df`,
+    scoped to `pid` partitions when given, global otherwise: a point is
+    dominated iff a strictly-cheaper point has size ≥ its own
+    (range-frame running max) or an equal-priced point has size > its
+    own (price-group max). Sort-based O(n log n), never the quadratic
+    NOT-EXISTS self-join."""
+    pkeys = [pid] if pid else []
+    w_cheaper = (
+        Window.partitionBy(*pkeys)
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy(*pkeys, "price_c")
+    return (
+        df.withColumn("m_cheaper", F.max("size").over(w_cheaper))
+        .withColumn("m_equal", F.max("size").over(w_equal))
+        .filter(
+            (F.col("m_cheaper").isNull() | (F.col("m_cheaper") < F.col("size")))
+            & (F.col("m_equal") <= F.col("size"))
+        )
+        .drop("m_cheaper", "m_equal")
+    )
+
+
+@register(
+    "part_price_size_skyline",
+    # The oracle is the quadratic NOT-EXISTS definition of Pareto
+    # dominance — the sort-based two-phase plan must select the exact
+    # same frontier.
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_partkey, price_c, size
+    FROM p a WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE (b.price_c <= a.price_c AND b.size >= a.size)
+        AND (b.price_c < a.price_c OR b.size > a.size))
+    """,
+    tags=("skyline", "pareto", "two-phase"),
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto frontier (minimize retail price, maximize size)
+    as a TWO-PHASE sort-based plan: range-repartition by price, run the
+    local window skyline per partition (dominated points are dominated
+    globally — Pareto dominance is transitive, so dropping them early
+    is safe), then re-run the same window filter globally over the
+    survivors. The survivor set is the union of per-partition
+    frontiers — typically orders of magnitude smaller than the input —
+    so the one global-ordered window runs on a bounded set instead of
+    collapsing 100 TB onto a single reducer; the oracle is the
+    textbook quadratic NOT-EXISTS, which the sorted plan must
+    reproduce exactly (integer cents make the sort keys exact)."""
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    ranged = p.repartitionByRange(
+        SKYLINE_BUCKETS, F.asc("price_c"), F.asc("p_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    local = _skyline_filter(ranged, pid="pid").drop("pid")
+    return _skyline_filter(local, pid=None)
