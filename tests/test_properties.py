@@ -162,3 +162,135 @@ def test_pack_chunks_invariants(spark, tmp_path_factory, docs):
             assert r.last_chunk == (r.start_off + r.n_tokens - 1) // PACK_CAPACITY
             assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
             expect_off += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators vs pure-Python reference models
+# ---------------------------------------------------------------------------
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # price
+        st.integers(min_value=0, max_value=20),  # size
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(points=points_strategy)
+@SETTINGS
+def test_skyline_two_phase_matches_brute_force(spark, points):
+    """The sort-based two-phase skyline must equal the O(n²) dominance
+    definition on arbitrary point sets (ties, duplicates, collinear
+    runs included)."""
+    from pse_stocks_etl_spark.plans.round6_queries import _skyline_filter
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(points)]
+
+    def dominated(a):
+        return any(
+            (b[1] <= a[1] and b[2] >= a[2]) and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+
+    expect = sorted(r for r in rows if not dominated(r))
+
+    df = spark.createDataFrame(rows, "p_partkey long, price_c long, size long")
+    ranged = df.repartitionByRange(4, F.asc("price_c"), F.asc("p_partkey"))
+    ranged = ranged.withColumn("pid", F.spark_partition_id())
+    local = _skyline_filter(ranged, pid="pid").drop("pid")
+    got = sorted(tuple(r) for r in _skyline_filter(local, pid=None).collect())
+    assert got == expect
+
+
+ewma_strategy = st.lists(
+    st.integers(min_value=0, max_value=50_000), min_size=1, max_size=20
+)
+
+
+@given(ys=ewma_strategy)
+@SETTINGS
+def test_ewma_fold_matches_python_reference(spark, ys):
+    """The window-frame higher-order fold must equal the direct Python
+    EWMA over the trailing window — including the dyadic-exactness
+    claim (== on floats, no tolerance)."""
+    from pse_stocks_etl_spark.plans.round6_queries import EWMA_WINDOW
+    from pyspark.sql import Window
+
+    rows = [(1, i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "user_id long, rn long, y long")
+    w = Window.partitionBy("user_id").orderBy("rn")
+    frame = w.rowsBetween(-(EWMA_WINDOW - 1), 0)
+    seq = df.select(
+        "rn", F.collect_list("y").over(frame).alias("fr")
+    )
+    num = (
+        "aggregate(transform(fr, (e, i) -> e / CAST(shiftleft(1L, "
+        "size(fr) - 1 - i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    den = (
+        "aggregate(transform(fr, (e, i) -> 1.0 / CAST(shiftleft(1L, "
+        "size(fr) - 1 - i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    got = {
+        r.rn: r.e
+        for r in seq.select("rn", F.expr(f"({num}) / ({den})").alias("e")).collect()
+    }
+    for t in range(len(ys)):
+        lo = max(0, t - (EWMA_WINDOW - 1))
+        window = ys[lo : t + 1]
+        m = len(window)
+        n = sum(v / 2 ** (m - 1 - i) for i, v in enumerate(window))
+        d = sum(1.0 / 2 ** (m - 1 - i) for i in range(m))
+        assert got[t] == n / d  # exact — dyadic terms, no tolerance
+
+
+def test_pagerank_conserves_integer_mass(spark, sf_dir):
+    """Integer PageRank loses only division dust: total mass after k
+    iterations is within k · (17/20-truncation + per-edge remainder)
+    of the initial total, and never grows."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round6_queries import PR_ITERS, PR_MASS0
+
+    rows = plans.REGISTRY["copurchase_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r.mass for r in rows)
+    assert total <= n * PR_MASS0
+    # dust bound: each node's send pass drops < 20 (damping div) plus
+    # < deg remainders per iteration; degrees sum to 2|E| ≤ n·(n-1),
+    # but a generous linear bound suffices to catch real mass leaks.
+    assert n * PR_MASS0 - total < PR_ITERS * n * 1000
+    assert all(r.mass > 0 for r in rows)
+
+
+def test_bloom_prefilter_equals_plain_semi_join_across_thresholds(spark, sf_dir):
+    """The Bloom pre-filter must be semantically invisible for ANY dim
+    selectivity — false positives always die in the exact join."""
+    from pse_stocks_etl_spark.plans import round6_queries as r6
+
+    orig = r6.BLOOM_PRICE_MIN
+    try:
+        for threshold in (0.0, 250_000.0, 600_000.0):  # all / ~half / none
+            r6.BLOOM_PRICE_MIN = threshold
+            got = sorted(
+                tuple(r)
+                for r in r6.bloom_prefilter_semi_join(spark, sf_dir).collect()
+            )
+            from pse_stocks_etl_spark.sources.catalog import load_table
+
+            o = (
+                load_table(spark, sf_dir, "orders")
+                .filter(F.col("o_totalprice") > threshold)
+                .select("o_orderkey")
+            )
+            li = load_table(spark, sf_dir, "lineitem")
+            plain = (
+                li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+            )
+            expect = sorted(tuple(r) for r in plain.collect())
+            assert got == expect, f"threshold {threshold}"
+    finally:
+        r6.BLOOM_PRICE_MIN = orig
