@@ -1124,3 +1124,80 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pid", F.spark_partition_id())
     local = _skyline_filter(ranged, pid="pid").drop("pid")
     return _skyline_filter(local, pid=None)
+
+
+# --------------------------------------------------------------------------
+# Tolerant CSV ingestion: PERMISSIVE parse with corrupt-record capture
+# --------------------------------------------------------------------------
+# Both corrupt lines fail on a column the query SELECTS: under CSV
+# column pruning (default on) the parser never touches unused columns,
+# so an extra-columns row or a bad value in a pruned column is silently
+# ADMITTED — malformed-ness is only detected on the projected schema.
+CSV_CORRUPT_LINES = ("abc,Y", "def,Q")
+
+
+@register(
+    "csv_malformed_tolerant_read",
+    # Oracle computes from clean parquet + the KNOWN injected corrupt
+    # count: equality proves the PERMISSIVE reader admits every good
+    # row, quarantines exactly the bad ones, and never lets a corrupt
+    # row's partially-parsed fields leak into aggregates.
+    oracle=f"""
+    SELECT COUNT(*) AS n_good,
+           CAST({len(CSV_CORRUPT_LINES)} AS BIGINT) AS n_corrupt,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("S4", "csv", "permissive", "data-quality"),
+)
+def csv_malformed_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerant CSV ingestion (the real-world crawl-data
+    path): stage good rows to CSV, inject known-bad lines, read back
+    PERMISSIVE with a corrupt-record column, and aggregate
+    good/quarantined counts. Two subtleties the query encodes:
+    (1) aggregates filter on the corrupt FLAG, not field nullability —
+    a partially-parseable corrupt row still carries parsed leading
+    fields that would otherwise leak into sums; (2) under CSV column
+    pruning (default on) corruption is only detected on the PROJECTED
+    columns — a bad value in a pruned column is silently admitted, so
+    quarantine-counting queries must project every column they want
+    validated (the corrupt lines here fail on a selected column)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    slice_df = li.select("l_orderkey", "l_returnflag")
+    tmp = getattr(csv_malformed_tolerant_read, "_staging_dir", None)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="csv_tolerant_")
+        csv_malformed_tolerant_read._staging_dir = tmp
+    stage = os.path.join(tmp, "stage")
+    slice_df.write.mode("overwrite").csv(stage, header=True)
+    # deterministic corrupt shard (header line first: header=True skips
+    # the first line of EVERY file, not just the first file)
+    with open(os.path.join(stage, "zz_corrupt.csv"), "w") as f:
+        f.write("l_orderkey,l_returnflag\n")
+        for line in CSV_CORRUPT_LINES:
+            f.write(line + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType(), True),
+            T.StructField("l_returnflag", T.StringType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(stage, "*.csv"))
+    )
+    ok = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(ok, 1)).alias("n_good"),
+        F.count(F.when(~ok, 1)).alias("n_corrupt"),
+        F.sum(F.when(ok, F.col("l_orderkey"))).alias("key_sum"),
+    )
