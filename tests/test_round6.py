@@ -159,3 +159,30 @@ def test_basket_pairs_canonical_and_supported(spark):
     )
     for r in rows[:50]:
         assert r.lift == (r.n_ab * n_orders) / (r.n_a * r.n_b)
+
+
+def test_skyline_plan_has_no_quadratic_join(spark):
+    """The skyline must be the two-phase sort plan: windows only, no
+    join of the part table against itself (the oracle's NOT-EXISTS
+    shape would appear as a nested-loop or cartesian join)."""
+    from pse_stocks_etl_spark.plans.round6_queries import part_price_size_skyline
+
+    plan = _physical(part_price_size_skyline(spark, SF_DIR))
+    assert plan.count("Window") >= 2  # local + global passes
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_pagerank_iterations_unroll_declaratively(spark):
+    """Each of the PR_ITERS supersteps contributes its own
+    sender-join + receiver-aggregate — the loop must unroll into the
+    plan (no driver-side collect between iterations)."""
+    from pse_stocks_etl_spark.plans.round6_queries import (
+        PR_ITERS,
+        copurchase_pagerank,
+    )
+
+    df = copurchase_pagerank(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # every iteration joins the running rank table back to edges
+    assert logical.count("Join") >= PR_ITERS * 2
