@@ -1201,3 +1201,45 @@ def csv_malformed_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~ok, 1)).alias("n_corrupt"),
         F.sum(F.when(ok, F.col("l_orderkey"))).alias("key_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured data: Spark 4 VariantType extraction
+# --------------------------------------------------------------------------
+@register(
+    "variant_props_histogram",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT kv // 10 AS bucket, COUNT(*) AS n,
+           CAST(SUM(kv) AS BIGINT) AS k_sum,
+           MIN(kv) AS k_min, MAX(kv) AS k_max
+    FROM k WHERE kv IS NOT NULL GROUP BY 1
+    """,
+    tags=("variant", "semi-structured", "spark4"),
+)
+def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type: the
+    JSON column is parsed ONCE into a binary variant (`parse_json`) and
+    fields come out with `try_variant_get` — the encoded form is
+    O(fields) to probe, versus `get_json_object` re-running a full
+    Jackson parse per extraction (the `json_extract_props` twin shows
+    that older path). On a wide semi-structured table the variant
+    column is also the shredding-friendly storage form. Aggregation:
+    decade histogram of k with exact integer sums."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select(k.alias("kv"))
+        .filter(F.col("kv").isNotNull())
+        .groupBy(F.expr("kv DIV 10").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kv").alias("k_sum"),
+            F.min("kv").alias("k_min"),
+            F.max("kv").alias("k_max"),
+        )
+    )
