@@ -371,3 +371,77 @@ def test_foreach_batch_cms_converges_to_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) <= d * w  # bounded no matter the key cardinality
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark contract, observed end-to-end in append mode: a row
+    arriving AFTER the watermark passed its window's end must not
+    reopen the finalized window (its count stays at the on-time value),
+    while a late-but-within-watermark row is folded in. This is the
+    T2-lookback analog on the native streaming runtime: bounded
+    lateness is absorbed, unbounded lateness is dropped."""
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import windowed_event_counts
+
+    HOUR = 3_600 * 10**6
+    # hour-ALIGNED epoch so window_start - T0 is a whole hour count
+    T0 = 1_699_999_200 * 10**6
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + int(h * HOUR), uid, etype, 1.0, "{}")
+                for eid, h, uid, etype in specs
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+
+    batches = [
+        # on-time row in window W0 [0,1h); the 3.5h row advances the
+        # watermark to 1.5h > W0's end -> W0 finalizes with n=1
+        rows((1, 0.2, 1, "click"), (2, 3.5, 1, "click")),
+        # e3: W0 again but watermark has passed W0's end -> DROPPED;
+        # e4: window W2 [2h,3h), >= watermark 1.5h -> accepted;
+        # e5: advances watermark to 4h -> finalizes W2 (n must be 1)
+        rows((3, 0.5, 1, "click"), (4, 2.2, 1, "click"), (5, 6.0, 1, "click")),
+    ]
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    from pse_stocks_etl_spark.streaming.incremental import stream_events
+
+    name = f"late_out_{uuid.uuid4().hex[:8]}"
+    q = None
+    try:
+        for i, batch in enumerate(batches):
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+            if q is None:
+                events = stream_events(spark, os.path.join(src, "b*"))
+                agg = windowed_event_counts(events)
+                q = (
+                    agg.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(tmp_path / "ck_late"))
+                    .start()
+                )
+            q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+
+    out = {
+        int((r.window_start.timestamp() * 10**6 - T0) // HOUR): r.n
+        for r in spark.table(name).collect()
+    }
+    assert out.get(0) == 1, f"late row reopened W0: {out}"  # e3 dropped
+    assert out.get(2) == 1, f"within-watermark row lost: {out}"  # e4 kept
