@@ -103,6 +103,7 @@ _DRIVER_FIRST = [
     "part_price_size_skyline",
     "csv_malformed_tolerant_read",
     "variant_props_histogram",
+    "customer_abc_classes",
     # -- block 7: refresh of round-2 greens that missed the r5 window
     # (the refresh tail (multimodal_*, datasource_price_scan,
     # sync_end_to_end, asof_click_attribution) yields slots to the
@@ -117,7 +118,6 @@ _DRIVER_FIRST = [
     "docs_top_terms",
     "docs_bpe_token_stats",
     "docs_quality_score",
-    "docs_pii_scrub",
 ]
 
 

@@ -1243,3 +1243,76 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("kv").alias("k_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto revenue classification (integer cumulative shares)
+# --------------------------------------------------------------------------
+ABC_BUCKETS = 16
+
+
+@register(
+    "customer_abc_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(revenue_c) AS BIGINT) AS t FROM rev
+    ), c AS (
+      SELECT custkey, revenue_c,
+             CAST(SUM(revenue_c) OVER (ORDER BY revenue_c DESC, custkey
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      FROM rev
+    )
+    SELECT custkey, revenue_c, cum_c,
+           CASE WHEN cum_c * 100 <= 80 * t THEN 'A'
+                WHEN cum_c * 100 <= 95 * t THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c, tot
+    """,
+    tags=("abc", "pareto", "two-phase", "global-window"),
+)
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) customer classification: A = customers covering the
+    first 80% of cumulative revenue, B to 95%, C the tail — the classic
+    inventory/CRM analysis. Class boundaries are INTEGER comparisons
+    (cum·100 ≤ 80·total on cents) so no float share ever exists to
+    diverge. The global revenue-ordered cumsum uses the same two-phase
+    shape as docs_token_budget_select (range-repartition by sort key →
+    per-partition window → broadcast prefix offsets) instead of the
+    oracle's single-partition global window."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_c")
+    )
+    tot = rev.agg(F.sum("revenue_c").alias("t"))
+    ranged = rev.repartitionByRange(
+        ABC_BUCKETS, F.desc("revenue_c"), F.asc("custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    totals = ranged.groupBy("pid").agg(F.sum("revenue_c").alias("ptot"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(woff), F.lit(0)).alias("off")
+    )
+    win = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("revenue_c"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_c", F.col("off") + F.sum("revenue_c").over(win))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        "custkey",
+        "revenue_c",
+        "cum_c",
+        F.when(F.col("cum_c") * 100 <= 80 * F.col("t"), "A")
+        .when(F.col("cum_c") * 100 <= 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
