@@ -33,6 +33,11 @@ try:  # round-6 queries (runtime filters, ER, baskets, expectations)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-7 queries (islands, sweep-line, attribution, MAD, Benford)
+    from . import round7_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -70,8 +75,6 @@ _DRIVER_FIRST = [
     # -- block 3: sketch queries with full error-bound oracles since r5 --
     "approx_distinct_per_key",
     "approx_quantile_per_key",
-    # -- block 4: r4's fix, reconfirm --
-    "array_agg_user_profile",
     # -- block 5: round-5 additions (driver-unseen by definition) --
     "streaming_user_stats",
     "kmv_set_algebra",
@@ -104,20 +107,22 @@ _DRIVER_FIRST = [
     "csv_malformed_tolerant_read",
     "variant_props_histogram",
     "customer_abc_classes",
-    # -- block 7: refresh of round-2 greens that missed the r5 window
-    # (the refresh tail (multimodal_*, datasource_price_scan,
-    # sync_end_to_end, asof_click_attribution) yields slots to the
-    # extra round-6 queries and leads round 7's refresh) --
-    "flagship_latest_price",
-    "docs_simhash",
-    "emb_cosine_topk",
-    "emb_ann_lsh",
-    "emb_ann_ivf",
-    "emb_near_dup_pairs",
-    "docs_near_dup_clusters",
-    "docs_top_terms",
-    "docs_bpe_token_stats",
-    "docs_quality_score",
+    # -- block 7: round-7 additions (driver-unseen by definition;
+    # these take the window slots the round-2-green refresh tail
+    # (flagship_latest_price, docs_simhash, emb_*, docs_near_dup_*,
+    # array_agg_user_profile, ...) would otherwise re-confirm — that
+    # refresh queue leads the NEXT round's rotation) --
+    "user_activity_islands",
+    "click_max_concurrency",
+    "purchase_touch_attribution",
+    "value_mad_outliers",
+    "benford_first_digit",
+    "fk_orphan_audit",
+    "daily_cusum_shift",
+    "funnel_strict_24h",
+    "mode_event_per_user",
+    "docs_weighted_sample",
+    "gapfill_interp_daily",
 ]
 
 

@@ -1,0 +1,812 @@
+"""Round-7 queries: gaps-and-islands, sweep-line concurrency,
+multi-touch attribution, robust (MAD) outliers, Benford digit audit,
+referential-integrity audit, CUSUM changepoint, strict ordered funnel,
+per-key mode, weighted sampling, and linear-interpolation gap-fill.
+
+Analytics surfaces a warehouse user expects beyond plain rollups
+(SURVEY.md §2 extensions). Every query is DataFrame-native (no Python
+UDFs) and carries a FULL value-hash DuckDB oracle. Determinism rules
+are repo-wide (functions/money.py, functions/text.py):
+
+- money/aggregation arithmetic in integer cents (exact, order-free);
+- ranking ties broken by a total order on both sides;
+- float output columns are either pure stored values or single
+  BIGINT/BIGINT divisions (one correctly-rounded IEEE op — identical
+  in Spark and DuckDB);
+- quantiles computed over INTEGERS so linear interpolation lands on
+  exact .5/.25 steps (`a + (b-a)*f` == `(a+b)/2` bit-exactly), then
+  doubled/quadrupled into BIGINTs before any cross-engine compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import sql_cents
+from ..functions.text import portable_hash64, sql_portable_hash64
+from ..sources.catalog import load_table
+from .registry import register
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: per-user activity streaks
+# --------------------------------------------------------------------------
+@register(
+    "user_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM anchored GROUP BY user_id, island
+    )
+    SELECT user_id, COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+    tags=("gaps-and-islands", "streaks", "window"),
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic daynum-minus-row_number anchor (consecutive days share
+    one anchor; any gap starts a new island). Emits per user the streak
+    count, the longest streak, and total active days.
+
+    Scale: one distinct on (user, day) — map-side combinable — then a
+    user-partitioned window (row_number streams, O(1) state) and two
+    same-key groupBys that AQE stacks on one exchange. No joins, no
+    skew risk beyond a single user's day count (bounded by calendar)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    islands = anchored.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line: max concurrent click-TTL intervals per day
+# --------------------------------------------------------------------------
+_TTL = "INTERVAL 30 MINUTES"
+_TTL_SQL = "INTERVAL 30 MINUTE"
+
+
+@register(
+    "click_max_concurrency",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT ts AS s, ts + {_TTL_SQL} AS e,
+             CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 DAY AS m
+      FROM events WHERE event_type = 'click'
+    ),
+    segs AS (
+      SELECT s, LEAST(e, m) AS e, CAST(date_trunc('day', s) AS DATE) AS day
+      FROM clicks
+      UNION ALL
+      SELECT m AS s, e, CAST(m AS DATE) AS day FROM clicks WHERE e > m
+    ),
+    pts AS (
+      SELECT day, s AS t, 1 AS delta FROM segs
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta FROM segs
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (
+               PARTITION BY day ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT day, CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day
+    """,
+    tags=("sweep-line", "intervals", "concurrency"),
+)
+def click_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent live click sessions per day (each click opens
+    a 30-minute half-open interval), computed with the sweep-line
+    +1/-1 trick: interval endpoints become delta points, a running sum
+    ordered by (t, delta) — closes before opens at equal t, matching
+    half-open semantics — traces the concurrency curve, and the per-day
+    max is the answer.
+
+    Scale: intervals are split at midnight so every point belongs to
+    exactly one day partition — the sweep window is partition-parallel
+    by day instead of one global sort. At higher volume the same split
+    refines to hour keys; the TTL bounds a segment to at most two
+    partitions. The oracle replays the identical construction in SQL
+    (DuckDB has no native interval-overlap aggregate either)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(_TTL)).alias("e"),
+        (F.to_date("ts") + F.expr("INTERVAL 1 DAY")).alias("m"),
+    )
+    first_seg = clicks.select(
+        "s", F.least("e", "m").alias("e"), F.to_date("s").alias("day")
+    )
+    spill_seg = clicks.filter(F.col("e") > F.col("m")).select(
+        F.col("m").alias("s"), "e", F.to_date("m").alias("day")
+    )
+    segs = first_seg.unionByName(spill_seg)
+    pts = segs.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        segs.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("c"))
+    return run.groupBy("day").agg(F.max("c").cast("long").alias("max_concurrent"))
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: purchases split equally over prior clicks
+# --------------------------------------------------------------------------
+_ATTR_WINDOW_S = 6 * 3600
+
+
+@register(
+    "purchase_touch_attribution",
+    # The oracle is the straight range join; the Spark plan buckets it.
+    # share_value = cents / (n*100): one BIGINT/BIGINT IEEE division,
+    # bit-identical in both engines.
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts,
+             {sql_cents("value")} AS pcents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.user_id, p.pcents, COUNT(*) AS n_touch
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL {_ATTR_WINDOW_S} SECOND
+      GROUP BY 1, 2, 3
+    )
+    SELECT purchase_id, user_id, n_touch,
+           (pcents / (n_touch * 100)) AS share_value
+    FROM touched
+    """,
+    tags=("attribution", "range-join", "binning"),
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: each purchase's
+    value is divided equally across the user's clicks in the 6 hours
+    before it; emits per attributed purchase its touch count and the
+    per-click share.
+
+    Scale: the pure range predicate would be a per-user nested loop;
+    instead both sides carry a 6-hour epoch bucket and purchases
+    explode to the two candidate buckets (their own + previous), so
+    the join is hash-on-(user, bucket) with the exact predicate as a
+    post-filter — per-bucket cost bounded by click density, the same
+    lossless rewrite as range_join_binned. A click's bucket is unique,
+    so no pair can match twice."""
+    ev = _t(spark, sf_dir, "events")
+    sec = lambda c: F.expr(f"timestampdiff(SECOND, {_EPOCH}, {c})")  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        _cents("value").alias("pcents"),
+        F.explode(
+            F.array(
+                (sec("ts") / _ATTR_WINDOW_S).cast("long") - 1,
+                (sec("ts") / _ATTR_WINDOW_S).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("cts"),
+        (sec("ts") / _ATTR_WINDOW_S).cast("long").alias("bucket"),
+    )
+    touched = (
+        p.join(c, (p.user_id == c.c_user_id) & (p.bucket == c.bucket))
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS"))
+        )
+        .groupBy("purchase_id", "user_id", "pcents")
+        .agg(F.count("*").alias("n_touch"))
+    )
+    return touched.select(
+        "purchase_id",
+        "user_id",
+        "n_touch",
+        (F.col("pcents") / (F.col("n_touch") * 100)).alias("share_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers: median / MAD fences per event type
+# --------------------------------------------------------------------------
+@register(
+    "value_mad_outliers",
+    # med2 = 2*median(cents), mad4 = 2*median(2*|x-med|) = 4*MAD: both
+    # exact BIGINTs (quantiles of integers interpolate on .5 steps).
+    # Outlier test |x-med| > 3.5*1.4826*MAD in pure integers:
+    # 20000*dev2 > 51891*mad4.
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, {sql_cents("value")} AS cents FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.cents, m.med2,
+             abs(2 * v.cents - m.med2) AS dev2
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN 20000 * d.dev2 > 51891 * a.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           (MAX(d.med2) / 200.0) AS median_value,
+           (MAX(a.mad4) / 400.0) AS mad_value
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("robust-stats", "mad", "outliers"),
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) fences at the standard 3.5 modified-z cutoff
+    (|x - med| > 3.5 * 1.4826 * MAD). MAD resists the heavy tail that
+    wrecks mean/stddev z-scores — the robust twin of
+    value_zscore_outliers.
+
+    All comparisons run in scaled integers (dev2 = 2|x-med| cents,
+    mad4 = 4*MAD cents; cutoff 20000*dev2 > 51891*mad4 since
+    3.5*1.4826 = 5.1891) so the verdict is exact on both engines.
+
+    Scale: two grouped exact quantiles over integers (Spark sorts per
+    group in-partition after a key shuffle) with the tiny per-type
+    stats rejoined via broadcast; rows stream through the final
+    aggregation once. Event-type cardinality is small by nature, so
+    the medians' per-group sort is the only super-linear step and it
+    partitions cleanly."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", _cents("value").alias("cents"))
+    med = v.groupBy("event_type").agg(
+        (2 * F.percentile("cents", F.lit(0.5))).cast("long").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.percentile("dev2", F.lit(0.5))).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(20000 * F.col("dev2") > 51891 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            (F.max("med2") / 200.0).alias("median_value"),
+            (F.max("mad4") / 400.0).alias("mad_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit on order totals
+# --------------------------------------------------------------------------
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+@register(
+    "benford_first_digit",
+    # First significant digit via the integer-cents STRING — no
+    # log10/pow float edge cases near powers of ten. share is one
+    # BIGINT/BIGINT division; expected_ppm is a shared literal table.
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST({sql_cents("o_totalprice")} AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    )
+    SELECT digit, COUNT(*) AS n,
+           (COUNT(*) / (SELECT COUNT(*) FROM orders)) AS share,
+           CASE digit {' '.join(f'WHEN {k} THEN {v}' for k, v in _BENFORD_PPM.items())}
+           END AS expected_ppm
+    FROM d GROUP BY digit
+    """,
+    tags=("benford", "data-quality", "audit"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: distribution of the first significant digit
+    of order totals against the expected log10(1+1/d) frequencies
+    (shared literal ppm table — fraud/entry-error screens compare the
+    two). The digit comes from the integer-cents decimal string, which
+    sidesteps log10/pow float behavior near powers of ten entirely.
+
+    Scale: one map-side-combinable 9-group aggregation plus a scalar
+    count broadcast — nothing shuffles more than 9 rows after the
+    partial agg."""
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.groupBy().count().select(F.col("count").alias("n_total"))
+    digit = F.substring(_cents("o_totalprice").cast("string"), 1, 1).cast("long")
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("n_total")).alias("share"),
+            expected[F.col("digit")].alias("expected_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{rel}' AS relationship,
+           COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+    """
+        for rel, child, fk, parent, pk in _FK_EDGES
+    ),
+    tags=("data-quality", "referential-integrity", "audit"),
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key edge of the
+    star schema, the child row count and how many children point at a
+    missing parent (orphans). The verdict a pipeline needs before
+    trusting joins downstream — silent orphans turn inner joins into
+    row loss.
+
+    Scale: each edge is one left join keyed on the FK followed by a
+    count — the join shuffles child-side by the key it already joins
+    on downstream, so a bucketed layout makes the audit shuffle-free.
+    Parent keys are primary keys (unique), so the left join cannot
+    inflate the child count."""
+    out = None
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        audit = (
+            c.join(p, c.k == p.pk, "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphan"),
+            )
+            .select(F.lit(rel).alias("relationship"), "n_child", "n_orphan")
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint: the day each event type's level shifted most
+# --------------------------------------------------------------------------
+@register(
+    "daily_cusum_shift",
+    # cusum_scaled = ndays*cumsum - idx*total keeps the classic
+    # CUSUM-vs-mean statistic in pure BIGINTs (multiply through by
+    # ndays instead of subtracting the fractional mean per day).
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({sql_cents("value")}) AS d_cents
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             COUNT(*) OVER (PARTITION BY event_type) AS ndays,
+             SUM(d_cents) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+             SUM(d_cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums
+      FROM daily
+    )
+    SELECT event_type, day AS shift_day,
+           CAST(ndays * cums - idx * total AS BIGINT) AS cusum_scaled,
+           CAST(ndays AS BIGINT) AS ndays
+    FROM cum
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY abs(ndays * cums - idx * total) DESC, day) = 1
+    """,
+    tags=("changepoint", "cusum", "timeseries"),
+)
+def daily_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: per event type, the observed day where
+    the cumulative deviation from the series mean peaks — the classic
+    single-changepoint location statistic. The statistic is scaled by
+    ndays (cusum*ndays = ndays*cumsum - idx*total) so it stays in
+    exact integers; ties resolve to the earliest day.
+
+    Scale: one daily pre-aggregation (map-side combinable), then
+    event-type-partitioned windows whose running state is O(1) per
+    row; series length per type is bounded by the calendar, so the
+    per-partition sort is tiny regardless of raw event volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), _cents("value").alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("d_cents"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.count("*").over(wp).alias("ndays"),
+        F.sum("d_cents").over(wp).alias("total"),
+        F.row_number().over(wo).alias("idx"),
+        F.sum("d_cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cums"),
+    ).select(
+        "event_type",
+        "day",
+        "ndays",
+        (F.col("ndays") * F.col("cums") - F.col("idx") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("shift_day"),
+            F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+            F.col("ndays").cast("long").alias("ndays"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Strict ordered funnel with per-step 24h deadline
+# --------------------------------------------------------------------------
+@register(
+    "funnel_strict_24h",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS cts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.cts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewers,
+           CAST(SUM(CASE WHEN c.cts <= v.vts + INTERVAL 24 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_click_24h,
+           CAST(SUM(CASE WHEN c.cts <= v.vts + INTERVAL 24 HOUR
+                          AND p.pts <= c.cts + INTERVAL 24 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_24h
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("funnel", "ordered", "analytics"),
+)
+def funnel_strict_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel with step deadlines: first view → first
+    click AFTER that view → first purchase AFTER that click, each step
+    within 24 hours of the previous. Unlike funnel_stages (unordered
+    presence), the order constraint means a click before the first
+    view does not count — the product-analytics semantics.
+
+    Scale: three user-keyed groupBys chained by joins on the same key
+    — AQE plans the chain on one partitioning; every aggregation is
+    min(), map-side combinable. The final count is a single-row agg."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    day = "INTERVAL 24 HOURS"
+    click_ok = F.col("cts") <= F.col("vts") + F.expr(day)
+    purch_ok = click_ok & (F.col("pts") <= F.col("cts") + F.expr(day))
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_viewers"),
+            F.sum(F.when(click_ok, 1).otherwise(0)).cast("long").alias("n_click_24h"),
+            F.sum(F.when(purch_ok, 1).otherwise(0)).cast("long").alias("n_purchase_24h"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mode (most frequent value) per key, deterministic tie-break
+# --------------------------------------------------------------------------
+@register(
+    "mode_event_per_user",
+    oracle="""
+    SELECT user_id, event_type AS top_event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) = 1
+    """,
+    tags=("mode", "topk-per-group"),
+)
+def mode_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mode of event_type with a total-order tie-break
+    (highest count, then lexicographically first type) — `mode()`
+    built-ins in both engines leave ties implementation-defined, so
+    the deterministic form is groupBy + rank, the repo-wide rule.
+
+    Scale: count per (user, type) is map-side combinable; the pick
+    window re-partitions by user only — type cardinality per user is
+    tiny, so the window sort is O(types) per user."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    pick = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted Bernoulli sampling of documents, pure-integer verdict
+# --------------------------------------------------------------------------
+_W_PPM = 1_000_000
+
+
+@register(
+    "docs_weighted_sample",
+    # Keep doc iff u_ppm * max_w < n_chars * 1e6 — all BIGINT, so the
+    # inclusion verdict is exact on both engines (no float u, no pow).
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           ({sql_portable_hash64("text")} % {_W_PPM}) AS u_ppm
+    FROM documents
+    WHERE ({sql_portable_hash64("text")} % {_W_PPM})
+            * (SELECT MAX(n_chars) FROM documents)
+          < n_chars * {_W_PPM}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sample: each document is
+    kept with probability n_chars / max(n_chars), decided by a
+    content-derived uniform (portable md5 hash mod 1e6) compared in
+    cross-multiplied integers — replayable on any engine, no RNG state,
+    no floats. The long-document-favoring sampler a mixture builder
+    uses when length should drive inclusion odds (complement of the
+    equal-odds docs_uniform_sample).
+
+    Scale: embarrassingly parallel scan + one broadcast scalar
+    (max weight); selection never shuffles. The same cross-multiply
+    generalizes to any weight column with a known cap."""
+    docs = _t(spark, sf_dir, "documents")
+    maxw = docs.agg(F.max("n_chars").alias("max_w"))
+    u = (portable_hash64(F.col("text")) % _W_PPM).alias("u_ppm")
+    return (
+        docs.select("doc_id", "n_chars", u)
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("u_ppm") * F.col("max_w") < F.col("n_chars") * _W_PPM)
+        .select("doc_id", "n_chars", "u_ppm")
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar gap-fill with LINEAR interpolation (LOCF's exact sibling)
+# --------------------------------------------------------------------------
+@register(
+    "gapfill_interp_daily",
+    # Interpolated value = (prev*(den-num) + next*num) / (den*100):
+    # integer numerator and denominator, one IEEE division — exact on
+    # both engines. Observed days emit cents/100.0 directly.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, day, cents FROM ranked WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, CAST(u.g AS DATE) AS day
+      FROM bounds b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(g)
+    ),
+    anch AS (
+      SELECT s.user_id, s.day, d.cents,
+             last_value(d.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             last_value(CASE WHEN d.cents IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(d.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             first_value(CASE WHEN d.cents IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           CASE WHEN cents IS NOT NULL THEN cents / 100.0
+                ELSE (pc * (date_diff('day', pd, nd)
+                            - date_diff('day', pd, day))
+                      + nc * date_diff('day', pd, day))
+                     / (date_diff('day', pd, nd) * 100)
+           END AS value_interp,
+           (cents IS NULL) AS is_filled
+    FROM anch
+    """,
+    tags=("timeseries", "gapfill", "interpolation"),
+)
+def gapfill_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with linear interpolation between the
+    surrounding observations — the `interpolate` sibling of
+    gapfill_locf_daily (same daily spine; interior gaps take the
+    distance-weighted blend of the neighboring observed days). The
+    spine spans min..max observed day per user, so every filled row
+    has both anchors by construction.
+
+    The blend is computed as an integer numerator over an integer
+    denominator (cents * day-distances), so the emitted double is one
+    correctly-rounded division on both engines — exact parity without
+    banning fractional results.
+
+    Scale: identical shape to LOCF — per-key bounded spine explode,
+    one user-partitioned window pass for both anchor directions
+    (running state O(1) per row), no UDFs."""
+    from ..operators.dedup import topk_per_group
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = topk_per_group(
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            _cents("value").alias("cents"),
+            "ts",
+            "event_id",
+        ),
+        keys=("user_id", "day"),
+        order_by=(F.col("ts").desc(), F.col("event_id").desc()),
+    ).select("user_id", "day", "cents")
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    anch = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "cents",
+            F.last("cents", ignorenulls=True).over(wb).alias("pc"),
+            F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+            F.first("cents", ignorenulls=True).over(wf).alias("nc"),
+            F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+        )
+    )
+    num = F.datediff(F.col("day"), F.col("pd"))
+    den = F.datediff(F.col("nd"), F.col("pd"))
+    interp = (F.col("pc") * (den - num) + F.col("nc") * num) / (den * 100)
+    return anch.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents") / 100.0)
+        .otherwise(interp)
+        .alias("value_interp"),
+        F.col("cents").isNull().alias("is_filled"),
+    )
