@@ -203,6 +203,7 @@ _ATTR_WINDOW_S = 6 * 3600
     FROM touched
     """,
     tags=("attribution", "range-join", "binning"),
+    bench=True,  # scale-representative range-join shape
 )
 def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (equal-split) multi-touch attribution: each purchase's
