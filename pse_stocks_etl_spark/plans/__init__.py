@@ -123,6 +123,15 @@ _DRIVER_FIRST = [
     "mode_event_per_user",
     "docs_weighted_sample",
     "gapfill_interp_daily",
+    # -- block 8: round-7 second batch — positions 51-56, i.e. the
+    # declared NEXT-window queue (the rotation guard requires every
+    # never-checked query to sit in the window OR here, bounded) --
+    "docs_prefix_jaccard_pairs",
+    "purchase_state_asof",
+    "segment_priority_chisq",
+    "price_quantity_corr",
+    "order_value_deciles",
+    "daily_type_share",
 ]
 
 

@@ -811,3 +811,405 @@ def gapfill_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("cents").isNull().alias("is_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# PPJoin-style prefix-filtered similarity join (second candidate path
+# beside the df-cap and MinHash-LSH strategies in llm_queries)
+# --------------------------------------------------------------------------
+PREFIX_JACCARD_T = 0.5  # threshold; prefix length = sz - ceil(t*sz) + 1
+
+
+@register(
+    "docs_prefix_jaccard_pairs",
+    # Independent oracle: ALL shared-shingle pairs with exact Jaccard
+    # >= t (2*i >= union in integers) — no prefix construction on the
+    # oracle side, so a candidate lost by a wrong prefix is a hash
+    # mismatch, proving the filter lossless (the PPJoin guarantee).
+    oracle=None,  # set below (needs llm_queries' shingle SQL)
+    tags=("llm", "dedup-near", "prefix-filter", "ppjoin"),
+)
+def docs_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs (word-3-gram shingles, J >= 0.5)
+    via PPJoin-style PREFIX FILTERING: order each doc's shingles by
+    (global document-frequency asc, shingle asc) and keep only the
+    first sz - ceil(t*sz) + 1 as its prefix; two docs can reach J >= t
+    ONLY if their prefixes share a shingle (the prefix-filter theorem),
+    so the candidate join runs over prefixes — rare shingles — instead
+    of full sets or capped sets. Exact verification then touches
+    candidates only.
+
+    This is the third candidate-generation strategy beside the df-cap
+    self-join (docs_ngram_jaccard_pairs) and MinHash-LSH
+    (docs_minhash_lsh_pairs): unlike the df-cap it is LOSSLESS for all
+    pairs, and unlike LSH it has no false negatives by construction.
+
+    Scale: the df table is a map-side-combinable agg; the per-doc
+    prefix pick is a doc-partitioned window (no global sort); the
+    candidate join's cost is Σ prefix-df² — prefixes are the RAREST
+    shingles, so hot boilerplate never enters the join. Verification
+    joins the (small) candidate list against the shared persisted
+    shingle working set."""
+    from .llm_queries import _shingles_cached
+
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1)
+        .select("doc_id", "sh")
+    )
+    pa_, pb = pref.alias("a"), pref.alias("b")
+    cand = (
+        pa_.join(pb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        .filter(2 * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            (F.col("n_common") / F.col("n_union")).alias("jaccard"),
+        )
+    )
+
+
+def _set_prefix_jaccard_oracle() -> None:
+    from .llm_queries import _SQL_SHINGLE_H
+    from .registry import REGISTRY
+
+    REGISTRY["docs_prefix_jaccard_pairs"].oracle = f"""
+    WITH sh AS ({_SQL_SHINGLE_H}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    it AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+           (n_common / (sa.n + sb.n - n_common)) AS jaccard
+    FROM it JOIN sz sa ON it.doc_a = sa.doc_id
+            JOIN sz sb ON it.doc_b = sb.doc_id
+    WHERE 2 * n_common >= sa.n + sb.n - n_common
+    """
+
+
+_set_prefix_jaccard_oracle()
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (as-of) enrichment against an SCD2 state log
+# --------------------------------------------------------------------------
+@register(
+    "purchase_state_asof",
+    oracle="""
+    SELECT user_id, event_id AS purchase_id, ts,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+    tags=("scd2", "asof-join", "point-in-time"),
+)
+def purchase_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase tagged with the user's
+    state as-of the purchase instant, where the state log is every
+    non-purchase event (the SCD2 change stream scd2_intervals builds
+    intervals from). Executed as the MERGE-SORTED as-of: states and
+    purchases interleave in ONE user-partitioned window ordered by
+    (ts, event_id), and `last(state, ignorenulls)` is the as-of value
+    — no interval join, no per-row probe, no candidate explosion.
+
+    A purchase before any state row gets NULL state (faithfully kept:
+    the point-in-time contract must not invent history).
+
+    Scale: one shuffle on user_id, O(1) running state per row — the
+    shape that beats an interval join whenever both sides share a
+    partition key; on a 100 TB feed the window streams each user's
+    timeline once."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    state_marker = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.last(state_marker, ignorenulls=True).over(w).alias("state"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts", "state")
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence: market segment x order priority
+# --------------------------------------------------------------------------
+@register(
+    "segment_priority_chisq",
+    # expected = (row_total*col_total)/grand: BIGINT product, ONE IEEE
+    # division; chi2 cell = (n-e)^2/e in +,-,*,/ only — correctly-
+    # rounded ops on identical inputs are bit-identical cross-engine
+    # (no libm calls anywhere).
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT segment, priority, n,
+             SUM(n) OVER (PARTITION BY segment) AS row_n,
+             SUM(n) OVER (PARTITION BY priority) AS col_n,
+             SUM(n) OVER () AS grand
+      FROM cells
+    )
+    SELECT segment, priority, n,
+           ((row_n * col_n) / grand) AS expected,
+           ((n - (row_n * col_n) / grand) * (n - (row_n * col_n) / grand)
+            / ((row_n * col_n) / grand)) AS chi2_cell
+    FROM tot
+    """,
+    tags=("chisq", "statistics", "crosstab"),
+)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cross-tab: observed vs expected counts
+    for customer market segment x order priority, with each cell's
+    chi-square contribution (the sum is the test statistic; the cells
+    show WHERE dependence lives). Expected counts come from marginal
+    window sums over the tiny cell table.
+
+    Scale: one fact-dim join (shuffles on the join key), one grouped
+    count, then windows over a segments x priorities cell table —
+    bounded by category cardinalities, effectively free. The float
+    work is +,-,*,/ on exact integers: correctly-rounded IEEE ops,
+    deterministic on any engine."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.select(
+        "segment",
+        "priority",
+        "n",
+        F.sum("n").over(Window.partitionBy("segment")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("priority")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    e = (F.col("row_n") * F.col("col_n")) / F.col("grand")
+    return tot.select(
+        "segment",
+        "priority",
+        "n",
+        e.alias("expected"),
+        ((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2_cell"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact integer sufficient statistics
+# --------------------------------------------------------------------------
+@register(
+    "price_quantity_corr",
+    # Sufficient statistics are summed EXACTLY (DECIMAL(38,0) /
+    # HUGEINT — cents^2 sums overflow BIGINT at scale), cast to double
+    # once, then the closed-form corr/slope are +,-,*,/,sqrt on
+    # identical doubles — all correctly-rounded IEEE, bit-identical.
+    # Built-in corr() is NOT used: its float accumulation is partition-
+    # order-dependent.
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS returnflag, n,
+           ((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_price,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope_cents_per_unit
+    FROM s
+    """,
+    tags=("correlation", "statistics", "sufficient-stats"),
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS slope of extended price (cents) vs
+    quantity per return flag, from EXACT integer sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy summed in DECIMAL(38,0) — Σcents²
+    overflows BIGINT at warehouse scale) — not the built-in corr(),
+    whose floating accumulation is partition-order-dependent and
+    engine-divergent. One cast to double per statistic, then the
+    closed forms in correctly-rounded IEEE ops only.
+
+    Scale: a single map-side-combinable aggregation — sufficient
+    statistics are the textbook distributive form, so the shuffle
+    carries 6 numbers per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = _cents("l_extendedprice")
+    dec = "decimal(38,0)"
+    s = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "returnflag",
+        "n",
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
+        (num / vx).alias("slope_cents_per_unit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decile profile via two-phase global rank (no single-partition sort)
+# --------------------------------------------------------------------------
+_DECILE_BUCKET_CENTS = 10_000  # $100-wide rank buckets
+
+
+@register(
+    "order_value_deciles",
+    # Rank-based deciles with an explicit formula (((rn-1)*10)//n + 1)
+    # rather than NTILE, whose remainder distribution is engine-
+    # specific. The oracle ranks with a plain global window; the Spark
+    # plan ranks two-phase — equality proves the decomposition.
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           (SUM(cents) / 100.0) AS sum_price
+    FROM r GROUP BY 1
+    """,
+    tags=("deciles", "two-phase", "global-rank"),
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile profile (count, min/max, exact sum per
+    decile) with the global rank computed TWO-PHASE: bucket rows by a
+    cents range, prefix-sum the per-bucket counts (a window over the
+    tiny bucket table — the only intentionally single-partition step),
+    broadcast the offsets back, and rank within buckets. A naive
+    `row_number() OVER (ORDER BY price)` collapses the whole table
+    onto one reducer — the same decomposition as docs_global_index,
+    here keyed by a value range instead of an id range.
+
+    Deciles use the explicit floor formula over (rank-1)*10/n, not
+    NTILE (whose remainder allocation is engine-defined)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", _cents("o_totalprice").alias("cents")
+    )
+    b = o.withColumn("bucket", F.expr(f"cents DIV {_DECILE_BUCKET_CENTS}"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    win = Window.partitionBy("bucket").orderBy("cents", "o_orderkey")
+    ranked = b.join(F.broadcast(offsets), "bucket").withColumn(
+        "rn", F.col("off") + F.row_number().over(win)
+    )
+    decile = ((F.col("rn") - 1) * 10 / F.col("n")).cast("long") + 1
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.sum("cents") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-voice: each event type's share of its day's volume
+# --------------------------------------------------------------------------
+@register(
+    "daily_type_share",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           (n / SUM(n) OVER (PARTITION BY day)) AS day_share
+    FROM d
+    """,
+    tags=("share-of-total", "window"),
+)
+def daily_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-voice: each event type's fraction of its day's total
+    events — the percent-of-total window pattern (one BIGINT/BIGINT
+    division per row; exact cross-engine).
+
+    Scale: the window runs over the (day, type) aggregate — calendar x
+    type cardinality — not the raw feed; one map-side-combinable
+    groupBy then a day-partitioned window on the tiny rollup."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return d.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("day"))).alias("day_share"),
+    )

@@ -173,3 +173,87 @@ def test_mad_flags_gross_outlier_only(spark, tmp_path):
     assert row["n"] == 7
     assert row["n_outliers"] == 1  # only the 500.0 breaches 3.5 modified-z
     assert row["median_value"] == 10.5
+
+
+# ----------------------------------------------------- second batch --
+def test_prefix_holds_each_docs_rarest_shingles(spark):
+    """The prefix of each doc is its RAREST sz-ceil(t*sz)+1 shingles
+    (global-df-ascending order): per doc, the max document frequency
+    inside the prefix must not exceed the min document frequency of
+    the shingles left out — hot boilerplate is exactly what the
+    candidate join never sees."""
+    from pse_stocks_etl_spark.plans.llm_queries import _shingles_cached
+    from pyspark.sql import Window as W
+
+    sh = _shingles_cached(spark, SF_DIR)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .withColumn(
+            "in_prefix", F.col("rn") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
+        )
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("in_prefix"), F.col("df"))).alias("max_pref_df"),
+        F.min(F.when(~F.col("in_prefix"), F.col("df"))).alias("min_rest_df"),
+        F.sum(F.col("in_prefix").cast("long")).alias("pref_len"),
+        F.max("sz").alias("sz"),
+    )
+    bad = per_doc.filter(
+        F.col("min_rest_df").isNotNull()
+        & (F.col("max_pref_df") > F.col("min_rest_df"))
+    ).count()
+    assert bad == 0
+    # prefix length formula: sz - ceil(sz/2) + 1
+    wrong_len = per_doc.filter(
+        F.col("pref_len") != F.col("sz") - ((F.col("sz") + 1) / 2).cast("long") + 1
+    ).count()
+    assert wrong_len == 0
+
+
+def test_asof_state_null_before_any_state_row(spark, tmp_path):
+    rows = [
+        (1, dt.datetime(2024, 9, 1, 1), 4, "purchase", 5.0),  # before any state
+        (2, dt.datetime(2024, 9, 1, 2), 4, "view", 0.0),
+        (3, dt.datetime(2024, 9, 1, 3), 4, "purchase", 5.0),
+        (4, dt.datetime(2024, 9, 1, 4), 4, "click", 0.0),
+        (5, dt.datetime(2024, 9, 1, 5), 4, "purchase", 5.0),
+    ]
+    from pse_stocks_etl_spark.plans.round7_queries import purchase_state_asof
+
+    out = {
+        r["purchase_id"]: r["state"]
+        for r in purchase_state_asof(spark, _write_events(tmp_path, rows)).collect()
+    }
+    assert out == {1: None, 3: "view", 5: "click"}
+
+
+def test_deciles_rank_two_phase_with_broadcast_offsets(spark):
+    """The fact table must never pass through a single-partition sort:
+    offsets join back via broadcast, and the only windows in the plan
+    partition by bucket (fact side) or run over the tiny bucket table."""
+    from pse_stocks_etl_spark.plans.round7_queries import order_value_deciles
+
+    plan = _physical(order_value_deciles(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chisq_cells_sum_to_marginals(spark):
+    """Internal consistency: expected counts per segment sum to the
+    segment's observed row total (the defining property of the
+    independence model)."""
+    from pse_stocks_etl_spark.plans.round7_queries import segment_priority_chisq
+
+    rows = segment_priority_chisq(spark, SF_DIR).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, cells in by_seg.items():
+        obs = sum(c["n"] for c in cells)
+        exp = sum(c["expected"] for c in cells)
+        assert abs(obs - exp) < 1e-6, (seg, obs, exp)
