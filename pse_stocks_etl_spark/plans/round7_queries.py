@@ -861,11 +861,21 @@ def docs_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(F.col("rn") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1)
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "sz")
     )
     pa_, pb = pref.alias("a"), pref.alias("b")
+    # Length filter (the PPJoin size condition): J >= t forces
+    # t*|A| <= |B| <= |A|/t, i.e. 2*sz_b >= sz_a AND 2*sz_a >= sz_b at
+    # t=0.5 — candidates between very different-sized docs are pruned
+    # inside the join condition, in exact integers.
     cand = (
-        pa_.join(pb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pa_.join(
+            pb,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.col("b.sz") >= F.col("a.sz"))
+            & (2 * F.col("a.sz") >= F.col("b.sz")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
