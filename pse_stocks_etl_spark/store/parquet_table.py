@@ -50,6 +50,14 @@ _SCHEMA = "_schema.json"
 _VERSION_RE = re.compile(r"^v\d{5}$")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed between this transaction's read
+    snapshot and its commit attempt (Delta's ConcurrentAppendException
+    analog). The caller may re-derive its write from the new current
+    version and retry — `merge(conflict_retries=...)` does so
+    automatically."""
+
+
 class ParquetTable:
     def __init__(
         self,
@@ -122,11 +130,37 @@ class ParquetTable:
                     f"CHECK constraint '{name}' violated: {predicate}"
                 )
 
-    def _commit(self, df: DataFrame) -> None:
-        self._check_constraints(df)
-        version = self.current_version() + 1
+    def _claim_version(self, expected_version: int | None) -> tuple[int, str, str]:
+        """Optimistic-concurrency gate: validate the caller's read
+        snapshot is still current, then claim the next version number
+        with an O_CREAT|O_EXCL marker — an atomic filesystem primitive,
+        so two racing writers can never both win the same version (the
+        single-writer guarantee Delta gets from its log commit; on a
+        Delta cluster this maps to the txn version check)."""
+        current = self.current_version()
+        if expected_version is not None and current != expected_version:
+            raise ConcurrentWriteError(
+                f"table advanced to v{current} after this transaction read "
+                f"v{expected_version} — re-derive and retry"
+            )
+        version = current + 1
         vname = f"v{version:05d}"
-        target = os.path.join(self.path, _VERSIONS, vname)
+        vdir = os.path.join(self.path, _VERSIONS)
+        os.makedirs(vdir, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(vdir, f".claim_{vname}"), os.O_CREAT | os.O_EXCL
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"another writer already claimed {vname}"
+            ) from None
+        return version, vname, os.path.join(vdir, vname)
+
+    def _commit(self, df: DataFrame, expected_version: int | None = None) -> None:
+        self._check_constraints(df)
+        _, vname, target = self._claim_version(expected_version)
         writer = df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -187,8 +221,23 @@ class ParquetTable:
             return []
         return sorted(int(v[1:]) for v in os.listdir(vdir) if _VERSION_RE.match(v))
 
-    def overwrite(self, df: DataFrame) -> None:
-        """K1: full replace."""
+    def overwrite(self, df: DataFrame, expected_version: int | None = None) -> None:
+        """K1: full replace. Pass `expected_version` (the version this
+        write was derived from) to refuse committing over a concurrent
+        writer's work — blind replace stays the default because an
+        overwrite does not depend on table state."""
+        self._commit(df, expected_version=expected_version)
+
+    def restore(self, version: int) -> None:
+        """Delta `RESTORE TABLE ... TO VERSION AS OF` analog: re-commit
+        a retained version's data AND schema snapshot as a NEW version.
+        History is preserved — the restore is itself a commit, so a
+        mistaken restore can be restored away; nothing is deleted
+        (vacuum stays the only destructive operation)."""
+        df = self.read(version=version)
+        snap = self._version_schema(f"v{version:05d}")
+        if snap is not None:
+            self.schema = snap
         self._commit(df)
 
     def merge(
@@ -199,9 +248,19 @@ class ParquetTable:
         dedup_order: Sequence[Column | str] | None = None,
         set_on_write: dict[str, Column] | None = None,
         evolve_schema: bool = False,
+        conflict_retries: int = 2,
     ) -> None:
         """K2/K3: keyed upsert (optionally freshness-guarded) with the
         mandatory pre-merge source dedup (SURVEY.md §7.5 risk 4).
+
+        Optimistic concurrency: the merge snapshots the current version
+        on entry and the commit refuses if another writer advanced the
+        table meanwhile (ConcurrentWriteError). Because a keyed merge
+        is re-derivable from any newer snapshot, up to
+        `conflict_retries` automatic retries re-read and re-merge —
+        Delta's conflict-then-retry semantics for non-overlapping
+        writers. Pass `conflict_retries=0` to surface conflicts to the
+        caller.
 
         `evolve_schema=True` is Delta's `mergeSchema`: source columns
         the table lacks are appended (nullable) to the table schema,
@@ -233,7 +292,15 @@ class ParquetTable:
                 # version dir; a failed commit rolls it back (atomic).
                 self.schema = T.StructType(list(self.schema.fields) + added)
         try:
-            self._merge_impl(source, keys, freshness_col, dedup_order, set_on_write)
+            for attempt in range(conflict_retries + 1):
+                try:
+                    self._merge_impl(
+                        source, keys, freshness_col, dedup_order, set_on_write
+                    )
+                    break
+                except ConcurrentWriteError:
+                    if attempt == conflict_retries:
+                        raise
         except Exception:
             self.schema = old_schema
             raise
@@ -246,6 +313,10 @@ class ParquetTable:
         dedup_order: Sequence[Column | str] | None,
         set_on_write: dict[str, Column] | None,
     ) -> None:
+        # Read snapshot for the optimistic-concurrency check: every
+        # self.read() below resolves THIS version, and the commit
+        # refuses if the table moved past it meanwhile.
+        base = self.current_version() if self.exists() else None
         pcol = (
             self.partition_by[0]
             if len(self.partition_by) == 1 and self.partition_by[0] in keys
@@ -255,7 +326,8 @@ class ParquetTable:
             self._commit(
                 merge_dataframes(
                     self.read(), source, keys, freshness_col, dedup_order, set_on_write
-                )
+                ),
+                expected_version=base,
             )
             return
         # Affected partition values: one row per distinct source value —
@@ -271,23 +343,28 @@ class ParquetTable:
             self._commit(
                 merge_dataframes(
                     self.read(), source, keys, freshness_col, dedup_order, set_on_write
-                )
+                ),
+                expected_version=base,
             )
             return
         tgt_affected = self.read().filter(F.col(pcol).isin(affected))
         merged = merge_dataframes(
             tgt_affected, source, keys, freshness_col, dedup_order, set_on_write
         )
-        self._commit_partitions(merged, pcol, affected)
+        self._commit_partitions(merged, pcol, affected, expected_version=base)
 
-    def _commit_partitions(self, merged: DataFrame, pcol: str, affected: list) -> None:
+    def _commit_partitions(
+        self,
+        merged: DataFrame,
+        pcol: str,
+        affected: list,
+        expected_version: int | None = None,
+    ) -> None:
         """Write `merged` (covering `affected` partition values) as a new
         version; hardlink every other partition dir from the current one."""
         self._check_constraints(merged)
         current = self._pointer()
-        version = self.current_version() + 1
-        vname = f"v{version:05d}"
-        target = os.path.join(self.path, _VERSIONS, vname)
+        _, vname, target = self._claim_version(expected_version)
         (
             merged.select(*[f.name for f in self.schema.fields])
             .write.mode("overwrite")
@@ -427,6 +504,9 @@ class ParquetTable:
         for v in versions:
             if v not in keep:
                 shutil.rmtree(os.path.join(vdir, v))
+                claim = os.path.join(vdir, f".claim_{v}")
+                if os.path.exists(claim):
+                    os.remove(claim)
                 removed.append(v)
         return removed
 

@@ -399,3 +399,130 @@ def test_commit_is_atomic_for_concurrent_readers(table, spark):
     # ...while a new resolve sees the new version, fully.
     assert table.current_version() == old_version + 1
     assert sorted(r.k for r in table.read().collect()) == ["b", "c"]
+
+
+# ----------------------------------------------------- restore / OCC --
+def test_restore_recommits_old_version(spark, table):
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    b = spark.createDataFrame(_rows(("B", "2024-01-02", 2.0, "2024-01-02T00:00:00")), SCHEMA)
+    table.overwrite(a)           # v2 (v1 = init_empty)
+    v_a = table.current_version()
+    table.overwrite(b)           # v3
+    table.restore(v_a)           # v4 == v2's content
+    assert [r.k for r in table.read().collect()] == ["A"]
+    # history preserved: restore is a commit, nothing deleted
+    assert table.history() == [1, 2, 3, 4]
+    # the bad state is still retained and can be restored away again
+    table.restore(3)
+    assert [r.k for r in table.read().collect()] == ["B"]
+
+
+def test_restore_replays_pre_evolution_schema(spark, table):
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    table.overwrite(a)
+    v_before = table.current_version()
+    evolved = T.StructType(list(SCHEMA.fields) + [T.StructField("extra", T.LongType(), True)])
+    src = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 9.0, dt.datetime(2024, 1, 2), 7)], evolved
+    )
+    table.merge(src, keys=["k", "d"], evolve_schema=True)
+    assert "extra" in [f.name for f in table.read().schema.fields]
+    table.restore(v_before)
+    assert "extra" not in [f.name for f in table.read().schema.fields]
+
+
+def test_concurrent_overwrite_with_expected_version_conflicts(spark, tmp_path):
+    from pse_stocks_etl_spark.store.parquet_table import ConcurrentWriteError
+
+    path = str(tmp_path / "occ")
+    t1 = ParquetTable(spark, path, SCHEMA)
+    t1.init_empty()
+    t2 = ParquetTable(spark, path, SCHEMA)
+    base = t2.current_version()
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    b = spark.createDataFrame(_rows(("B", "2024-01-02", 2.0, "2024-01-02T00:00:00")), SCHEMA)
+    t1.overwrite(a)  # advances past t2's snapshot
+    with pytest.raises(ConcurrentWriteError):
+        t2.overwrite(b, expected_version=base)
+    # blind overwrite (no expected_version) still allowed by design
+    t2.overwrite(b)
+    assert [r.k for r in t2.read().collect()] == ["B"]
+
+
+def test_concurrent_merge_retries_and_preserves_both_writes(spark, tmp_path):
+    """Two handles merge different keys concurrently: the second commit
+    sees the version advance, re-reads, re-merges, and both rows land —
+    Delta's retry semantics for non-overlapping writers."""
+    from pse_stocks_etl_spark.store import parquet_table as ptmod
+
+    path = str(tmp_path / "occ2")
+    t1 = ParquetTable(spark, path, SCHEMA)
+    t1.init_empty()
+    t2 = ParquetTable(spark, path, SCHEMA)
+
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    b = spark.createDataFrame(_rows(("B", "2024-01-02", 2.0, "2024-01-02T00:00:00")), SCHEMA)
+
+    # Interleave: t2 snapshots, then t1 commits, then t2 tries to commit.
+    orig_claim = ptmod.ParquetTable._claim_version
+    state = {"interposed": False}
+
+    def racing_claim(self, expected_version):
+        if self is t2 and not state["interposed"]:
+            state["interposed"] = True
+            t1.merge(a, keys=["k", "d"])  # concurrent writer wins first
+        return orig_claim(self, expected_version)
+
+    ptmod.ParquetTable._claim_version = racing_claim
+    try:
+        t2.merge(b, keys=["k", "d"])  # retries internally
+    finally:
+        ptmod.ParquetTable._claim_version = orig_claim
+    got = sorted(r.k for r in t2.read().collect())
+    assert got == ["A", "B"]
+
+
+def test_conflict_without_retries_raises(spark, tmp_path):
+    from pse_stocks_etl_spark.store import parquet_table as ptmod
+    from pse_stocks_etl_spark.store.parquet_table import ConcurrentWriteError
+
+    path = str(tmp_path / "occ3")
+    t1 = ParquetTable(spark, path, SCHEMA)
+    t1.init_empty()
+    t2 = ParquetTable(spark, path, SCHEMA)
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    b = spark.createDataFrame(_rows(("B", "2024-01-02", 2.0, "2024-01-02T00:00:00")), SCHEMA)
+
+    orig_claim = ptmod.ParquetTable._claim_version
+    state = {"interposed": False}
+
+    def racing_claim(self, expected_version):
+        if self is t2 and not state["interposed"]:
+            state["interposed"] = True
+            t1.merge(a, keys=["k", "d"])
+        return orig_claim(self, expected_version)
+
+    ptmod.ParquetTable._claim_version = racing_claim
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t2.merge(b, keys=["k", "d"], conflict_retries=0)
+    finally:
+        ptmod.ParquetTable._claim_version = orig_claim
+
+
+def test_version_claim_is_exclusive(spark, tmp_path):
+    """The O_CREAT|O_EXCL claim marker: a pre-existing claim for the
+    next version makes the commit fail instead of silently stacking a
+    second writer onto the same version number."""
+    import os
+
+    from pse_stocks_etl_spark.store.parquet_table import ConcurrentWriteError
+
+    path = str(tmp_path / "claim")
+    t = ParquetTable(spark, path, SCHEMA)
+    t.init_empty()
+    nxt = t.current_version() + 1
+    open(os.path.join(path, "_versions", f".claim_v{nxt:05d}"), "w").close()
+    a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(a)
