@@ -132,6 +132,10 @@ _DRIVER_FIRST = [
     "price_quantity_corr",
     "order_value_deciles",
     "daily_type_share",
+    "events_debounce",
+    "weekly_revenue_wow",
+    "custkey_skew_profile",
+    "supplier_revenue_gini",
 ]
 
 

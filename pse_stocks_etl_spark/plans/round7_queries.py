@@ -1223,3 +1223,216 @@ def daily_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(Window.partitionBy("day"))).alias("day_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Debounce dedup: suppress same-key events within a quiet period
+# --------------------------------------------------------------------------
+_DEBOUNCE_US = 5_000_000  # 5 seconds
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_DEBOUNCE_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= {_DEBOUNCE_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+    FROM g GROUP BY event_type
+    """,
+    tags=("dedup", "debounce", "ingestion"),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce deduplication: an event is KEPT only if the previous
+    event of the same (user, type) is more than 5 seconds older — the
+    double-click / retry-storm suppressor every ingestion pipeline
+    needs (exact-dup dedup misses retries that carry fresh event_ids).
+    Reported as per-type kept/suppressed counts.
+
+    The gap compares exact MICROSECOND integers (timestampdiff /
+    epoch_us) — a seconds-granularity diff would truncate 5.5s gaps
+    into the suppression window.
+
+    Scale: one (user, type)-partitioned window, O(1) lag state per
+    row, then a map-side-combinable count — one shuffle each."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.expr(
+        f"timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id, "
+        "event_type ORDER BY ts, event_id), ts)"
+    )
+    g = ev.select("event_type", gap.alias("gap_us"))
+    keep = F.col("gap_us").isNull() | (F.col("gap_us") > _DEBOUNCE_US)
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.sum((~keep).cast("long")).cast("long").alias("n_suppressed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week revenue change (integer-ratio percent change)
+# --------------------------------------------------------------------------
+@register(
+    "weekly_revenue_wow",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DATE '1970-01-05'
+               + CAST(7 * ((CAST(o_orderdate AS DATE) - DATE '1970-01-05') // 7)
+                      AS INT) AS week_start,
+             SUM({sql_cents("o_totalprice")}) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, (rev_cents / 100.0) AS revenue,
+           ((rev_cents - lag(rev_cents) OVER (ORDER BY week_start))
+             / lag(rev_cents) OVER (ORDER BY week_start)) AS wow_change
+    FROM wk
+    """,
+    tags=("timeseries", "percent-change", "window"),
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change: Monday-anchored weekly revenue
+    (integer cents) with the percent change as ONE BIGINT/BIGINT
+    division — exact cross-engine; first week's change is NULL, kept.
+
+    Scale: the lag window is global but runs over the WEEKLY rollup —
+    rows bounded by the calendar (decades of weeks fit one partition),
+    after a map-side-combinable weekly aggregation of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    week = F.expr(
+        "date_add(DATE '1970-01-05', "
+        "CAST(7 * (datediff(to_date(o_orderdate), DATE '1970-01-05') div 7) AS INT))"
+    )
+    wk = o.groupBy(week.alias("week_start")).agg(
+        F.sum(_cents("o_totalprice")).alias("rev_cents")
+    )
+    prev = F.lag("rev_cents").over(Window.orderBy("week_start"))
+    return wk.select(
+        "week_start",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        ((F.col("rev_cents") - prev) / prev).alias("wow_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler: distribution of per-key row counts
+# --------------------------------------------------------------------------
+@register(
+    "custkey_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers,
+           CAST(n_orders * COUNT(*) AS BIGINT) AS orders_covered,
+           ((n_orders * COUNT(*)) / (SELECT COUNT(*) FROM orders)) AS share
+    FROM per_key GROUP BY n_orders
+    """,
+    tags=("skew", "profiling", "data-quality"),
+)
+def custkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler: the distribution of orders-per-customer
+    (how many keys carry how many rows, and each stratum's share of
+    the table) — the diagnostic that decides whether a join/agg on
+    this key needs salting before it burns a 100 TB shuffle.
+
+    Scale: two stacked map-side-combinable groupBys (key → count,
+    count → frequency); the second input is one row per key, the
+    output one row per distinct count — tiny."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    total = o.groupBy().count().select(F.col("count").alias("n_total"))
+    return (
+        per_key.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_orders",
+            "n_customers",
+            (F.col("n_orders") * F.col("n_customers")).cast("long").alias("orders_covered"),
+            ((F.col("n_orders") * F.col("n_customers")) / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of supplier revenue (two-phase global rank)
+# --------------------------------------------------------------------------
+_GINI_BUCKET_CENTS = 1_000_000  # $10k-wide rank buckets
+
+
+@register(
+    "supplier_revenue_gini",
+    # G = 2*Σ(rank_i*v_i)/(n*Σv) - (n+1)/n over revenues sorted
+    # ascending. Σ(rank*v) is summed exactly in DECIMAL(38,0)/HUGEINT,
+    # each total cast to double once, then the closed form in
+    # correctly-rounded IEEE ops.
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v, l_suppkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+           (SUM(v) / 100.0) AS total_revenue,
+           (2.0 * CAST(SUM(CAST(rnk AS HUGEINT) * v) AS DOUBLE)
+              / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE))
+            - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE)) AS gini
+    FROM r
+    """,
+    tags=("gini", "inequality", "two-phase", "global-rank"),
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across suppliers —
+    the inequality summary behind ABC/Pareto dashboards (0 = equal,
+    →1 = concentrated). Uses the rank formulation
+    G = 2·Σ(rank·v)/(n·Σv) − (n+1)/n over ascending revenue.
+
+    The global rank is computed TWO-PHASE like order_value_deciles
+    (bucket by revenue range → prefix-sum bucket counts → broadcast
+    offsets → rank within bucket) — no single-partition sort of the
+    per-supplier rollup, which at 100 TB has millions of rows.
+    Σ(rank·v) accumulates in DECIMAL(38,0) (it overflows BIGINT at
+    scale), cast to double once for the closed form."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("v")
+    )
+    b = rev.withColumn("bucket", F.expr(f"v DIV {_GINI_BUCKET_CENTS}"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    win = Window.partitionBy("bucket").orderBy("v", "l_suppkey")
+    ranked = b.join(F.broadcast(offsets), "bucket").withColumn(
+        "rnk", F.col("off") + F.row_number().over(win)
+    )
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.sum("v").alias("sum_v"),
+        F.sum((F.col("rnk") * F.col("v")).cast(dec)).cast("double").alias("srv"),
+    )
+    n_d = F.col("n_suppliers").cast("double")
+    sum_v_d = F.col("sum_v").cast(dec).cast("double")
+    return s.select(
+        "n_suppliers",
+        (F.col("sum_v") / 100.0).alias("total_revenue"),
+        (2.0 * F.col("srv") / (n_d * sum_v_d) - (n_d + 1.0) / n_d).alias("gini"),
+    )
