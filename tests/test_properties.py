@@ -294,3 +294,112 @@ def test_bloom_prefilter_equals_plain_semi_join_across_thresholds(spark, sf_dir)
             assert got == expect, f"threshold {threshold}"
     finally:
         r6.BLOOM_PRICE_MIN = orig
+
+
+# ---------------------------------------------------------------- round 7 --
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # user_id — small domain forces collisions
+        st.integers(0, 20),     # day offset
+        st.integers(0, 4),      # intra-day hour
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _events_df(spark, tmp, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + dt.timedelta(days=d, hours=h),
+            u,
+            "view",
+            1.0,
+            "{}",
+        )
+        for i, (u, d, h) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+@given(rows=_events_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_islands_match_python_model(spark, tmp_path_factory, rows):
+    """Gaps-and-islands vs a pure-python streak model on random
+    (user, day) activity patterns."""
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("isl")
+    got = {
+        r["user_id"]: (r["n_streaks"], r["longest_streak"], r["active_days"])
+        for r in REGISTRY["user_activity_islands"]
+        .fn(spark, _events_df(spark, tmp, rows))
+        .collect()
+    }
+    model: dict[int, tuple[int, int, int]] = {}
+    by_user: dict[int, set[int]] = {}
+    for u, d, _h in rows:
+        by_user.setdefault(u, set()).add(d)
+    for u, days in by_user.items():
+        ds = sorted(days)
+        streaks = [1]
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        model[u] = (len(streaks), max(streaks), len(ds))
+    assert got == model
+
+
+@given(rows=_events_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_debounce_matches_python_model(spark, tmp_path_factory, rows):
+    """Debounce keep/suppress counts vs a pure-python model: an event
+    is kept iff the previous same-(user,type) event — in (ts, event_id)
+    order — is more than 5s older. Hour-granularity inputs make every
+    nonzero gap > 5s, so suppressions are exactly the duplicate
+    (user, ts) slots, which the model counts directly."""
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("deb")
+    out = (
+        REGISTRY["events_debounce"]
+        .fn(spark, _events_df(spark, tmp, rows))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["event_type"] == "view"
+    r = out[0]
+    base = dt.datetime(2024, 1, 1)
+    per_user: dict[int, list[dt.datetime]] = {}
+    for u, d, h in rows:
+        per_user.setdefault(u, []).append(base + dt.timedelta(days=d, hours=h))
+    kept = 0
+    for ts_list in per_user.values():
+        ts_list.sort()
+        prev = None
+        for ts in ts_list:
+            if prev is None or (ts - prev).total_seconds() > 5:
+                kept += 1
+            prev = ts
+    assert (r["n_total"], r["n_kept"], r["n_suppressed"]) == (
+        len(rows),
+        kept,
+        len(rows) - kept,
+    )
