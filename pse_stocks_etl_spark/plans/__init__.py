@@ -136,6 +136,8 @@ _DRIVER_FIRST = [
     "weekly_revenue_wow",
     "custkey_skew_profile",
     "supplier_revenue_gini",
+    "weekly_autocorr_lag1",
+    "value_ks_two_sample",
 ]
 
 

@@ -1436,3 +1436,158 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_v") / 100.0).alias("total_revenue"),
         (2.0 * F.col("srv") / (n_d * sum_v_d) - (n_d + 1.0) / n_d).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of weekly revenue (integer sufficient stats)
+# --------------------------------------------------------------------------
+@register(
+    "weekly_autocorr_lag1",
+    # Multiply the centered terms through by n (x_t - mean = (n*x_t -
+    # S)/n): every product is an exact integer accumulated in
+    # HUGEINT/DECIMAL(38,0); the estimator is then ONE double division.
+    oracle=f"""
+    WITH wk AS (
+      SELECT DATE '1970-01-05'
+               + CAST(7 * ((CAST(o_orderdate AS DATE) - DATE '1970-01-05') // 7)
+                      AS INT) AS week_start,
+             SUM({sql_cents("o_totalprice")}) AS x
+      FROM orders GROUP BY 1
+    ),
+    lead_wk AS (
+      SELECT x, lead(x) OVER (ORDER BY week_start) AS x1,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS s
+      FROM wk
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_weeks,
+           (CAST(SUM(CASE WHEN x1 IS NOT NULL
+                   THEN (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x1 - s)
+                   END) AS DOUBLE)
+            / CAST(SUM((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s))
+                   AS DOUBLE)) AS acf1
+    FROM lead_wk
+    """,
+    tags=("autocorrelation", "timeseries", "sufficient-stats"),
+)
+def weekly_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of weekly revenue — the momentum/mean-
+    reversion summary of a series (ACF(1) of the weekly rollup).
+    Centered terms are scaled by n so every product is an exact
+    integer (n·x − Σx), accumulated in DECIMAL(38,0); the estimator is
+    one double division — exact cross-engine like the corr query.
+
+    Scale: the fact table folds into a weekly rollup map-side; the
+    lead window and the sums run over calendar-bounded rows."""
+    o = _t(spark, sf_dir, "orders")
+    week = F.expr(
+        "date_add(DATE '1970-01-05', "
+        "CAST(7 * (datediff(to_date(o_orderdate), DATE '1970-01-05') div 7) AS INT))"
+    )
+    wk = o.groupBy(week.alias("week_start")).agg(
+        F.sum(_cents("o_totalprice")).alias("x")
+    )
+    w_all = Window.partitionBy()
+    lead_wk = wk.select(
+        "x",
+        F.lead("x").over(Window.orderBy("week_start")).alias("x1"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("s"),
+    )
+    dec = "decimal(38,0)"
+    cx = (F.col("n") * F.col("x") - F.col("s")).cast(dec)
+    cx1 = (F.col("n") * F.col("x1") - F.col("s")).cast(dec)
+    agg = lead_wk.agg(
+        F.max("n").cast("long").alias("n_weeks"),
+        F.sum(F.when(F.col("x1").isNotNull(), cx * cx1)).cast("double").alias("num"),
+        F.sum(cx * cx).cast("double").alias("den"),
+    )
+    return agg.select("n_weeks", (F.col("num") / F.col("den")).alias("acf1"))
+
+
+# --------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: click vs purchase values
+# --------------------------------------------------------------------------
+@register(
+    "value_ks_two_sample",
+    # D is located in scaled integers: |cum1*n2 - cum2*n1| at every
+    # distinct value; the statistic itself is two IEEE divisions of
+    # that integer max (identical op order both sides). Tie on the
+    # argmax value -> smallest value.
+    oracle=f"""
+    WITH v AS (
+      SELECT {sql_cents("value")} AS cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM v
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+           ((CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / CAST(MAX(n1) AS DOUBLE)) / CAST(MAX(n2) AS DOUBLE)) AS ks_d,
+           (MIN(CASE WHEN abs(cum1 * n2 - cum2 * n1) =
+                 (SELECT MAX(abs(cum1 * n2 - cum2 * n1)) FROM cum)
+                 THEN cents END) / 100.0) AS ks_at_value
+    FROM cum
+    """,
+    tags=("ks-test", "statistics", "distribution-drift"),
+)
+def value_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the click
+    and purchase value distributions — the drift detector a feature
+    store runs between cohorts/snapshots. D = max |F1 - F2| is located
+    entirely in scaled INTEGERS (|cum1*n2 - cum2*n1| at each distinct
+    value), so the supremum and its location are exact; only the final
+    normalization divides.
+
+    Scale: per-value counts are a map-side-combinable groupBy on the
+    (bounded-cardinality) 2-dp value domain; the cumulative window
+    runs over DISTINCT values only — like the calendar windows, a
+    rollup whose row count is bounded by the value range, not the
+    feed. ks_at_value ties resolve to the smallest value."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = ev.groupBy(_cents("value").alias("cents")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = v.select(
+        "cents",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    ).withColumn(
+        "d_abs", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    cum = cum.withColumn("max_d", F.max("d_abs").over(w_all))
+    agg = cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max("d_abs").cast("long").alias("d_scaled"),
+        F.min(
+            F.when(F.col("d_abs") == F.col("max_d"), F.col("cents"))
+        ).alias("at_cents"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        (
+            (F.col("d_scaled").cast("double") / F.col("n1").cast("double"))
+            / F.col("n2").cast("double")
+        ).alias("ks_d"),
+        (F.col("at_cents") / 100.0).alias("ks_at_value"),
+    )
