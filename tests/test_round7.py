@@ -257,3 +257,63 @@ def test_chisq_cells_sum_to_marginals(spark):
         obs = sum(c["n"] for c in cells)
         exp = sum(c["expected"] for c in cells)
         assert abs(obs - exp) < 1e-6, (seg, obs, exp)
+
+
+# ------------------------------------------------ statistics invariants --
+def test_gini_zero_for_equal_revenues(spark, tmp_path):
+    """Gini must be ~0 when every supplier earns the same (exactly
+    (n-1)/n - ... = 0 in the rank formulation for equal v)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(k, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)) for k in range(1, 9)]
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),  # 8 suppliers
+            "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+            "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+            "l_shipdate": pa.array([r[10] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    from pse_stocks_etl_spark.plans.round7_queries import supplier_revenue_gini
+
+    row = supplier_revenue_gini(spark, str(tmp_path)).collect()[0]
+    assert row["n_suppliers"] == 8
+    assert abs(row["gini"]) < 1e-12
+
+
+def test_ks_zero_for_identical_distributions(spark, tmp_path):
+    """KS distance must be exactly 0 (integer-located) when click and
+    purchase values are drawn identically."""
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((2 * i, dt.datetime(2024, 1, 1, 1 + i), 1, "click", v))
+        rows.append((2 * i + 1, dt.datetime(2024, 1, 1, 1 + i), 2, "purchase", v))
+    from pse_stocks_etl_spark.plans.round7_queries import value_ks_two_sample
+
+    row = value_ks_two_sample(spark, _write_events(tmp_path, rows)).collect()[0]
+    assert (row["n1"], row["n2"], row["d_scaled"], row["ks_d"]) == (4, 4, 0, 0.0)
+
+
+def test_ks_locates_full_separation(spark, tmp_path):
+    """Disjoint supports → D = 1 at the boundary value."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 3), 2, "purchase", 10.0),
+        (4, dt.datetime(2024, 1, 1, 4), 2, "purchase", 11.0),
+    ]
+    from pse_stocks_etl_spark.plans.round7_queries import value_ks_two_sample
+
+    row = value_ks_two_sample(spark, _write_events(tmp_path, rows)).collect()[0]
+    assert row["ks_d"] == 1.0
+    assert row["ks_at_value"] == 2.0  # D first peaks at the last click value
