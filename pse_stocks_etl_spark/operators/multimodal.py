@@ -70,15 +70,18 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
 
 
 def real_decode(payload: bytes) -> dict:
-    """The real decode integration point. WAV (RIFF PCM16) decodes for
-    real — stdlib struct, `parse_wav` below. Image/video formats need
-    PIL / ffmpeg, which this container lacks, so those stay a marked
-    stub with `decode_features`' deterministic fake carrying the tests."""
+    """The real decode integration point. WAV (RIFF PCM16) and BMP
+    (BI_RGB 24-bit) decode for REAL — stdlib struct + numpy, `parse_wav`
+    / `parse_bmp` below. Compressed image/video formats need PIL /
+    ffmpeg, which this container lacks, so those stay a marked stub
+    with `decode_features`' deterministic fake carrying the tests."""
     if payload[:4] == b"RIFF":
         return parse_wav(payload)
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
-        "image/video codecs unavailable; deterministic fake used instead "
-        "(decode_features)"
+        "compressed image/video codecs unavailable; deterministic fake "
+        "used instead (decode_features)"
     )
 
 
@@ -112,11 +115,15 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_partition, schema=FEATURES_SCHEMA)
 
 
-def real_resize(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
-    """STUB: the real image resample (PIL.Image.resize) — not available
-    in this container."""
-    raise NotImplementedError(
-        "media codecs unavailable; deterministic fake used instead (resize_media)"
+def real_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real image resample integration point: BMP resizes for REAL
+    (nearest-neighbor, `resize_bmp_nearest` below); compressed formats
+    need PIL, which this container lacks."""
+    if payload[:2] == b"BM":
+        return resize_bmp_nearest(payload, w, h)
+    raise NotImplementedError(  # pragma: no cover - integration point
+        "compressed-format resample unavailable; deterministic fake used "
+        "instead (resize_media)"
     )
 
 
@@ -350,3 +357,171 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=WAV_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL image codec: BMP (BI_RGB 24-bit), stdlib struct + numpy only
+# --------------------------------------------------------------------------
+# BMP is the uncompressed image container a no-PIL environment CAN
+# decode for real: fixed little-endian headers + raw BGR rows padded to
+# 4 bytes. Same realism contract as the WAV codec above — parse + pixel
+# math are exact, and anything that is not BI_RGB 24-bit fails loudly.
+_BMP_W_BASE, _BMP_W_MOD = 4, 5  # width  = 4 + doc_id % 5
+_BMP_H_BASE, _BMP_H_MOD = 3, 4  # height = 3 + doc_id % 4
+# pixel channels at (x, y): simple integer lattices mod 256 — closed
+# forms an oracle can replay
+_BMP_B = "(doc_id + 3*x + 7*y) % 256"
+_BMP_G = "(2*doc_id + 5*x + 11*y) % 256"
+_BMP_R = "(3*doc_id + 13*x + 17*y) % 256"
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """A standard bottom-up BI_RGB 24-bit BMP whose pixel channels are
+    deterministic lattices of (doc_id, x, y) — x right, y DOWN (image
+    coordinates; the encoder writes rows bottom-up as the format
+    requires, which the parser must undo)."""
+    import struct
+
+    import numpy as np
+
+    w = _BMP_W_BASE + doc_id % _BMP_W_MOD
+    h = _BMP_H_BASE + doc_id % _BMP_H_MOD
+    y, x = np.mgrid[0:h, 0:w]
+    b = (doc_id + 3 * x + 7 * y) % 256
+    g = (2 * doc_id + 5 * x + 11 * y) % 256
+    r = (3 * doc_id + 13 * x + 17 * y) % 256
+    px = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BGR, row = y
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for yy in range(h - 1, -1, -1):  # bottom-up storage
+        rows.append(px[yy].tobytes() + b"\x00" * pad)
+    data = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return header + dib + data
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """REAL decode: parse a BI_RGB 24-bit BMP with stdlib struct +
+    numpy. Validates the BM magic, reads the pixel-array offset, walks
+    the BITMAPINFOHEADER, handles bottom-up (positive height) AND
+    top-down (negative height) storage, strips row padding, and
+    reports exact integer channel aggregates. Raises ValueError on
+    anything that is not uncompressed 24-bit — a codec must fail
+    loudly, not guess."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    (_, w, h_signed, _planes, bits, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP encoding: bits={bits} compression={compression}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = payload[offset : offset + stride * h]
+    if len(raw) < stride * h:
+        raise ValueError("truncated pixel array")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    px = arr.reshape(h, w, 3).astype(np.int64)  # BGR
+    if not top_down:
+        px = px[::-1]  # undo bottom-up storage → row 0 is the TOP row
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "sum_b": int(px[:, :, 0].sum()),
+        "sum_g": int(px[:, :, 1].sum()),
+        "sum_r": int(px[:, :, 2].sum()),
+    }
+
+
+def resize_bmp_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL resize for BMP payloads: nearest-neighbor resample
+    (src = (dst * src_dim) // dst_dim — the floor mapping an oracle can
+    replay in integer SQL), re-encoded as a valid bottom-up BI_RGB
+    24-bit BMP. This supersedes the `real_resize` stub for the one
+    format this container can decode."""
+    import struct
+
+    import numpy as np
+
+    meta = parse_bmp(payload)  # validates; we re-read pixels below
+    w, h = meta["width"], meta["height"]
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    offset = struct.unpack_from("<2sIHHI", payload, 0)[4]
+    arr = (
+        np.frombuffer(payload[offset : offset + stride * h], dtype=np.uint8)
+        .reshape(h, stride)[:, :row_bytes]
+        .reshape(h, w, 3)
+    )
+    h_signed = struct.unpack_from("<IiiHHI", payload, 14)[2]
+    if h_signed > 0:
+        arr = arr[::-1]  # to top-down row order for index math
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    out = arr[np.ix_(ys, xs)]  # nearest-neighbor gather
+    out_row = out_w * 3
+    pad = (-out_row) % 4
+    data = b"".join(
+        out[yy].tobytes() + b"\x00" * pad for yy in range(out_h - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    hdr_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", hdr_off + len(data), 0, 0, hdr_off)
+    return header + dib + data
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [
+        T.StructField(c, T.LongType(), True)
+        for c in ("width", "height", "n_pixels", "sum_b", "sum_g", "sum_r")
+    ]
+)
+
+
+def attach_bmp(docs: DataFrame) -> DataFrame:
+    """Synthesize one BMP payload per document, executor-side (image
+    ingest stand-in; payload bytes never visit the driver)."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of BMP payloads — nothing faked."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_bmp(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in BMP_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=BMP_FEATURES_SCHEMA)

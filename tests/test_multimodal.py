@@ -132,3 +132,119 @@ def test_sample_frames_expansion_and_stride(spark, sf_dir):
         idxs = sorted(r.frame_idx for r in rows)
         assert idxs == list(range(0, 4 * len(idxs), 4))  # stride-4 sampling
         assert all(len(r.frame) == 64 for r in rows)  # only full frames
+
+
+# ------------------------------------------------------ REAL BMP codec --
+def test_bmp_roundtrip_matches_pixel_model():
+    """synth → parse: exact channel sums vs an independent numpy model
+    of the pixel lattices, across widths that exercise 0/2/3-byte row
+    padding."""
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    for doc_id in range(12):
+        d = parse_bmp(synth_bmp(doc_id))
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        y, x = np.mgrid[0:h, 0:w]
+        assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+        assert d["sum_b"] == int(((doc_id + 3 * x + 7 * y) % 256).sum())
+        assert d["sum_g"] == int(((2 * doc_id + 5 * x + 11 * y) % 256).sum())
+        assert d["sum_r"] == int(((3 * doc_id + 13 * x + 17 * y) % 256).sum())
+
+
+def test_bmp_parses_top_down_storage():
+    """Negative biHeight = top-down rows: same image must decode to the
+    same aggregates as its bottom-up twin."""
+    import struct
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    p = bytearray(synth_bmp(5))
+    w, h = parse_bmp(bytes(p))["width"], parse_bmp(bytes(p))["height"]
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    offset = struct.unpack_from("<2sIHHI", p, 0)[4]
+    rows = [bytes(p[offset + i * stride : offset + (i + 1) * stride]) for i in range(h)]
+    flipped = b"".join(reversed(rows))
+    struct.pack_into("<i", p, 14 + 8, -h)  # biHeight := negative (top-down)
+    p[offset : offset + stride * h] = flipped
+    assert parse_bmp(bytes(p)) == parse_bmp(synth_bmp(5))
+
+
+def test_bmp_rejects_non_bmp_and_unsupported_depth():
+    import struct
+
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp(b"PNG\x00" * 20)
+    p = bytearray(synth_bmp(1))
+    struct.pack_into("<H", p, 14 + 14, 8)  # biBitCount := 8
+    with pytest.raises(ValueError, match="unsupported BMP encoding"):
+        parse_bmp(bytes(p))
+
+
+def test_bmp_nearest_resize_matches_numpy_model():
+    """resize → parse vs gathering the source lattice at the floor
+    nearest-neighbor indices ((dst*src)//dst) in pure numpy."""
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_bmp,
+        resize_bmp_nearest,
+        synth_bmp,
+    )
+
+    for doc_id in (0, 3, 7, 11):
+        src = parse_bmp(synth_bmp(doc_id))
+        w, h = src["width"], src["height"]
+        out = parse_bmp(resize_bmp_nearest(synth_bmp(doc_id), 3, 2))
+        y, x = np.mgrid[0:h, 0:w]
+        chans = {
+            "sum_b": (doc_id + 3 * x + 7 * y) % 256,
+            "sum_g": (2 * doc_id + 5 * x + 11 * y) % 256,
+            "sum_r": (3 * doc_id + 13 * x + 17 * y) % 256,
+        }
+        xs = (np.arange(3) * w) // 3
+        ys = (np.arange(2) * h) // 2
+        for k, grid in chans.items():
+            assert out[k] == int(grid[np.ix_(ys, xs)].sum()), (doc_id, k)
+        assert (out["width"], out["height"]) == (3, 2)
+
+
+def test_real_decode_dispatches_bmp_and_wav():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_bmp,
+        parse_wav,
+        real_decode,
+        synth_bmp,
+        synth_wav,
+    )
+
+    assert real_decode(synth_bmp(4)) == parse_bmp(synth_bmp(4))
+    assert real_decode(synth_wav(4)) == parse_wav(synth_wav(4))
+
+
+def test_bmp_decode_distributed_matches_local(spark, sf_dir):
+    """attach_bmp → decode_bmp through mapInPandas equals per-doc local
+    parsing — the Arrow plumbing must not reorder, truncate, or coerce
+    the payloads."""
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_bmp,
+        decode_bmp,
+        parse_bmp,
+        synth_bmp,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_b"], r["sum_g"], r["sum_r"])
+        for r in decode_bmp(attach_bmp(docs)).collect()
+    }
+    for doc_id in got:
+        d = parse_bmp(synth_bmp(int(doc_id)))
+        assert got[doc_id] == (d["width"], d["height"], d["sum_b"], d["sum_g"], d["sum_r"])
