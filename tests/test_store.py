@@ -526,3 +526,63 @@ def test_version_claim_is_exclusive(spark, tmp_path):
     a = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
     with pytest.raises(ConcurrentWriteError):
         t.overwrite(a)
+
+
+def test_partitioned_merge_conflict_retry_preserves_both(spark, tmp_path):
+    """OCC on the partition-pruned merge path: a concurrent writer on a
+    DIFFERENT partition lands between snapshot and commit; the retry
+    re-reads and both partitions' rows survive (including the
+    hardlinked untouched one)."""
+    from pse_stocks_etl_spark.store import parquet_table as ptmod
+
+    path = str(tmp_path / "ptocc")
+    t1 = ParquetTable(spark, path, PART_SCHEMA, partition_by=("d",))
+    t1.overwrite(
+        spark.createDataFrame(
+            _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+                  ("B", "2024-01-02", 2.0, "2024-01-01T00:00:00")), PART_SCHEMA)
+    )
+    t2 = ParquetTable(spark, path, PART_SCHEMA, partition_by=("d",))
+    s1 = spark.createDataFrame(
+        _rows(("A", "2024-01-01", 10.0, "2024-01-02T00:00:00")), PART_SCHEMA)
+    s2 = spark.createDataFrame(
+        _rows(("B", "2024-01-02", 20.0, "2024-01-02T00:00:00")), PART_SCHEMA)
+
+    orig_claim = ptmod.ParquetTable._claim_version
+    state = {"interposed": False}
+
+    def racing_claim(self, expected_version):
+        if self is t2 and not state["interposed"]:
+            state["interposed"] = True
+            t1.merge(s1, keys=("k", "d"), freshness_col="extracted_at")
+        return orig_claim(self, expected_version)
+
+    ptmod.ParquetTable._claim_version = racing_claim
+    try:
+        t2.merge(s2, keys=("k", "d"), freshness_col="extracted_at")
+    finally:
+        ptmod.ParquetTable._claim_version = orig_claim
+    got = {(r.k, str(r.d)): r.v for r in t2.read().collect()}
+    assert got == {("A", "2024-01-01"): 10.0, ("B", "2024-01-02"): 20.0}
+
+
+def test_restore_partitioned_version_with_hardlinked_dirs(spark, tmp_path):
+    """RESTORE of a version whose partition dirs were carried by
+    hardlink: the restored commit must materialize the full table
+    content of that version."""
+    t = ParquetTable(spark, str(tmp_path / "ptr"), PART_SCHEMA, partition_by=("d",))
+    t.overwrite(
+        spark.createDataFrame(
+            _rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00"),
+                  ("B", "2024-01-02", 2.0, "2024-01-01T00:00:00")), PART_SCHEMA)
+    )
+    v_good = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            _rows(("B", "2024-01-02", 99.0, "2024-01-02T00:00:00")), PART_SCHEMA),
+        keys=("k", "d"),
+        freshness_col="extracted_at",
+    )  # pruned commit: d=2024-01-01 hardlinked into the new version
+    t.restore(v_good)
+    got = {(r.k, str(r.d)): r.v for r in t.read().collect()}
+    assert got == {("A", "2024-01-01"): 1.0, ("B", "2024-01-02"): 2.0}
