@@ -12,6 +12,7 @@ test_stateful.py, test_multimodal.py).
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -20,6 +21,30 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import attach_binary, decode_features, sample_frames
 from ..sources.catalog import load_table
 from .registry import register
+
+# State-store task count for the BOUNDED single-file streaming drives
+# below. Streaming has no AQE: every micro-batch pays one state-store
+# task per shuffle partition regardless of data volume, so running a
+# one-file bounded stream with a batch-sized partition count (32 on
+# the bench box) spends more time opening/committing empty state
+# stores than aggregating (measured at sf0.1: 1.33s at 32 partitions
+# vs 0.74s at 8, identical results). A real deployment sizes this to
+# state volume per the Spark tuning guide; results are partition-count
+# independent either way.
+_STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    """Temporarily size shuffle/state partitions for a bounded stream
+    drive; always restores the session value (the batch queries keep
+    their AQE-managed setting)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -148,16 +173,17 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     agg = windowed_event_counts(events)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     # window_start is a true TIMESTAMP (the streaming runtime needs
     # TimestampType for watermarks); its epoch micros ARE the wall-clock
@@ -200,16 +226,17 @@ def streaming_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     joined = interval_join_clicks(events)
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
 
     def ntz(col: str):
@@ -356,17 +383,18 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(events)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            running_user_stats(events)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -419,16 +447,17 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     agg = sessionized_event_counts(events)
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     start_ntz = F.expr(
         "timestampadd(MICROSECOND, unix_micros(session_start), "
@@ -472,16 +501,17 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     agg = windowed_event_counts(events, window="1 hour", slide="15 minutes")
     name = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     start_ntz = F.expr(
         "timestampadd(MICROSECOND, unix_micros(window_start), "
@@ -535,14 +565,15 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
