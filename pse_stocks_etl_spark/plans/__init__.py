@@ -48,18 +48,26 @@ except ImportError:  # pragma: no cover - partial checkouts
 # enforces this mechanically — a no-rotation round turns the suite red).
 # NOTE: no CORRECTNESS_r05.json was recorded, so the whole round-5 priority
 # block (the streaming timestamp fix, the r4 rotation queue, the sketch
-# oracle upgrades, and the eleven round-5 additions) is still unverified
+# oracle upgrades, and the round-5 additions) is still unverified
 # and stays at the front:
 #   1. the two streaming queries fixed in r5 (timestamp-unit bug —
 #      the driver must confirm the fix end-to-end),
 #   2. the five round-3 additions never yet inside a window,
 #   3. the two sketch queries upgraded to full error-bound oracles in r5,
-#   4. array_agg_user_profile (r4's fix — confirmation),
 #   5. the eleven round-5 additions (never driver-seen by definition),
-#   6. the ten round-6 additions (this round's new operators),
-#   7. refresh: the oldest greens (last driver-seen in round 2) that did
-#      NOT fit round 5's window — exactly the queue the r5 rotation
-#      comment scheduled for this round.
+#   6. the nineteen round-6 additions,
+#   7. eleven of this round's additions (fills slot 50),
+#   8. positions 51+: this round's overflow queue (the rotation guard
+#      requires them HERE so they enter the next window mechanically).
+#
+# NEXT-ROUND ROTATION RECIPE: once the driver records this window green,
+# move blocks 1-7 out, promote block 8 (the 12-query queue) plus a
+# `multimodal_bmp_*` query for the now-real BMP codec, and fill the rest
+# with the stalest greens (array_agg_user_profile and the r1/r2-green
+# refresh tail: flagship_latest_price, docs_simhash, emb_*,
+# docs_near_dup_clusters, docs_top_terms, docs_bpe_token_stats,
+# docs_quality_score, then the r3/r4 block). COVERAGE.md's driver map is
+# the authoritative per-query ledger.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
