@@ -248,3 +248,81 @@ def test_bmp_decode_distributed_matches_local(spark, sf_dir):
     for doc_id in got:
         d = parse_bmp(synth_bmp(int(doc_id)))
         assert got[doc_id] == (d["width"], d["height"], d["sum_b"], d["sum_g"], d["sum_r"])
+
+
+# ------------------------------------------------------ REAL Y4M codec --
+def test_y4m_roundtrip_matches_luma_model():
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_y4m, synth_y4m
+
+    for doc_id in range(10):
+        m = parse_y4m(synth_y4m(doc_id))
+        w, h, nf = 2 * (4 + doc_id % 4), 2 * (3 + doc_id % 3), 2 + doc_id % 4
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, nf)
+        y, x = np.mgrid[0:h, 0:w]
+        sums = [
+            int(((doc_id + 2 * x + 5 * y + 31 * t) % 256).sum()) for t in range(nf)
+        ]
+        assert m["sum_luma"] == sum(sums)
+        assert m["min_frame_luma"] == min(sums)
+        assert m["max_frame_luma"] == max(sums)
+
+
+def test_y4m_frame_stride_picks_every_kth():
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import synth_y4m, y4m_frame_stride
+
+    doc_id = 3  # 5 frames
+    frames = y4m_frame_stride(synth_y4m(doc_id), every_k=2)
+    w, h = 2 * (4 + doc_id % 4), 2 * (3 + doc_id % 3)
+    y, x = np.mgrid[0:h, 0:w]
+    assert [f["frame_idx"] for f in frames] == [0, 2, 4]
+    for f in frames:
+        expect = int(((doc_id + 2 * x + 5 * y + 31 * f["frame_idx"]) % 256).sum())
+        assert f["luma_sum"] == expect
+
+
+def test_y4m_rejects_bad_streams():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_y4m, synth_y4m
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        parse_y4m(b"RIFFxxxx")
+    p = synth_y4m(2)
+    with pytest.raises(ValueError, match="truncated frame"):
+        parse_y4m(p[:-10])
+    c444 = p.replace(b"C420", b"C444", 1)
+    with pytest.raises(ValueError, match="unsupported chroma"):
+        parse_y4m(c444)
+
+
+def test_y4m_decode_distributed_matches_local(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_y4m,
+        decode_y4m,
+        parse_y4m,
+        synth_y4m,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_frames"], r["sum_luma"])
+        for r in decode_y4m(attach_y4m(docs)).collect()
+    }
+    for doc_id in got:
+        m = parse_y4m(synth_y4m(int(doc_id)))
+        assert got[doc_id] == (m["width"], m["height"], m["n_frames"], m["sum_luma"])
+
+
+def test_real_decode_dispatches_y4m():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_y4m,
+        real_decode,
+        synth_y4m,
+    )
+
+    assert real_decode(synth_y4m(6)) == parse_y4m(synth_y4m(6))
