@@ -120,6 +120,72 @@ class RequestsTransport:
         )
 
 
+class UrllibTransport:
+    """Live HTTP transport on the STANDARD LIBRARY only (urllib) — the
+    same contract as RequestsTransport (timeouts on every call, bounded
+    retry with exponential backoff on transient failures and HTTP 5xx,
+    4xx raise immediately), with zero third-party dependencies, so the
+    live connector runs in any Python environment including this one.
+    Proven over real sockets by the loopback-server tests
+    (tests/test_pse_edge_live.py)."""
+
+    def __init__(
+        self, timeout: float = 30.0, retries: int = 3, backoff: float = 1.0
+    ) -> None:
+        self.timeout = timeout
+        self.retries = retries
+        self.backoff = backoff
+
+    def _call(self, make_request) -> tuple[str, dict]:
+        import time
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(self.retries):
+            try:
+                with urllib.request.urlopen(
+                    make_request(), timeout=self.timeout
+                ) as r:
+                    return r.read().decode("utf-8"), dict(r.headers)
+            except urllib.error.HTTPError as e:
+                if e.code >= 500 and attempt < self.retries - 1:
+                    last = e
+                    time.sleep(self.backoff * (2**attempt))
+                    continue
+                raise
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last = e
+                if attempt < self.retries - 1:
+                    time.sleep(self.backoff * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    def get(self, url: str) -> tuple[str, dict]:
+        import urllib.request
+
+        return self._call(lambda: urllib.request.Request(url))
+
+    def post(
+        self, url: str, data: dict | None = None, json: dict | None = None
+    ) -> tuple[str, dict]:
+        import json as jsonlib
+        import urllib.parse
+        import urllib.request
+
+        if json is not None:
+            body = jsonlib.dumps(json).encode("utf-8")
+            ctype = "application/json"
+        else:
+            body = urllib.parse.urlencode(data or {}).encode("utf-8")
+            ctype = "application/x-www-form-urlencoded"
+
+        return self._call(
+            lambda: urllib.request.Request(
+                url, data=body, headers={"Content-Type": ctype}, method="POST"
+            )
+        )
+
+
 class PseEdgeClient:
     """Driver-side HTTP connector against the public PSE Edge endpoints
     (the reference's extractor surface, pse_edge.py:70-261).
@@ -157,7 +223,11 @@ class PseEdgeClient:
     @property
     def transport(self):
         if self._transport is None:
-            self._transport = RequestsTransport()
+            try:
+                self._transport = RequestsTransport()
+            except NotImplementedError:
+                # stdlib fallback: live HTTP works without `requests`
+                self._transport = UrllibTransport()
         return self._transport
 
     def _search_page(self, **payload) -> tuple[str, str]:
