@@ -403,3 +403,91 @@ def test_debounce_matches_python_model(spark, tmp_path_factory, rows):
         kept,
         len(rows) - kept,
     )
+
+
+_ks_strategy = st.tuples(
+    st.lists(st.integers(1, 40), min_size=1, max_size=15),  # click cents/100
+    st.lists(st.integers(1, 40), min_size=1, max_size=15),  # purchase cents/100
+)
+
+
+@given(vals=_ks_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ks_matches_python_model(spark, tmp_path_factory, vals):
+    """Two-sample KS vs the direct python supremum over the pooled
+    distinct values."""
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    clicks, purchases = vals
+    base = dt.datetime(2024, 1, 1)
+    data = []
+    eid = 0
+    for v in clicks:
+        data.append((eid, base + dt.timedelta(minutes=eid), 1, "click", float(v), "{}"))
+        eid += 1
+    for v in purchases:
+        data.append((eid, base + dt.timedelta(minutes=eid), 2, "purchase", float(v), "{}"))
+        eid += 1
+    tmp = tmp_path_factory.mktemp("ks")
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    r = REGISTRY["value_ks_two_sample"].fn(spark, str(tmp)).collect()[0]
+
+    n1, n2 = len(clicks), len(purchases)
+    best = 0
+    for v in sorted(set(clicks) | set(purchases)):
+        c1 = sum(1 for x in clicks if x <= v)
+        c2 = sum(1 for x in purchases if x <= v)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    assert (r["n1"], r["n2"], r["d_scaled"]) == (n1, n2, best)
+
+
+@given(revs=st.lists(st.integers(1, 10**6), min_size=2, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gini_matches_python_model(spark, tmp_path_factory, revs):
+    """Gini vs the direct rank-formula computation in python (each
+    synthetic supplier sells one line of 100*rev cents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.round7_queries import supplier_revenue_gini
+
+    tmp = tmp_path_factory.mktemp("gini")
+    n = len(revs)
+    table = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array(range(1, n + 1), pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([float(r) for r in revs], pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(tmp / "lineitem.parquet"))
+    row = supplier_revenue_gini(spark, str(tmp)).collect()[0]
+
+    cents = [round(r * 100) for r in revs]
+    order = sorted(range(n), key=lambda i: (cents[i], i + 1))
+    srv = sum((rank + 1) * cents[i] for rank, i in enumerate(order))
+    total = sum(cents)
+    expect = 2.0 * srv / (n * total) - (n + 1.0) / n
+    assert row["n_suppliers"] == n
+    assert abs(row["gini"] - expect) < 1e-12
