@@ -38,6 +38,11 @@ try:  # round-7 queries (islands, sweep-line, attribution, MAD, Benford)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-8 queries (TPC-H Q14/Q18/Q7 shapes, span/bow/containment dedup)
+    from . import round8_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -146,6 +151,18 @@ _DRIVER_FIRST = [
     "supplier_revenue_gini",
     "weekly_autocorr_lag1",
     "value_ks_two_sample",
+    # -- block 9: round-8 additions — also next-window queue (positions
+    # 57+). Together with block 8 this backlog is 19 queries: it drains
+    # in ONE rotated window with 31 slots left for stale-green refresh
+    # (the guard test bounds the backlog at half a window for exactly
+    # this reason) --
+    "promo_revenue_share",
+    "large_order_customers",
+    "nation_pair_trade",
+    "docs_span_dedup",
+    "docs_bow_dedup",
+    "docs_rare_bigram_rate",
+    "docs_containment_pairs",
 ]
 
 

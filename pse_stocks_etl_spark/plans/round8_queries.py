@@ -1,0 +1,495 @@
+"""Round-8 queries: three classic warehouse join-aggregation shapes
+(TPC-H Q14 / Q18 / Q7 analogs over the testdata star schema) and four
+corpus-preparation operators a training-data pipeline runs between
+crawl and tokenizer — duplicate-span measurement (the exact-substring
+dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better"), order-insensitive bag-of-words dedup, a
+rare-bigram quality proxy (the integer-exact stand-in for an n-gram LM
+perplexity filter), and asymmetric containment pairs (subset-duplicate
+detection, Broder 1997's containment coefficient).
+
+Determinism rules are repo-wide (functions/money.py, plans/
+corpus_queries.py): money in integer cents (revenue in rev10k =
+cents x (100 - discount-hundredths), exact and order-free), ratios as
+single IEEE divisions of exactly-representable integers, hashes via
+the portable 60-bit md5 prefix. No Python UDFs anywhere — every text
+operator is built-in higher-order array functions inside whole-stage
+codegen.
+
+Reference parity: the reference engine (pandas/requests, see
+src/utils/pse_edge.py, src/etl/price_sync) has no analytics surface
+beyond the sync loop; these queries are the §2-extension analytics a
+warehouse user expects on top (SURVEY.md §2.5/§2.8 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, sql_cents
+from ..functions.text import portable_hash64, sql_portable_hash64, tokens
+from ..sources.catalog import load_table
+from .registry import register
+
+# Q18 analog: orders whose total quantity exceeds this are "large"
+# (~top 1.5% at the testdata's ~4 lineitems/order).
+LARGE_ORDER_MIN_QTY = 250
+
+# Duplicate-span scan: W-word windows sampled every S words. Stride
+# S < W overlaps windows so every duplicated run >= W+S-1 words hits at
+# least one window; S=W/2 is the standard cost/recall tradeoff.
+SPAN_W = 8
+SPAN_S = 4
+
+# Rare-bigram quality proxy: a word bigram is "rare" when <= RARE_DF
+# distinct docs contain it; docs where > 1/5 of bigram occurrences are
+# rare read as unnatural (OCR noise, mojibake, word salad).
+RARE_DF = 2
+
+# Containment C(A,B) = |sh(A) n sh(B)| / |sh(A)|: A is a subset-dup of
+# B at >= 0.9 even when B is much longer (Jaccard misses those).
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev10k(price: str, disc: str) -> Column:
+    """Discounted revenue in exact 1e-4 currency units:
+    cents(price) * (100 - cents(disc)) — a BIGINT, order-free to sum."""
+    return cents(F.col(price)) * (100 - cents(F.col(disc)))
+
+
+def _sql_rev10k(price: str, disc: str) -> str:
+    return f"({sql_cents(price)} * (100 - {sql_cents(disc)}))"
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 analog: promo revenue share per ship month
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', li.l_shipdate) AS DATE) AS month,
+           (SUM(CASE WHEN p.p_type = 'PROMO' THEN {_sql_rev10k('li.l_extendedprice', 'li.l_discount')}
+                     ELSE 0 END) / 10000.0) AS promo_revenue,
+           (SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) / 10000.0) AS total_revenue,
+           (SUM(CASE WHEN p.p_type = 'PROMO' THEN {_sql_rev10k('li.l_extendedprice', 'li.l_discount')}
+                     ELSE 0 END) * 1.0
+            / SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')})) AS promo_share
+    FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+    GROUP BY month
+    """,
+    tags=("J5", "A1", "tpch-q14"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 generalized to every ship month: share of discounted
+    revenue from PROMO-type parts. Conditional aggregation over a
+    fact-dim join.
+
+    Scale: part is a dimension (200k rows/SF) — broadcast, so lineitem
+    never shuffles for the join; the group-by month aggregate has ~84
+    groups and map-side partial combine reduces each task to one row
+    per month before the single tiny exchange. Revenue sums are exact
+    BIGINTs (rev10k); the share is one conditional-sum/total-sum IEEE
+    division per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _rev10k("l_extendedprice", "l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.trunc(F.to_date("l_shipdate"), "month").alias("month"))
+        .agg(
+            (F.sum(promo) / 10000.0).alias("promo_revenue"),
+            (F.sum(rev) / 10000.0).alias("total_revenue"),
+            (F.sum(promo) * 1.0 / F.sum(rev)).alias("promo_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 analog: large-quantity orders with their customers
+# --------------------------------------------------------------------------
+@register(
+    "large_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice AS total_price, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("J5", "A1", "tpch-q18"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose summed line quantity exceeds the
+    threshold, joined back to orders and customer headers.
+
+    Scale: the lineitem aggregate partial-combines map-side before one
+    shuffle on l_orderkey; the HAVING filter passes ~1-2% of orders, so
+    the surviving keys broadcast to the orders fact (no second big
+    shuffle) and customer joins the already-tiny result. total_price is
+    a pure stored value — no float arithmetic to diverge."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 analog: nation-pair trade volume by ship year
+# --------------------------------------------------------------------------
+@register(
+    "nation_pair_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(li.l_shipdate) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) / 10000.0) AS revenue
+    FROM lineitem li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("J5", "A1", "tpch-q7"),
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border discounted revenue between every
+    (supplier nation, customer nation) pair per ship year.
+
+    Scale: the one unavoidable big-big join is lineitem-orders on
+    orderkey (both shuffle on the key once; with both tables bucketed
+    by orderkey — see tests/test_bucketing.py — it runs shuffle-free).
+    supplier and nation are broadcast dims; customer is broadcast here
+    (150k rows/SF — at very large SF swap to a shuffle join on custkey,
+    which AQE does automatically past the broadcast threshold). The
+    pair-year group-by is tiny (n_nations^2 x years) and
+    partial-combines map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk")
+    )
+    supp = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk")
+    )
+    return (
+        supp.join(cust, supp.l_orderkey == cust.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_rev10k("l_extendedprice", "l_discount")) / 10000.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus prep: duplicate-span measurement (exact-substring dedup signal)
+# --------------------------------------------------------------------------
+def _grams_all(tk: Column, n: int, step: int = 1) -> Column:
+    """ALL word n-grams of a pre-projected tokens column, sampled every
+    `step` positions — NOT deduped (occurrence counts matter here).
+    Empty when the doc has fewer than n tokens. O(1) try_element_at
+    lookups per gram, same rationale as text.shingles_from_tokens."""
+    pos = F.when(
+        F.size(tk) >= n,
+        F.sequence(F.lit(1), F.size(tk) - (n - 1), F.lit(step)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.try_element_at(tk, i + k) for k in range(n)])
+
+    return F.transform(pos, gram)
+
+
+_SQL_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _sql_grams_all(n: int, step: int = 1) -> str:
+    """DuckDB twin of _grams_all over the `tk` column."""
+    return (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1, {step}), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' '))"
+    )
+
+
+@register(
+    "docs_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, {sql_portable_hash64('w')} AS w
+      FROM (SELECT doc_id, unnest({_sql_grams_all(SPAN_W, SPAN_S)}) AS w FROM toks)
+    ),
+    sites AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sites FROM wins GROUP BY w
+    )
+    SELECT wi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN s.n_sites > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           (SUM(CASE WHEN s.n_sites > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) AS dup_frac,
+           (2 * SUM(CASE WHEN s.n_sites > 1 THEN 1 ELSE 0 END) >= COUNT(*)) AS drop_doc
+    FROM wins wi JOIN sites s ON wi.w = s.w
+    GROUP BY wi.doc_id
+    """,
+    tags=("llm", "dedup-span", "corpus"),
+)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span measurement (Lee et al. 2022):
+    every {SPAN_W}-word window sampled at stride {SPAN_S} is hashed; a
+    window occurring at more than one (doc, position) site corpus-wide
+    is a duplicated span — internal repetition counts, matching the
+    substring-dedup semantics where any repeated run is removable. Docs
+    where half or more of the windows are duplicated are dropped.
+
+    Scale: windows/doc = tokens/{SPAN_S}, so the exploded working set is
+    ~1/{SPAN_S} of the token stream with 8-byte hashed keys. Site counts
+    are one map-side-combinable aggregate on the window hash; the
+    flag-back join shuffles on the same key (one exchange reused), and
+    the per-doc rollup partial-combines. No all-pairs stage anywhere —
+    cost is linear in corpus size, the property that makes
+    suffix-array-style dedup tractable as a distributed plan. Docs
+    shorter than {SPAN_W} words have no windows and drop out (nothing
+    to dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    wins = toked.select(
+        "doc_id",
+        F.explode(_grams_all(F.col("tk"), SPAN_W, SPAN_S)).alias("w"),
+    ).select("doc_id", portable_hash64(F.col("w")).alias("w"))
+    sites = wins.groupBy("w").agg(F.count("*").cast("long").alias("n_sites"))
+    dup = F.when(F.col("n_sites") > 1, 1).otherwise(0)
+    return (
+        wins.join(sites, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_dup_windows"),
+            (F.sum(dup) * 1.0 / F.count("*")).alias("dup_frac"),
+            (2 * F.sum(dup) >= F.count("*")).alias("drop_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus prep: order-insensitive bag-of-words dedup
+# --------------------------------------------------------------------------
+@register(
+    "docs_bow_dedup",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {sql_portable_hash64(f"array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')")} AS bow_key
+      FROM documents
+    )
+    SELECT doc_id, bow_key,
+           CAST(COUNT(*) OVER (PARTITION BY bow_key) AS BIGINT) AS group_size,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY bow_key)) AS keep
+    FROM keyed
+    """,
+    tags=("llm", "dedup-bow", "corpus"),
+)
+def docs_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: the canonical key is the sorted distinct
+    vocabulary of the doc, so word-order shuffles and repetition-count
+    changes collapse to one group — the near-exact stage between exact
+    dedup (order-sensitive, catches nothing here: 0 exact-text dups at
+    sf0.01) and MinHash (this finds 21 groups at sf0.01 that exact
+    dedup misses). min-doc_id canonicalization matches
+    operators/dedup.py's keep-first convention.
+
+    Scale: one narrow map (sort the per-doc vocab — O(len log len) per
+    row, embarrassingly parallel) then ONE hash-partition exchange on
+    the 8-byte bow_key shared by both window functions. Equivalent
+    group-by formulation would need the same single shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        portable_hash64(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("bow_key"),
+    )
+    w = Window.partitionBy("bow_key")
+    return keyed.select(
+        "doc_id",
+        "bow_key",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus prep: rare-bigram rate (integer-exact LM-perplexity proxy)
+# --------------------------------------------------------------------------
+@register(
+    "docs_rare_bigram_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, {sql_portable_hash64('g')} AS bg
+      FROM (SELECT doc_id, unnest({_sql_grams_all(2)}) AS g FROM toks)
+    ),
+    df AS (
+      SELECT bg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM bg GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN d.df <= {RARE_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           (SUM(CASE WHEN d.df <= {RARE_DF} THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) AS rare_rate,
+           (5 * SUM(CASE WHEN d.df <= {RARE_DF} THEN 1 ELSE 0 END) > COUNT(*)) AS low_quality
+    FROM bg b JOIN df d ON b.bg = d.bg
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "quality", "lm-proxy"),
+)
+def docs_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality proxy: the fraction of a
+    doc's word-bigram OCCURRENCES whose document frequency is <=
+    {RARE_DF} across the corpus. High rare-rate (> 1/5) flags word
+    salad / OCR noise exactly where a KenLM perplexity filter would —
+    but in pure integers (df counts and one ratio division), so the
+    verdict is bit-identical cross-engine where log-prob sums are not
+    (ln is not correctly rounded and FP sums are order-dependent).
+
+    Scale: bigram explode is ~1 row per token with 8-byte hashed keys;
+    df is one COUNT(DISTINCT doc) aggregate on the bigram key (Spark
+    plans the distinct as a partial-deduped two-phase agg); the
+    flag-back join reuses the same key partitioning, and the per-doc
+    rollup partial-combines. Linear in corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = toked.select(
+        "doc_id", F.explode(_grams_all(F.col("tk"), 2)).alias("g")
+    ).select("doc_id", portable_hash64(F.col("g")).alias("bg"))
+    df = bg.groupBy("bg").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    rare = F.when(F.col("df") <= RARE_DF, 1).otherwise(0)
+    return (
+        bg.join(df, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            (F.sum(rare) * 1.0 / F.count("*")).alias("rare_rate"),
+            (5 * F.sum(rare) > F.count("*")).alias("low_quality"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus prep: asymmetric containment pairs (subset-duplicate detection)
+# --------------------------------------------------------------------------
+@register(
+    "docs_containment_pairs",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id, {sql_portable_hash64('sh')} AS sh
+      FROM (SELECT doc_id, unnest({{shingles}}) AS sh FROM documents)
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {{df_cap}}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (c.n_common * 1.0 / sa.n_sh) AS containment
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    WHERE (c.n_common * 1.0 / sa.n_sh) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("llm", "dedup-containment", "corpus"),
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: C(A,B) = |sh(A) n sh(B)| / |sh(A)|
+    >= {CONTAINMENT_THRESHOLD} flags doc_a as a subset-duplicate of
+    doc_b — excerpts, quotes, and chunk-of-a-larger-page duplicates
+    that symmetric Jaccard misses whenever |B| >> |A| (Broder 1997).
+    Both orientations are emitted (containment is directional).
+
+    Scale: rides the SAME persisted df-capped shingle working set as
+    docs_ngram_jaccard_pairs (one tokenize/shingle/hash pass per
+    session; hot corpus-boilerplate shingles anti-joined out, bounding
+    the self-join at O(sum min(df,cap)^2)) — see llm_queries. The only
+    deltas are the <> pair predicate (both directions) and the
+    single-side size denominator."""
+    from .llm_queries import _shingles_capped_cached
+
+    sh = _shingles_capped_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+    cont = F.col("n_common") * 1.0 / F.col("n_a")
+    return (
+        pairs.join(sa, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+def _finalize_containment_oracle() -> None:
+    """Inject the shared shingle SQL + df cap from llm_queries so the
+    oracle and the Spark plan provably share one working-set definition."""
+    from .llm_queries import NGRAM_DF_CAP, _SQL_SHINGLES
+    from .registry import REGISTRY
+
+    q = REGISTRY["docs_containment_pairs"]
+    q.oracle = q.oracle.format(shingles=_SQL_SHINGLES, df_cap=NGRAM_DF_CAP)
+
+
+_finalize_containment_oracle()

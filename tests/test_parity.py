@@ -85,7 +85,12 @@ def test_driver_window_covers_unverified_queries():
         "never-driver-checked queries neither inside the 50-entry window "
         f"nor scheduled in _DRIVER_FIRST (plans/__init__.py): {unscheduled}"
     )
-    assert len(outside) <= 12, (
+    # Bound = half a window: the backlog must drain in a SINGLE rotated
+    # round while leaving at least 25 slots for stale-green refresh
+    # (re-confirming old queries so rot can't hide beyond the window,
+    # the r4 failure mode). A backlog past this means new queries are
+    # outrunning driver verification — stop adding until it drains.
+    assert len(outside) <= 25, (
         f"driver-verification backlog too large ({len(outside)} queries "
         f"wait beyond the window): {outside} — stop adding queries until "
         "the rotation drains the queue"

@@ -1,0 +1,225 @@
+"""Round-8 operator guards beyond oracle parity: hand-computed edge
+cases for the corpus dedup/quality operators (internal repetition,
+cross-doc shared spans, short-doc exclusion, word-order collapse,
+subset containment), hypothesis property tests against pure-python
+models, and physical-plan shape checks for the three TPC-H-shaped
+join-aggregation queries."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pse_stocks_etl_spark import plans
+from pse_stocks_etl_spark.plans.round8_queries import (
+    LARGE_ORDER_MIN_QTY,
+    RARE_DF,
+    SPAN_S,
+    SPAN_W,
+    docs_bow_dedup,
+    docs_rare_bigram_rate,
+    docs_span_dedup,
+)
+
+from conftest import SF_DIR
+
+
+def _write_docs(path, texts):
+    """Write a documents.parquet matching the testdata schema."""
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["test"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(path / "documents.parquet"))
+    return str(path)
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# ------------------------------------------------------- pure-py models --
+def _windows(tk: list[str]) -> list[str]:
+    return [
+        " ".join(tk[i : i + SPAN_W]) for i in range(0, len(tk) - SPAN_W + 1, SPAN_S)
+    ]
+
+
+def _span_model(docs: dict[int, list[str]]) -> dict[int, tuple[int, int]]:
+    sites = Counter(w for tk in docs.values() for w in _windows(tk))
+    out = {}
+    for d, tk in docs.items():
+        ws = _windows(tk)
+        if ws:
+            out[d] = (len(ws), sum(1 for w in ws if sites[w] > 1))
+    return out
+
+
+def _bigram_model(docs: dict[int, list[str]]) -> dict[int, tuple[int, int]]:
+    grams = {
+        d: [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+        for d, tk in docs.items()
+    }
+    df = Counter()
+    for d, gs in grams.items():
+        for g in set(gs):
+            df[g] += 1
+    return {
+        d: (len(gs), sum(1 for g in gs if df[g] <= RARE_DF))
+        for d, gs in grams.items()
+        if gs
+    }
+
+
+# ------------------------------------------------------------ span dedup --
+def test_span_dedup_internal_repetition_counts(spark, tmp_path):
+    # One doc that is the same 4-word phrase repeated: with W=8/S=4 every
+    # window is the identical string -> all sites duplicated.
+    rep = " ".join(["x y z w"] * 6)  # 24 tokens, 5 windows, all equal
+    uniq = " ".join(f"u{i}" for i in range(24))  # all windows unique
+    d = _write_docs(tmp_path, [rep, uniq])
+    rows = {r["doc_id"]: r for r in docs_span_dedup(spark, d).collect()}
+    assert rows[1]["n_windows"] == 5
+    assert rows[1]["n_dup_windows"] == 5
+    assert rows[1]["drop_doc"] is True
+    assert rows[2]["n_dup_windows"] == 0
+    assert rows[2]["drop_doc"] is False
+
+
+def test_span_dedup_cross_doc_shared_span(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(SPAN_W))
+    a = shared + " " + " ".join(f"a{i}" for i in range(8))
+    b = shared + " " + " ".join(f"b{i}" for i in range(8))
+    d = _write_docs(tmp_path, [a, b])
+    rows = {r["doc_id"]: r for r in docs_span_dedup(spark, d).collect()}
+    # Window at position 1 is the shared span in both docs -> flagged.
+    assert rows[1]["n_dup_windows"] >= 1
+    assert rows[2]["n_dup_windows"] >= 1
+
+
+def test_span_dedup_short_docs_excluded(spark, tmp_path):
+    d = _write_docs(tmp_path, ["too short", " ".join(f"w{i}" for i in range(12))])
+    got = {r["doc_id"] for r in docs_span_dedup(spark, d).collect()}
+    assert got == {2}  # doc 1 has < SPAN_W tokens -> no windows -> absent
+
+
+# ------------------------------------------------------------- bow dedup --
+def test_bow_dedup_collapses_word_order_and_repetition(spark, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [
+            "alpha beta gamma",
+            "gamma alpha beta",        # same vocab, shuffled order
+            "beta beta gamma alpha",   # same vocab, repetition
+            "alpha beta delta",        # different vocab
+        ],
+    )
+    rows = {r["doc_id"]: r for r in docs_bow_dedup(spark, d).collect()}
+    assert rows[1]["group_size"] == 3
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[3]["keep"] is False
+    assert rows[4]["group_size"] == 1 and rows[4]["keep"] is True
+    assert rows[1]["bow_key"] == rows[2]["bow_key"] == rows[3]["bow_key"]
+    assert rows[4]["bow_key"] != rows[1]["bow_key"]
+
+
+# ----------------------------------------------------------- rare bigram --
+def test_rare_bigram_rate_hand_computed(spark, tmp_path):
+    # "a b" appears in 3 docs (df=3 > RARE_DF=2) -> common; every other
+    # bigram lives in a single doc (df=1) -> rare.
+    d = _write_docs(tmp_path, ["a b c", "a b d", "a b e"])
+    rows = {r["doc_id"]: r for r in docs_rare_bigram_rate(spark, d).collect()}
+    for doc_id in (1, 2, 3):
+        assert rows[doc_id]["n_bigrams"] == 2
+        assert rows[doc_id]["n_rare"] == 1  # ("b c") rare, ("a b") common
+        assert rows[doc_id]["rare_rate"] == 0.5
+        assert rows[doc_id]["low_quality"] is True  # 5*1 > 2
+
+
+# -------------------------------------------------------------- property --
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd"])
+_DOCS = st.lists(
+    st.lists(_WORDS, min_size=1, max_size=20), min_size=1, max_size=6
+)
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=_DOCS)
+@SETTINGS
+def test_span_dedup_matches_python_model(spark, tmp_path_factory, docs):
+    path = tmp_path_factory.mktemp("span")
+    d = _write_docs(path, [" ".join(tk) for tk in docs])
+    model = _span_model({i + 1: tk for i, tk in enumerate(docs)})
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in docs_span_dedup(spark, d).collect()
+    }
+    assert got == model
+
+
+@given(docs=_DOCS)
+@SETTINGS
+def test_rare_bigram_matches_python_model(spark, tmp_path_factory, docs):
+    path = tmp_path_factory.mktemp("bg")
+    d = _write_docs(path, [" ".join(tk) for tk in docs])
+    model = _bigram_model({i + 1: tk for i, tk in enumerate(docs)})
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_rare"])
+        for r in docs_rare_bigram_rate(spark, d).collect()
+    }
+    assert got == model
+
+
+# ------------------------------------------------------------ plan shape --
+def test_promo_share_broadcasts_part(spark):
+    plan = _plan(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_large_orders_aggregates_before_join(spark):
+    plan = _plan(spark, "large_order_customers")
+    # partial agg on lineitem precedes the joins; surviving keys broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_nation_pair_trade_single_big_join(spark):
+    import re
+
+    plan = _plan(spark, "nation_pair_trade")
+    # dims broadcast; at most ONE non-broadcast (shuffle) join: li-orders.
+    # "formatted" explain prints each node twice (tree + details), so
+    # count the numbered node headers, not raw substring hits.
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+    big = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+    assert len(big) <= 1, plan[:2000]
+
+
+def test_containment_threshold_holds(spark):
+    rows = plans.REGISTRY["docs_containment_pairs"].fn(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus should contain subset-duplicates"
+    assert all(r["containment"] >= 0.9 for r in rows)
+    # directional: a pair may appear in one orientation only
+    keys = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert all(a != b for a, b in keys)
+
+
+def test_large_order_threshold_matches_constant(spark):
+    rows = plans.REGISTRY["large_order_customers"].fn(spark, SF_DIR).collect()
+    assert all(r["sum_qty"] > LARGE_ORDER_MIN_QTY for r in rows)
