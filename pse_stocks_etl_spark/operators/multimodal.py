@@ -687,3 +687,31 @@ def decode_y4m(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=Y4M_FEATURES_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("luma_sum", T.LongType(), True),
+    ]
+)
+
+
+def sample_y4m_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL strided frame sampling over Y4M payloads: each stream fans
+    out to one row per kept frame with its exact luma sum — the 1→N
+    batch-expansion shape of sample_frames, but through the genuine
+    YUV4MPEG2 parser (y4m_frame_stride), executor-side."""
+
+    def frames_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in y4m_frame_stride(payload, every_k):
+                    ids.append(int(doc_id))
+                    idxs.append(fr["frame_idx"])
+                    sums.append(fr["luma_sum"])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "luma_sum": sums})
+
+    return media.mapInPandas(frames_partition, schema=Y4M_FRAME_SCHEMA)

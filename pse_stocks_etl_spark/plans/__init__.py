@@ -163,6 +163,9 @@ _DRIVER_FIRST = [
     "docs_bow_dedup",
     "docs_rare_bigram_rate",
     "docs_containment_pairs",
+    "multimodal_bmp_decode",
+    "multimodal_y4m_frames",
+    "customer_rfm_segments",
 ]
 
 

@@ -142,6 +142,85 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_decode",
+    # FULL hash oracle for the REAL image codec: the payload is a
+    # genuine bottom-up BI_RGB 24-bit BMP (row padding and all) and the
+    # decoder walks the headers with stdlib struct. Pixel channels are
+    # closed-form integer lattices of (doc_id, x, y), so DuckDB
+    # recomputes every per-channel aggregate without seeing a byte.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
+             ux.x AS x, uy.y AS y
+      FROM documents d,
+           UNNEST(range(0, 4 + d.doc_id % 5)) AS ux(x),
+           UNNEST(range(0, 3 + d.doc_id % 4)) AS uy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((2*doc_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((3*doc_id + 13*x + 17*y) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality with a REAL codec: synthesize a BI_RGB 24-bit BMP
+    per document executor-side, then parse it back — magics, DIB header,
+    bottom-up row order, 4-byte row padding — with stdlib struct +
+    numpy via Arrow-batched mapInPandas (operators/multimodal.py::
+    parse_bmp). Width/height and exact per-channel pixel sums come out;
+    the oracle recomputes them from the generation lattice."""
+    from ..operators.multimodal import attach_bmp, decode_bmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_bmp(attach_bmp(docs))
+
+
+@register(
+    "multimodal_y4m_frames",
+    # FULL hash oracle for REAL video frame sampling: every 2nd frame's
+    # exact luma sum from a genuine YUV4MPEG2 C420 stream, recomputed by
+    # DuckDB from the closed-form luma lattice (doc_id, x, y, t).
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id,
+             2*(4 + d.doc_id % 4) AS w, 2*(3 + d.doc_id % 3) AS h,
+             u.t AS frame_idx
+      FROM documents d, UNNEST(range(0, 2 + d.doc_id % 4, 2)) AS u(t)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+             (doc_id + 2*ux.x + 5*uy.y + 31*frame_idx) % 256 AS l
+      FROM f,
+           UNNEST(range(0, w)) AS ux(x),
+           UNNEST(range(0, h)) AS uy(y)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(l) AS BIGINT) AS luma_sum
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video", "frame-sample"),
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality with a REAL codec and the 1→N expansion shape:
+    synthesize a YUV4MPEG2 C420 stream per document executor-side, walk
+    the FRAME markers, and emit every 2nd frame's exact luma sum as its
+    own row (operators/multimodal.py::y4m_frame_stride via
+    sample_y4m_frames). The strided frame-extraction pass a video
+    pipeline runs before per-frame models — batch expansion happens in
+    the executors, never on the driver."""
+    from ..operators.multimodal import attach_y4m, sample_y4m_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_y4m_frames(attach_y4m(docs), every_k=2)
+
+
+@register(
     "streaming_hourly_counts",
     # Full hash oracle (upgraded from rows-only in r2): the streaming
     # window agg must equal the batch hourly rollup bit-for-bit — same

@@ -493,3 +493,128 @@ def _finalize_containment_oracle() -> None:
 
 
 _finalize_containment_oracle()
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (two-phase global quintile ranks)
+# --------------------------------------------------------------------------
+# Quintile bucketing granularities (two-phase rank bucket keys): wide
+# enough that the bucket table stays tiny, fine enough that in-bucket
+# sorts stay small.
+_RFM_RECENCY_BUCKET_DAYS = 30
+_RFM_MONETARY_BUCKET_CENTS = 100_000_00
+
+
+def _two_phase_quintile(df: DataFrame, value: str, bucket_size: int) -> DataFrame:
+    """Global quintile of `value` (ties broken by custkey) WITHOUT a
+    single-partition sort: bucket by value range, prefix-sum the tiny
+    per-bucket counts, broadcast offsets back, row_number within
+    buckets — the same decomposition as order_value_deciles /
+    docs_global_index. Returns (custkey, q) with q in 1..5 via the
+    explicit floor formula (NTILE's remainder allocation is
+    engine-defined)."""
+    b = df.withColumn("bucket", F.expr(f"{value} DIV {bucket_size}"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    win = Window.partitionBy("bucket").orderBy(value, "custkey")
+    ranked = b.join(F.broadcast(offsets), "bucket").withColumn(
+        "rn", F.col("off") + F.row_number().over(win)
+    )
+    q = ((F.col("rn") - 1) * 5 / F.col("n")).cast("long") + 1
+    return ranked.select("custkey", q.alias("q"))
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT custkey, recency_days, n_orders, monetary_cents,
+             row_number() OVER (ORDER BY recency_days, custkey) AS rr,
+             row_number() OVER (ORDER BY n_orders, custkey) AS fr,
+             row_number() OVER (ORDER BY monetary_cents, custkey) AS mr,
+             COUNT(*) OVER () AS n
+      FROM cust
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, n_orders,
+           (monetary_cents / 100.0) AS monetary,
+           CAST(6 - (((rr - 1) * 5) // n + 1) AS BIGINT) AS r_score,
+           CAST(((fr - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+           CAST(((mr - 1) * 5) // n + 1 AS BIGINT) AS m_score,
+           CAST((6 - (((rr - 1) * 5) // n + 1)) * 100
+                + (((fr - 1) * 5) // n + 1) * 10
+                + ((mr - 1) * 5) // n + 1 AS BIGINT) AS rfm
+    FROM ranked
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (exact summed
+    cents), each scored into global quintiles — 5 best (most recent /
+    most frequent / highest spend) — and combined into the classic
+    3-digit RFM code. Ties broken by custkey so the quintile boundary
+    is a total order on both engines.
+
+    Scale: the customer-grain rollup is one map-side-combinable
+    aggregate; each of the three quintiles is a TWO-PHASE global rank
+    (bucketed counts → tiny prefix-sum → broadcast offsets → in-bucket
+    row_number) — no single-partition sort anywhere, same decomposition
+    as order_value_deciles, proven twice already. The three rank frames
+    re-join on custkey (customer-grain, ~1/10 the orders table)."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("maxd", "last_order").cast("long").alias("recency_days"),
+            "n_orders",
+            "monetary_cents",
+        )
+    )
+    r = _two_phase_quintile(
+        cust.select("custkey", "recency_days"), "recency_days", _RFM_RECENCY_BUCKET_DAYS
+    ).withColumnsRenamed({"q": "r_q"})
+    f = _two_phase_quintile(
+        cust.select("custkey", "n_orders"), "n_orders", 1
+    ).withColumnsRenamed({"q": "f_score"})
+    m = _two_phase_quintile(
+        cust.select("custkey", "monetary_cents"),
+        "monetary_cents",
+        _RFM_MONETARY_BUCKET_CENTS,
+    ).withColumnsRenamed({"q": "m_score"})
+    out = (
+        cust.join(r, "custkey").join(f, "custkey").join(m, "custkey")
+        .withColumn("r_score", (6 - F.col("r_q")).cast("long"))
+    )
+    return out.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        "r_score",
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm"),
+    )
