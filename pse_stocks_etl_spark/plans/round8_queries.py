@@ -289,24 +289,26 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: windows/doc = tokens/{SPAN_S}, so the exploded working set is
     ~1/{SPAN_S} of the token stream with 8-byte hashed keys. Site counts
-    are one map-side-combinable aggregate on the window hash; the
-    flag-back join shuffles on the same key (one exchange reused), and
-    the per-doc rollup partial-combines. No all-pairs stage anywhere —
-    cost is linear in corpus size, the property that makes
-    suffix-array-style dedup tractable as a distributed plan. Docs
-    shorter than {SPAN_W} words have no windows and drop out (nothing
-    to dedup)."""
+    come from ONE window aggregate over the window-hash partition — a
+    single scan and a single exchange on the key (an aggregate-and-join
+    formulation reads the corpus twice and rebroadcasts a corpus-sized
+    site table, which cannot survive 100 TB); the per-doc rollup then
+    partial-combines on doc_id. No all-pairs stage anywhere — cost is
+    linear in corpus size, the property that makes suffix-array-style
+    dedup tractable as a distributed plan. Docs shorter than {SPAN_W}
+    words have no windows and drop out (nothing to dedup)."""
     d = _t(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     wins = toked.select(
         "doc_id",
         F.explode(_grams_all(F.col("tk"), SPAN_W, SPAN_S)).alias("w"),
     ).select("doc_id", portable_hash64(F.col("w")).alias("w"))
-    sites = wins.groupBy("w").agg(F.count("*").cast("long").alias("n_sites"))
+    flagged = wins.select(
+        "doc_id", F.count("*").over(Window.partitionBy("w")).alias("n_sites")
+    )
     dup = F.when(F.col("n_sites") > 1, 1).otherwise(0)
     return (
-        wins.join(sites, "w")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_windows"),
             F.sum(dup).cast("long").alias("n_dup_windows"),
@@ -398,26 +400,33 @@ def docs_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict is bit-identical cross-engine where log-prob sums are not
     (ln is not correctly rounded and FP sums are order-dependent).
 
-    Scale: bigram explode is ~1 row per token with 8-byte hashed keys;
-    df is one COUNT(DISTINCT doc) aggregate on the bigram key (Spark
-    plans the distinct as a partial-deduped two-phase agg); the
-    flag-back join reuses the same key partitioning, and the per-doc
-    rollup partial-combines. Linear in corpus size."""
+    Scale: bigram explode is ~1 row per token with 8-byte hashed keys.
+    ONE scan, three shuffles on strictly shrinking data: (1) per-
+    (doc, bigram) occurrence counts — map-side combinable, collapses
+    repeats; (2) df as a window count over the bigram partition of that
+    deduped set (each (doc, bigram) row is one distinct doc, so
+    COUNT(*) == COUNT(DISTINCT doc) with no distinct-agg machinery and
+    no corpus-sized df table joined back — an agg-and-join formulation
+    reads the corpus twice and broadcasts the vocabulary, which cannot
+    survive 100 TB); (3) the per-doc rollup, weighting by occurrence
+    count. Linear in corpus size."""
     d = _t(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     bg = toked.select(
         "doc_id", F.explode(_grams_all(F.col("tk"), 2)).alias("g")
     ).select("doc_id", portable_hash64(F.col("g")).alias("bg"))
-    df = bg.groupBy("bg").agg(F.countDistinct("doc_id").cast("long").alias("df"))
-    rare = F.when(F.col("df") <= RARE_DF, 1).otherwise(0)
+    occ = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("occ"))
+    flagged = occ.withColumn(
+        "df", F.count("*").over(Window.partitionBy("bg"))
+    )
+    rare_occ = F.when(F.col("df") <= RARE_DF, F.col("occ")).otherwise(F.lit(0))
     return (
-        bg.join(df, "bg")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(rare).cast("long").alias("n_rare"),
-            (F.sum(rare) * 1.0 / F.count("*")).alias("rare_rate"),
-            (5 * F.sum(rare) > F.count("*")).alias("low_quality"),
+            F.sum("occ").cast("long").alias("n_bigrams"),
+            F.sum(rare_occ).cast("long").alias("n_rare"),
+            (F.sum(rare_occ) * 1.0 / F.sum("occ")).alias("rare_rate"),
+            (5 * F.sum(rare_occ) > F.sum("occ")).alias("low_quality"),
         )
     )
 
