@@ -166,6 +166,7 @@ _DRIVER_FIRST = [
     "multimodal_bmp_decode",
     "multimodal_y4m_frames",
     "customer_rfm_segments",
+    "emb_pq_quantize",
 ]
 
 

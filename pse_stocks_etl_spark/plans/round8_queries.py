@@ -627,3 +627,110 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization of embeddings (integer-exact PQ codes)
+# --------------------------------------------------------------------------
+# 64-dim embeddings -> M=8 subspaces x 8 dims, K=16 lattice centroids
+# per subspace. Coordinates quantize to the integer grid 0..1024
+# (clamp to [-1,1], shift, scale by 512 — IEEE ops on identical values
+# plus round-half-up on non-negative inputs, deterministic on both
+# engines); centroid levels are the fixed lattice 32 + 64*c, so every
+# distance is a BIGINT and argmin/tie-break (first minimum = smallest
+# code) is exact integer comparison. A trained codebook would slot into
+# the same plan as a broadcast array; the fixed lattice keeps the
+# oracle closed-form.
+PQ_M, PQ_K, PQ_DSUB = 8, 16, 8
+
+_PQ_SQL_Q = (
+    "list_transform(embedding, x -> CAST(round((greatest(least("
+    "CAST(x AS DOUBLE), 1.0), -1.0) + 1.0) * 512) AS BIGINT))"
+)
+
+
+def _pq_sql() -> str:
+    def dist(m: int) -> str:
+        return (
+            f"list_transform(range(0, {PQ_K}), c -> list_sum(list_transform("
+            f"q[{m * PQ_DSUB + 1}:{m * PQ_DSUB + PQ_DSUB}], "
+            f"x -> (x - (32 + 64*c)) * (x - (32 + 64*c)))))"
+        )
+
+    dists = ", ".join(f"{dist(m)} AS d{m}" for m in range(PQ_M))
+    sub = ", ".join(
+        f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS BIGINT) AS c{m}, "
+        f"CAST(list_min(d{m}) AS BIGINT) AS e{m}"
+        for m in range(PQ_M)
+    )
+    code = " + ".join(f"c{m} * {16**m}" for m in range(PQ_M))
+    err = " + ".join(f"e{m}" for m in range(PQ_M))
+    return f"""
+    WITH qv AS (SELECT vec_id, {_PQ_SQL_Q} AS q FROM embeddings),
+    dv AS (SELECT vec_id, {dists} FROM qv),
+    cv AS (SELECT vec_id, {sub} FROM dv)
+    SELECT vec_id, CAST({code} AS BIGINT) AS pq_code,
+           CAST({err} AS BIGINT) AS quant_err
+    FROM cv
+    """
+
+
+@register(
+    "emb_pq_quantize",
+    oracle=_pq_sql(),
+    tags=("embedding", "quantization", "pq", "higher-order"),
+)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): each embedding splits
+    into {PQ_M} subvectors, each assigned to its nearest of {PQ_K}
+    per-subspace lattice centroids; the packed base-16 code (8 bytes
+    per vector instead of 256) plus the exact integer quantization
+    error come out. The memory-compression step an IVF-PQ ANN index
+    runs after coarse clustering (emb_ann_ivf is the coarse half).
+
+    Determinism: coordinates land on an integer grid before any
+    distance math, so centroid distances are BIGINTs and argmin with
+    first-minimum tie-break is exact on both engines — no float
+    comparisons anywhere past the single scale step.
+
+    Scale: pure per-row map — no shuffle, no explode; the candidate
+    loop runs inside higher-order array functions (transform/aggregate
+    over a 16-element sequence), keeping the generated code compact
+    (an unrolled 8x16x8 expression tree blows past janino's method
+    limit and falls back to interpreted eval — measured before this
+    formulation). At 100 TB this is scan-bound, exactly like
+    emb_int8_quantize."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            (F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) + 1.0)
+            * 512
+        ).cast("long"),
+    )
+    cols = emb.select("vec_id", q.alias("q"))
+
+    def dist_m(m: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda c: F.aggregate(
+                F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
+            ),
+        )
+
+    for m in range(PQ_M):
+        cols = cols.withColumn(f"d{m}", dist_m(m))
+    for m in range(PQ_M):
+        dcol = F.col(f"d{m}")
+        cols = cols.withColumn(
+            f"c{m}", (F.array_position(dcol, F.array_min(dcol)) - 1).cast("long")
+        ).withColumn(f"e{m}", F.array_min(dcol).cast("long"))
+    code = sum([F.col(f"c{m}") * F.lit(16**m) for m in range(1, PQ_M)], F.col("c0"))
+    err = sum([F.col(f"e{m}") for m in range(1, PQ_M)], F.col("e0"))
+    return cols.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        err.cast("long").alias("quant_err"),
+    )

@@ -223,3 +223,91 @@ def test_containment_threshold_holds(spark):
 def test_large_order_threshold_matches_constant(spark):
     rows = plans.REGISTRY["large_order_customers"].fn(spark, SF_DIR).collect()
     assert all(r["sum_qty"] > LARGE_ORDER_MIN_QTY for r in rows)
+
+
+def test_span_and_bigram_plans_scan_once(spark):
+    """The round-8 rewrite locked in: site/df counts come from window
+    aggregates over ONE scan — an agg-and-join formulation re-scans the
+    corpus and broadcasts a corpus-sized aggregate (dead at 100 TB)."""
+    import re
+
+    for name in ("docs_span_dedup", "docs_rare_bigram_rate"):
+        plan = _plan(spark, name)
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) == 1, f"{name}: {len(scans)} scans"
+        assert "BroadcastExchange" not in plan, f"{name} broadcasts an aggregate"
+
+
+def test_rfm_matches_python_model(spark):
+    """Quintile scores recomputed in pure python from the raw orders
+    table (global sort + explicit floor formula) must equal the
+    two-phase ranks exactly."""
+    import duckdb
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE)
+                          FROM '{SF_DIR}/orders.parquet')) AS rec,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon
+        FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey
+        """
+    ).fetchall()
+
+    def quintile(vals, key):
+        order = sorted(vals, key=key)
+        n = len(order)
+        return {
+            row[0]: (i * 5) // n + 1 for i, row in enumerate(order)
+        }
+
+    r_q = quintile(raw, lambda r: (r[1], r[0]))
+    f_q = quintile(raw, lambda r: (r[2], r[0]))
+    m_q = quintile(raw, lambda r: (r[3], r[0]))
+    got = {
+        r["custkey"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in plans.REGISTRY["customer_rfm_segments"].fn(spark, SF_DIR).collect()
+    }
+    want = {c: (6 - r_q[c], f_q[c], m_q[c]) for c, *_ in raw}
+    assert got == want
+
+
+def test_pq_quantize_is_shuffle_free(spark):
+    """PQ is a pure per-row map: the plan must contain no Exchange at
+    all (scan-bound at 100 TB, like emb_int8_quantize)."""
+    plan = _plan(spark, "emb_pq_quantize")
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_pq_code_roundtrip_hand_example(spark, tmp_path):
+    """A vector sitting exactly on lattice centroids quantizes with
+    zero error and the expected packed code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.round8_queries import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        emb_pq_quantize,
+    )
+
+    # subspace m gets centroid c=m exactly: q = 32 + 64*m on the 0..1024
+    # grid -> x = (32 + 64*m)/512 - 1
+    vec = []
+    for m in range(PQ_M):
+        vec += [(32 + 64 * m) / 512.0 - 1.0] * PQ_DSUB
+    table = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([vec], pa.list_(pa.float32())),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    row = emb_pq_quantize(spark, str(tmp_path)).collect()[0]
+    assert row["quant_err"] == 0
+    assert row["pq_code"] == sum(m * 16**m for m in range(PQ_M))
