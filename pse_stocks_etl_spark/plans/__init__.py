@@ -167,6 +167,7 @@ _DRIVER_FIRST = [
     "multimodal_y4m_frames",
     "customer_rfm_segments",
     "emb_pq_quantize",
+    "emb_ann_adc",
 ]
 
 

@@ -649,7 +649,12 @@ _PQ_SQL_Q = (
 )
 
 
-def _pq_sql() -> str:
+def _pq_cte() -> str:
+    """The shared qv/dv/cv CTE chain: grid coords -> per-subspace
+    candidate distances -> codes + errors. Reused verbatim by the
+    quantize AND the ADC-search oracles, so both provably encode with
+    one definition."""
+
     def dist(m: int) -> str:
         return (
             f"list_transform(range(0, {PQ_K}), c -> list_sum(list_transform("
@@ -663,16 +668,57 @@ def _pq_sql() -> str:
         f"CAST(list_min(d{m}) AS BIGINT) AS e{m}"
         for m in range(PQ_M)
     )
+    return f"""qv AS (SELECT vec_id, {_PQ_SQL_Q} AS q FROM embeddings),
+    dv AS (SELECT vec_id, {dists} FROM qv),
+    cv AS (SELECT vec_id, {sub} FROM dv)"""
+
+
+def _pq_sql() -> str:
     code = " + ".join(f"c{m} * {16**m}" for m in range(PQ_M))
     err = " + ".join(f"e{m}" for m in range(PQ_M))
     return f"""
-    WITH qv AS (SELECT vec_id, {_PQ_SQL_Q} AS q FROM embeddings),
-    dv AS (SELECT vec_id, {dists} FROM qv),
-    cv AS (SELECT vec_id, {sub} FROM dv)
+    WITH {_pq_cte()}
     SELECT vec_id, CAST({code} AS BIGINT) AS pq_code,
            CAST({err} AS BIGINT) AS quant_err
     FROM cv
     """
+
+
+def _pq_grid(col: Column) -> Column:
+    """Embedding -> integer grid 0..1024 (clamp, shift, scale; IEEE ops
+    on identical values + round-half-up on non-negative inputs)."""
+    return F.transform(
+        col,
+        lambda x: F.round(
+            (F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) + 1.0)
+            * 512
+        ).cast("long"),
+    )
+
+
+def _pq_code_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, q grid array, c0..c{PQ_M-1} codes, e0.. errors) — the
+    shared PQ assignment used by emb_pq_quantize and emb_ann_adc."""
+    cols = emb.select("vec_id", _pq_grid(F.col("embedding")).alias("q"))
+
+    def dist_m(m: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda c: F.aggregate(
+                F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
+            ),
+        )
+
+    for m in range(PQ_M):
+        cols = cols.withColumn(f"d{m}", dist_m(m))
+    for m in range(PQ_M):
+        dcol = F.col(f"d{m}")
+        cols = cols.withColumn(
+            f"c{m}", (F.array_position(dcol, F.array_min(dcol)) - 1).cast("long")
+        ).withColumn(f"e{m}", F.array_min(dcol).cast("long"))
+    return cols.drop(*[f"d{m}" for m in range(PQ_M)])
 
 
 @register(
@@ -700,37 +746,98 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit and falls back to interpreted eval — measured before this
     formulation). At 100 TB this is scan-bound, exactly like
     emb_int8_quantize."""
-    emb = _t(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(
-            (F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) + 1.0)
-            * 512
-        ).cast("long"),
-    )
-    cols = emb.select("vec_id", q.alias("q"))
-
-    def dist_m(m: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
-            lambda c: F.aggregate(
-                F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
-            ),
-        )
-
-    for m in range(PQ_M):
-        cols = cols.withColumn(f"d{m}", dist_m(m))
-    for m in range(PQ_M):
-        dcol = F.col(f"d{m}")
-        cols = cols.withColumn(
-            f"c{m}", (F.array_position(dcol, F.array_min(dcol)) - 1).cast("long")
-        ).withColumn(f"e{m}", F.array_min(dcol).cast("long"))
+    cols = _pq_code_frame(_t(spark, sf_dir, "embeddings"))
     code = sum([F.col(f"c{m}") * F.lit(16**m) for m in range(1, PQ_M)], F.col("c0"))
     err = sum([F.col(f"e{m}") for m in range(1, PQ_M)], F.col("e0"))
     return cols.select(
         "vec_id",
         code.cast("long").alias("pq_code"),
         err.cast("long").alias("quant_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ADC top-k search over PQ codes (completes the IVF -> PQ -> ADC story)
+# --------------------------------------------------------------------------
+ADC_QUERY_IDS = (0, 1, 2)  # same query-vector convention as emb_ann_lsh/ivf
+ADC_TOPK = 10
+
+
+def _adc_sql() -> str:
+    def dist(m: int) -> str:
+        lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
+        return (
+            f"list_sum(list_transform(qq.qarr[{lo}:{hi}], "
+            f"x -> (x - (32 + 64*cv.c{m})) * (x - (32 + 64*cv.c{m}))))"
+        )
+
+    adc = " + ".join(dist(m) for m in range(PQ_M))
+    ids = ", ".join(str(i) for i in ADC_QUERY_IDS)
+    return f"""
+    WITH {_pq_cte()},
+    qq AS (SELECT vec_id AS query_id, q AS qarr FROM qv WHERE vec_id IN ({ids})),
+    pair AS (
+      SELECT qq.query_id, cv.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM qq, cv
+      WHERE cv.vec_id != qq.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM pair
+    ) WHERE rank <= {ADC_TOPK}
+    """
+
+
+@register(
+    "emb_ann_adc",
+    oracle=_adc_sql(),
+    tags=("embedding", "similarity", "ann-pq-adc"),
+)
+def emb_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    corpus is represented ONLY by its {PQ_M}-byte PQ codes; each query
+    vector scores a candidate by summing, per subspace, the exact
+    integer distance from the query's grid coordinates to the
+    candidate's assigned centroid — the search half of an IVF-PQ index
+    (emb_ann_ivf is the coarse half, emb_pq_quantize the encoder).
+    Ties break on (adc_dist, vec_id), so the top-{ADC_TOPK} set is a
+    total order and hash-matches the oracle exactly.
+
+    Scale: the code frame is the same per-row map as emb_pq_quantize
+    (computed once, 8 bytes/vector at rest — 32x smaller than the raw
+    vectors, which is the point of PQ); the {len(ADC_QUERY_IDS)}-row
+    query side broadcasts, so scoring is one scan over the codes with
+    no shuffle until the final per-query top-k (a window over
+    {len(ADC_QUERY_IDS)} partitions of pre-filtered candidates; a real
+    serving path would fold in the IVF cell filter first)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = _pq_code_frame(emb).drop("q", *[f"e{m}" for m in range(PQ_M)])
+    qq = (
+        emb.filter(F.col("vec_id").isin(*ADC_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _pq_grid(F.col("embedding")).alias("qarr"),
+        )
+    )
+
+    def dist_m(m: int) -> Column:
+        level = 32 + 64 * F.col(f"c{m}")
+        return F.aggregate(
+            F.slice(F.col("qarr"), m * PQ_DSUB + 1, PQ_DSUB),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x - level) * (x - level),
+        )
+
+    adc = sum([dist_m(m) for m in range(1, PQ_M)], dist_m(0))
+    pair = (
+        codes.crossJoin(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ADC_TOPK)
     )

@@ -311,3 +311,50 @@ def test_pq_code_roundtrip_hand_example(spark, tmp_path):
     row = emb_pq_quantize(spark, str(tmp_path)).collect()[0]
     assert row["quant_err"] == 0
     assert row["pq_code"] == sum(m * 16**m for m in range(PQ_M))
+
+
+def test_adc_agrees_with_exact_on_self_neighbors(spark, tmp_path):
+    """Vectors planted exactly on distinct centroid lattices quantize
+    losslessly, so ADC distance equals true grid distance and the
+    nearest neighbor of a planted twin is its twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.round8_queries import (
+        PQ_DSUB,
+        PQ_M,
+        emb_ann_adc,
+    )
+
+    def lattice_vec(c):  # all subspaces at centroid c
+        return [(32 + 64 * c) / 512.0 - 1.0] * (PQ_M * PQ_DSUB)
+
+    # vec 0 (query) at centroid 3; vec 5 also at centroid 3 (its twin);
+    # vecs 6..9 progressively farther lattices
+    vecs = {0: 3, 5: 3, 6: 4, 7: 5, 8: 6, 9: 7}
+    ids = sorted(vecs)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [lattice_vec(vecs[i]) for i in ids], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = [
+        r
+        for r in emb_ann_adc(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert by_rank[0]["vec_id"] == 5 and by_rank[0]["adc_dist"] == 0
+    # farther lattices rank strictly by distance
+    assert [r["vec_id"] for r in by_rank[1:]] == [6, 7, 8, 9]
+
+
+def test_adc_plan_broadcasts_queries(spark):
+    plan = _plan(spark, "emb_ann_adc")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
