@@ -698,27 +698,50 @@ def _pq_grid(col: Column) -> Column:
 
 def _pq_code_frame(emb: DataFrame) -> DataFrame:
     """(vec_id, q grid array, c0..c{PQ_M-1} codes, e0.. errors) — the
-    shared PQ assignment used by emb_pq_quantize and emb_ann_adc."""
+    shared PQ assignment used by emb_pq_quantize and emb_ann_adc.
+
+    The EVENLY-SPACED lattice admits a closed-form assignment: with
+    per-subspace moments s1 = sum q_j, s2 = sum q_j^2,
+
+        dist(c) = s2 - 2*L_c*s1 + DSUB*L_c^2   (L_c = 32 + 64c)
+                = DSUB*(L_c - s1/DSUB)^2 + const,
+
+    so argmin_c is the nearest lattice point to the subvector mean —
+    c = clamp((s1 + 511) div 512 - 1, 0, K-1), which lands on the
+    SMALLER c at exact midpoints, matching the oracle's first-minimum
+    list_position tie-break. No candidate loop at all: per subspace,
+    two 8-element folds + integer arithmetic (the naive per-candidate
+    fold re-ran the 8-step lambda 16x per subspace interpreted —
+    measured ~10x slower on the x64 corpus). A TRAINED codebook has no
+    closed form and would use the candidate-loop formulation with the
+    centroid table broadcast; the oracle spells that loop definition
+    directly, proving the closed form computes identical integers."""
     cols = emb.select("vec_id", _pq_grid(F.col("embedding")).alias("q"))
-
-    def dist_m(m: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
-            lambda c: F.aggregate(
-                F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
-            ),
-        )
-
     for m in range(PQ_M):
-        cols = cols.withColumn(f"d{m}", dist_m(m))
-    for m in range(PQ_M):
-        dcol = F.col(f"d{m}")
+        sub = F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB)
         cols = cols.withColumn(
-            f"c{m}", (F.array_position(dcol, F.array_min(dcol)) - 1).cast("long")
-        ).withColumn(f"e{m}", F.array_min(dcol).cast("long"))
-    return cols.drop(*[f"d{m}" for m in range(PQ_M)])
+            f"s1_{m}", F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x)
+        ).withColumn(
+            f"s2_{m}",
+            F.aggregate(sub, F.lit(0).cast("long"), lambda a, x: a + x * x),
+        )
+    for m in range(PQ_M):
+        s1, s2 = F.col(f"s1_{m}"), F.col(f"s2_{m}")
+        c = F.greatest(
+            F.least(
+                F.expr(f"(s1_{m} + 511) DIV 512") - 1, F.lit(PQ_K - 1)
+            ),
+            F.lit(0),
+        )
+        cols = cols.withColumn(f"c{m}", c.cast("long"))
+        level = 32 + 64 * F.col(f"c{m}")
+        cols = cols.withColumn(
+            f"e{m}",
+            (s2 - 2 * level * s1 + PQ_DSUB * level * level).cast("long"),
+        )
+    return cols.drop(
+        *[f"s1_{m}" for m in range(PQ_M)], *[f"s2_{m}" for m in range(PQ_M)]
+    )
 
 
 @register(
@@ -805,32 +828,47 @@ def emb_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties break on (adc_dist, vec_id), so the top-{ADC_TOPK} set is a
     total order and hash-matches the oracle exactly.
 
-    Scale: the code frame is the same per-row map as emb_pq_quantize
-    (computed once, 8 bytes/vector at rest — 32x smaller than the raw
-    vectors, which is the point of PQ); the {len(ADC_QUERY_IDS)}-row
-    query side broadcasts, so scoring is one scan over the codes with
-    no shuffle until the final per-query top-k (a window over
-    {len(ADC_QUERY_IDS)} partitions of pre-filtered candidates; a real
+    Scale: textbook ADC — the per-(query, subspace, centroid) distance
+    LOOKUP TABLE ({len(ADC_QUERY_IDS)}x{PQ_M}x{PQ_K} entries) is
+    precomputed on the tiny broadcast query side, so scoring a
+    candidate is {PQ_M} array lookups + adds over its 8-byte code, not
+    64 multiplies (a per-pair distance recomputation measured 45s at
+    x64 embeddings; the LUT form is the reason PQ search is fast). The
+    code frame is the same per-row map as emb_pq_quantize (8
+    bytes/vector at rest — 32x smaller than raw, which is the point);
+    one scan over the codes, no shuffle until the final per-query
+    top-k (a window over {len(ADC_QUERY_IDS)} partitions; a real
     serving path would fold in the IVF cell filter first)."""
     emb = _t(spark, sf_dir, "embeddings")
     codes = _pq_code_frame(emb).drop("q", *[f"e{m}" for m in range(PQ_M)])
+
+    def lut_m(m: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda c: F.aggregate(
+                F.slice(F.col("qarr"), m * PQ_DSUB + 1, PQ_DSUB),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
+            ),
+        )
+
     qq = (
         emb.filter(F.col("vec_id").isin(*ADC_QUERY_IDS))
         .select(
             F.col("vec_id").alias("query_id"),
             _pq_grid(F.col("embedding")).alias("qarr"),
         )
-    )
-
-    def dist_m(m: int) -> Column:
-        level = 32 + 64 * F.col(f"c{m}")
-        return F.aggregate(
-            F.slice(F.col("qarr"), m * PQ_DSUB + 1, PQ_DSUB),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + (x - level) * (x - level),
+        .select(
+            "query_id", *[lut_m(m).alias(f"lut{m}") for m in range(PQ_M)]
         )
-
-    adc = sum([dist_m(m) for m in range(1, PQ_M)], dist_m(0))
+    )
+    adc = sum(
+        [
+            F.element_at(F.col(f"lut{m}"), (F.col(f"c{m}") + 1).cast("int"))
+            for m in range(1, PQ_M)
+        ],
+        F.element_at(F.col("lut0"), (F.col("c0") + 1).cast("int")),
+    )
     pair = (
         codes.crossJoin(F.broadcast(qq))
         .filter(F.col("vec_id") != F.col("query_id"))

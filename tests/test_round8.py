@@ -358,3 +358,31 @@ def test_adc_plan_broadcasts_queries(spark):
     plan = _plan(spark, "emb_ann_adc")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_midpoint_tie_breaks_to_smaller_code(spark, tmp_path):
+    """Grid value 64 sits exactly between centroids L_0=32 and L_1=96:
+    the assignment must pick the SMALLER code (the oracle's
+    first-minimum list_position semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.round8_queries import (
+        PQ_DSUB,
+        PQ_M,
+        emb_pq_quantize,
+    )
+
+    vec = [64 / 512.0 - 1.0] * (PQ_M * PQ_DSUB)  # exact in float32
+    table = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([vec], pa.list_(pa.float32())),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    row = emb_pq_quantize(spark, str(tmp_path)).collect()[0]
+    assert row["pq_code"] == 0  # every subspace -> code 0, not 1
+    # err = DSUB * (64-32)^2 per subspace
+    assert row["quant_err"] == PQ_M * PQ_DSUB * 32 * 32
