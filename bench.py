@@ -16,7 +16,7 @@ rotation moved two corpus queries to the front and they read 1.5-1.8x
 "slower" with identical plans and code).
 
 Timing is also ISOLATED (round 6): the session cache is cleared and a
-GC is requested before each query's timed runs. With 22 headline
+GC is requested before each query's timed runs. With 25 headline
 queries in one session, accumulated cached working sets + JVM garbage
 inflated late-running join queries 1.4-2.4x versus their isolated
 times (local_supplier_volume 2.13s in-session vs 0.78s isolated,

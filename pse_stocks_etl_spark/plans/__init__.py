@@ -66,13 +66,14 @@ except ImportError:  # pragma: no cover - partial checkouts
 #      requires them HERE so they enter the next window mechanically).
 #
 # NEXT-ROUND ROTATION RECIPE: once the driver records this window green,
-# move blocks 1-7 out, promote block 8 (the 12-query queue) plus a
-# `multimodal_bmp_*` query for the now-real BMP codec, and fill the rest
-# with the stalest greens (array_agg_user_profile and the r1/r2-green
-# refresh tail: flagship_latest_price, docs_simhash, emb_*,
-# docs_near_dup_clusters, docs_top_terms, docs_bpe_token_stats,
-# docs_quality_score, then the r3/r4 block). COVERAGE.md's driver map is
-# the authoritative per-query ledger.
+# move blocks 1-7 out, promote blocks 8+9 (the 24-query declared
+# next-window queue: the round-7 second batch and the round-8 additions
+# incl. multimodal_bmp_decode / multimodal_y4m_frames / emb_pq_quantize /
+# emb_ann_adc), and fill the remaining ~26 slots with the stalest greens
+# (array_agg_user_profile and the r1/r2-green refresh tail:
+# flagship_latest_price, docs_simhash, emb_*, docs_near_dup_clusters,
+# docs_top_terms, docs_bpe_token_stats, docs_quality_score, then the
+# r3/r4 block). COVERAGE.md's driver map is the authoritative ledger.
 # COVERAGE.md records the cumulative per-round driver-green map.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
@@ -168,6 +169,7 @@ _DRIVER_FIRST = [
     "customer_rfm_segments",
     "emb_pq_quantize",
     "emb_ann_adc",
+    "docs_containment_prefix_pairs",
 ]
 
 

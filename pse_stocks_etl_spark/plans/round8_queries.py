@@ -278,6 +278,7 @@ def _sql_grams_all(n: int, step: int = 1) -> str:
     GROUP BY wi.doc_id
     """,
     tags=("llm", "dedup-span", "corpus"),
+    bench=True,  # tracks the linear corpus-scan + window-count path
 )
 def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate-span measurement (Lee et al. 2022):
@@ -748,6 +749,7 @@ def _pq_code_frame(emb: DataFrame) -> DataFrame:
     "emb_pq_quantize",
     oracle=_pq_sql(),
     tags=("embedding", "quantization", "pq", "higher-order"),
+    bench=True,  # tracks the shuffle-free per-row embedding map path
 )
 def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): each embedding splits
@@ -879,3 +881,101 @@ def emb_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ADC_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Lossless prefix-filtered containment join (the scale path for
+# docs_containment_pairs when exact output is still required)
+# --------------------------------------------------------------------------
+@register(
+    "docs_containment_prefix_pairs",
+    # Oracle is the INDEPENDENT all-pairs containment definition over
+    # the UNCAPPED shingle sets (filled in below with llm_queries'
+    # shingle SQL) — a candidate lost by a wrong prefix would be a hash
+    # mismatch, proving the filter lossless.
+    oracle=None,  # set below (needs llm_queries' shingle SQL)
+    tags=("llm", "dedup-containment", "prefix-filter"),
+)
+def docs_containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (C(A,B) = |sh(A) n sh(B)| / |sh(A)|
+    >= {CONTAINMENT_THRESHOLD}) via PREFIX FILTERING adapted to
+    containment: if B holds >= ceil(t*|A|) of A's shingles, it must hit
+    ANY chosen subset of A of size |A| - ceil(t*|A|) + 1 — so the
+    candidate join runs A's (df asc, sh asc)-rarest prefix against B's
+    FULL postings (containment puts no constraint on B's extras, so B
+    cannot be prefixed — the asymmetry of the measure shows up as an
+    asymmetric join). Candidates verify by exact intersection count.
+    LOSSLESS, unlike the df-capped docs_containment_pairs (which drops
+    corpus-boilerplate shingles) — the oracle is the independent
+    all-pairs definition on uncapped sets, so the hash check proves no
+    pair escapes.
+
+    Scale: candidate cost is sum over shingles of prefix-df x df —
+    prefixes pick each doc's RAREST shingles, so hot boilerplate enters
+    only on the full side and only against rare prefixes; the
+    |B| >= t*|A| size condition prunes inside the join. Verification
+    touches candidates only, against the shared persisted shingle
+    working set. When even the true output explodes (the x8 stress),
+    the LSH-candidate + containment re-rank is the lossy fallback."""
+    from .llm_queries import _shingles_cached
+
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # prefix length = sz - ceil(0.9*sz) + 1, in exact integers
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("sz") - F.expr("(9 * sz + 9) div 10") + 1)
+        .select("doc_id", "sh", "sz")
+    )
+    full = sh.join(sizes, "doc_id")
+    cand = (
+        pref.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (10 * F.col("b.sz") >= 9 * F.col("a.sz")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    cont = F.col("n_common") * 1.0 / F.col("sz_a")
+    return (
+        common.join(sa, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+def _finalize_containment_prefix_oracle() -> None:
+    from .llm_queries import _SQL_SHINGLE_H
+    from .registry import REGISTRY
+
+    REGISTRY["docs_containment_prefix_pairs"].oracle = f"""
+    WITH sh AS ({_SQL_SHINGLE_H}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    it AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, (n_common * 1.0 / sa.n) AS containment
+    FROM it JOIN sz sa ON it.doc_a = sa.doc_id
+    WHERE (n_common * 1.0 / sa.n) >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+_finalize_containment_prefix_oracle()

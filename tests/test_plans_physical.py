@@ -203,6 +203,8 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_decode",           # mapInPandas decode plumbing
         "multimodal_frame_sample",     # mapInPandas frame expansion
         "multimodal_wav_decode",       # mapInPandas REAL WAV codec
+        "multimodal_bmp_decode",       # mapInPandas REAL BMP codec
+        "multimodal_y4m_frames",       # mapInPandas REAL Y4M frame sampling
         "datasource_price_scan",       # Python DataSource scan
     }
     offenders = {}

@@ -386,3 +386,53 @@ def test_pq_midpoint_tie_breaks_to_smaller_code(spark, tmp_path):
     assert row["pq_code"] == 0  # every subspace -> code 0, not 1
     # err = DSUB * (64-32)^2 per subspace
     assert row["quant_err"] == PQ_M * PQ_DSUB * 32 * 32
+
+
+def test_containment_prefix_finds_planted_excerpt(spark, tmp_path):
+    """A doc that is a contiguous excerpt of a much longer doc has
+    containment 1.0 in one direction only — the asymmetric case
+    Jaccard misses and the prefix filter must not lose."""
+    from pse_stocks_etl_spark.plans.round8_queries import (
+        docs_containment_prefix_pairs,
+    )
+
+    excerpt = " ".join(f"e{i}" for i in range(12))
+    long_doc = excerpt + " " + " ".join(f"x{i}" for i in range(60))
+    other = " ".join(f"z{i}" for i in range(30))
+    d = _write_docs(tmp_path, [excerpt, long_doc, other])
+    rows = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in docs_containment_prefix_pairs(spark, d).collect()}
+    assert rows.get((1, 2)) == 1.0      # excerpt contained in long doc
+    assert (2, 1) not in rows           # not the other way round
+    assert not any(3 in k for k in rows)
+
+
+def _containment_model(docs):
+    """All-pairs exact containment >= 0.9 over distinct 3-shingles."""
+    sh = {
+        d: {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        for d, tk in docs.items()
+    }
+    out = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa and len(sa & sb) * 10 >= 9 * len(sa):
+                out[(a, b)] = len(sa & sb) / len(sa)
+    return out
+
+
+@given(docs=_DOCS)
+@SETTINGS
+def test_containment_prefix_matches_python_model(spark, tmp_path_factory, docs):
+    from pse_stocks_etl_spark.plans.round8_queries import (
+        docs_containment_prefix_pairs,
+    )
+
+    path = tmp_path_factory.mktemp("cont")
+    d = _write_docs(path, [" ".join(tk) for tk in docs])
+    model = _containment_model({i + 1: tk for i, tk in enumerate(docs)})
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in docs_containment_prefix_pairs(spark, d).collect()
+    }
+    assert got == model
