@@ -1,0 +1,90 @@
+"""Reproducible scale-up stress harness behind SCALE.md's measured
+numbers: replicate one testdata table N-fold with disjoint key ranges
+(same time span / duplicate-density-inflating, the worst case for
+pair-generating queries), then time registry queries warm on the
+replicated corpus vs the original.
+
+Usage:
+  python scripts/stress_scale.py documents 8 docs_span_dedup docs_containment_prefix_pairs
+  python scripts/stress_scale.py embeddings 64 emb_pq_quantize emb_ann_adc
+  python scripts/stress_scale.py events 64 hourly_event_rollup sessionization
+
+Writes the replicated table to /tmp/stress_<table>_x<N>/ and prints
+best-of-2 warm wall times at x1 and xN. Queries that only read other
+tables see symlinks back to the base sf_dir.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ID_COLS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+}
+ID_STRIDE = 10_000_000
+
+
+def replicate(sf_dir: str, table: str, factor: int) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/stress_{table}_x{factor}"
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    id_col = ID_COLS[table]
+    idx = t.column_names.index(id_col)
+    parts = [
+        t.set_column(idx, id_col, pc.add(t.column(id_col), k * ID_STRIDE))
+        for k in range(factor)
+    ]
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, f"{table}.parquet"))
+    # events replication keys user_id too? No: event_id uniqueness is
+    # enough for the event-path queries; user collisions are realistic.
+    for other in os.listdir(sf_dir):
+        dst = os.path.join(out_dir, other)
+        if other.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, other), dst)
+    return out_dir
+
+
+def main() -> int:
+    if len(sys.argv) < 4:
+        print(__doc__)
+        return 2
+    table, factor = sys.argv[1], int(sys.argv[2])
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+    from pse_stocks_etl_spark.session import get_spark
+
+    big_dir = replicate(sf_dir, table, factor)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("stress", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    for label, d in [("x1", sf_dir), (f"x{factor}", big_dir)]:
+        for name in names:
+            best, rows = None, None
+            for _ in range(2):
+                clear_working_set_caches()
+                t0 = time.perf_counter()
+                rows = plans.REGISTRY[name].fn(spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            print(f"{label:4s} {name:32s} {best:7.2f}s rows={rows}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
