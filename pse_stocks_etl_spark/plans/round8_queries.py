@@ -260,7 +260,7 @@ def _sql_grams_all(n: int, step: int = 1) -> str:
     "docs_span_dedup",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
     ),
     wins AS (
       SELECT doc_id, {sql_portable_hash64('w')} AS w
@@ -298,7 +298,7 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size, the property that makes suffix-array-style
     dedup tractable as a distributed plan. Docs shorter than {SPAN_W}
     words have no windows and drop out (nothing to dedup)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     wins = toked.select(
         "doc_id",
@@ -328,7 +328,7 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT doc_id,
              {sql_portable_hash64(f"array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')")} AS bow_key
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, bow_key,
            CAST(COUNT(*) OVER (PARTITION BY bow_key) AS BIGINT) AS group_size,
@@ -350,7 +350,7 @@ def docs_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, embarrassingly parallel) then ONE hash-partition exchange on
     the 8-byte bow_key shared by both window functions. Equivalent
     group-by formulation would need the same single shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     keyed = d.select(
         "doc_id",
         portable_hash64(
@@ -373,7 +373,7 @@ def docs_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_rare_bigram_rate",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
     ),
     bg AS (
       SELECT doc_id, {sql_portable_hash64('g')} AS bg
@@ -411,7 +411,7 @@ def docs_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the corpus twice and broadcasts the vocabulary, which cannot
     survive 100 TB); (3) the per-doc rollup, weighting by occurrence
     count. Linear in corpus size."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     bg = toked.select(
         "doc_id", F.explode(_grams_all(F.col("tk"), 2)).alias("g")

@@ -436,3 +436,44 @@ def test_containment_prefix_matches_python_model(spark, tmp_path_factory, docs):
         for r in docs_containment_prefix_pairs(spark, d).collect()
     }
     assert got == model
+
+
+def test_docs_queries_null_text_parity(spark, tmp_path):
+    """A NULL text row must not split the engines (ADVICE r4 class:
+    concat_ws('') vs array_to_string(NULL) diverge unless both sides
+    exclude NULL text explicitly). Runs Spark AND the DuckDB oracle on
+    a corpus containing a NULL text and compares exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.testing import compare
+
+    texts = ["alpha beta gamma delta", None, "alpha beta gamma delta"]
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([22, 0, 22], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("docs_span_dedup", "docs_bow_dedup", "docs_rare_bigram_rate"):
+        q = plans.REGISTRY[name]
+        sdf = q.fn(spark, str(tmp_path))
+        rel = con.sql(q.oracle)
+        problems = compare(
+            sdf.columns,
+            [tuple(r) for r in sdf.collect()],
+            rel.columns,
+            rel.fetchall(),
+        )
+        assert not problems, (name, problems)
+        # and the NULL doc is excluded, not hashed as empty
+        assert all(r["doc_id"] != 2 for r in sdf.collect()), name
