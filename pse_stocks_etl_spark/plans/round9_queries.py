@@ -1,0 +1,821 @@
+"""Round-9 queries, part 1: the classic TPC-H subquery/decorrelation
+shapes the engine had not yet covered — each one exercises a distinct
+Catalyst optimization pattern:
+
+- Q13 analog  (`customer_order_distribution`) — outer-join + double
+  aggregation (distribution of per-customer counts).
+- Q17 analog  (`small_quantity_revenue`) — correlated scalar subquery
+  (per-part average) decorrelated into an aggregate + re-join.
+- Q22 analog  (`idle_rich_customers`) — global scalar subquery +
+  NOT EXISTS anti-join.
+- Q19 analog  (`brand_bracket_revenue`) — disjunctive (OR-of-ANDs)
+  predicate pushed into one fact scan.
+- Q4 analog   (`late_ship_priority_counts`) — EXISTS semi-join with a
+  non-equi correlated condition.
+- Q15 analog  (`top_revenue_suppliers`) — aggregate + join on the
+  scalar max of that same aggregate.
+- Q11 analog  (`part_revenue_concentration`) — per-group sum HAVING a
+  share of the global sum (scalar broadcast).
+
+Determinism rules are repo-wide (functions/money.py): money sums go
+through integer cents / rev10k BIGINTs (order-free), quantities sum as
+BIGINTs, and every ratio is a single IEEE division of exactly-equal
+integers on both engines — so value hashes match DuckDB bit-for-bit.
+
+The testdata schema lacks TPC-H's l_commitdate / l_receiptdate /
+c_phone / partsupp, so the analog predicates use the columns that
+exist (shipdate-vs-orderdate lateness, acctbal percentiles, lineitem
+revenue per part); the JOIN/SUBQUERY shape — which is what Catalyst
+optimizes — is the faithful part.
+
+Reference parity: the reference engine (pandas sync loop,
+src/etl/price_sync) has no subquery surface; these are the §2.5/§2.8
+extension analytics a warehouse user runs on top (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, sql_cents
+from ..sources.catalog import load_table
+from .staging import STAGING, stage
+
+# Q4 analog: a lineitem is "late" when it ships this many days after
+# the order date (no l_commitdate in the testdata).
+LATE_SHIP_DAYS = 75
+
+# Q17 analog: "small" quantity = below this fraction of the part's
+# average lineitem quantity.
+SMALL_QTY_FRACTION = 0.5
+
+# Q11 analog: parts whose revenue exceeds this fraction of total
+# revenue are "concentrated".
+CONCENTRATION_PPM = 100  # parts-per-million of global revenue
+
+# Q22 analog: a customer is idle when they placed no order on/after
+# this date (~the last 7 months of the 1995-2001 order history; every
+# testdata customer has SOME order, so plain non-existence is empty).
+IDLE_SINCE = "2001-01-01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev10k(price: str, disc: str) -> Column:
+    return cents(F.col(price)) * (100 - cents(F.col(disc)))
+
+
+def _sql_rev10k(price: str, disc: str) -> str:
+    return f"({sql_cents(price)} * (100 - {sql_cents(disc)}))"
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 analog: distribution of orders-per-customer
+# --------------------------------------------------------------------------
+@stage(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+    tags=("J1", "A5", "tpch-q13"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed 0, 1, 2, ... non-urgent
+    orders. LEFT OUTER join (customers with no orders must appear in
+    the 0 bucket — an inner join would drop them) followed by two
+    aggregations.
+
+    Scale: the join and first group-by share the c_custkey/o_custkey
+    key, so Catalyst reuses one hash-partitioning for both — orders
+    shuffles once. The second aggregate runs on one-row-per-customer
+    data with map-side combine into ~tens of n_orders groups; its
+    exchange is tiny. The filter on o_orderpriority is pushed to the
+    orders scan (it must sit in the JOIN condition, not a WHERE, to
+    preserve the outer-join zero bucket)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 analog: revenue from small-quantity lineitems of one brand
+# --------------------------------------------------------------------------
+@stage(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'
+    ),
+    part_qty AS (
+      SELECT li.l_partkey,
+             CAST(SUM(CAST(li.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS n_li
+      FROM lineitem li JOIN brand_parts bp ON li.l_partkey = bp.p_partkey
+      GROUP BY li.l_partkey
+    )
+    SELECT (SUM({sql_cents('li.l_extendedprice')}) / 100.0) AS small_qty_revenue,
+           COUNT(*) AS n_small
+    FROM lineitem li
+    JOIN part_qty pq ON li.l_partkey = pq.l_partkey
+    WHERE li.l_quantity < {SMALL_QTY_FRACTION} * (pq.sum_qty * 1.0 / pq.n_li)
+    """,
+    tags=("J5", "A1", "tpch-q17", "decorrelation"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: total revenue from lineitems of BrandA parts whose
+    quantity is below half the part's average lineitem quantity. The
+    textbook correlated scalar subquery (`WHERE l_quantity < (SELECT
+    0.5*avg(l_quantity) ... WHERE l_partkey = p_partkey)`) is
+    decorrelated by hand into a per-part aggregate re-joined to the
+    fact — the same rewrite Catalyst's DecorrelateInnerQuery performs,
+    stated explicitly so the plan is deterministic.
+
+    Scale: the brand filter cuts part to ~1/25 (pushed to the part
+    scan), and that small key set is BROADCAST into both lineitem
+    passes — the fact table never shuffles. The per-part (sum, count)
+    aggregate is map-side combinable; its output (~8k parts/SF) is
+    broadcast back for the threshold filter. avg is computed as one
+    IEEE division of exact BIGINT sum/count on both engines, and the
+    threshold compare `qty < f*avg` is evaluated identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    bp = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_b = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey).drop("p_partkey")
+    part_qty = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    avg_qty = F.col("sum_qty") * 1.0 / F.col("n_li")
+    return (
+        li_b.join(
+            F.broadcast(part_qty.withColumnRenamed("l_partkey", "pq_partkey")),
+            F.col("l_partkey") == F.col("pq_partkey"),
+        )
+        .filter(F.col("l_quantity") < SMALL_QTY_FRACTION * avg_qty)
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("small_qty_revenue"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 analog: above-average-balance customers with no orders
+# --------------------------------------------------------------------------
+@stage(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH bal AS (
+      SELECT SUM({sql_cents('c_acctbal')}) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           (SUM({sql_cents('c.c_acctbal')}) / 100.0) AS total_bal
+    FROM customer c, bal
+    WHERE {sql_cents('c.c_acctbal')} * bal.n > bal.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{IDLE_SINCE}')
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("J3", "A1", "tpch-q22", "anti-join"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: customers whose balance beats the positive-balance
+    average but who placed no order since IDLE_SINCE (every testdata
+    customer has SOME order, so idleness is recency-scoped — same
+    NOT EXISTS shape), grouped by market segment. Global scalar
+    subquery + anti-join.
+
+    Scale: the scalar (sum, count) aggregate collapses to one row and
+    is CROSS-broadcast (a 1-row broadcast nested loop — free); the
+    above-average test is the exact integer cross-multiplication
+    `cents(bal)*n > sum_cents` — no float average, so both engines
+    agree bit-for-bit. The anti-join streams orders' o_custkey only
+    (column pruning) and hash-partitions on custkey; with AQE it turns
+    broadcast when the filtered customer side is small. No
+    per-customer correlated probe survives — both subqueries are
+    decorrelated into joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit(IDLE_SINCE))
+        .select("o_custkey")
+    )
+    bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents(F.col("c_acctbal"))).alias("s"), F.count("*").alias("n"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(bal))
+        .filter(cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 analog: disjunctive bracket predicate revenue
+# --------------------------------------------------------------------------
+@stage(
+    "brand_bracket_revenue",
+    oracle=f"""
+    SELECT (SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) / 10000.0)
+             AS bracket_revenue,
+           COUNT(*) AS n_li
+    FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND li.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND li.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND li.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("J5", "A1", "tpch-q19", "pushdown"),
+)
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue matching any of three (brand, size-range,
+    quantity-range) brackets — the canonical OR-of-ANDs predicate.
+
+    Scale: Catalyst CNF-converts the disjunction and pushes the
+    single-table residues to each scan — `p_brand IN (A,B,C) AND
+    p_size BETWEEN 1 AND 50` prunes part pages, `l_quantity BETWEEN 1
+    AND 30` prunes lineitem pages — before the (broadcast) join
+    evaluates the cross-table brackets. Without CNF pushdown this scan
+    reads everything; `.explain` shows PushedFilters on both sides.
+    One conditional aggregate, exact rev10k BIGINTs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(bracket).agg(
+        (F.sum(_rev10k("l_extendedprice", "l_discount")) / 10000.0).alias(
+            "bracket_revenue"
+        ),
+        F.count("*").alias("n_li"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 analog: orders with a late-shipping lineitem, by priority
+# --------------------------------------------------------------------------
+@stage(
+    "late_ship_priority_counts",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem li
+      WHERE li.l_orderkey = o.o_orderkey
+        AND li.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J3", "A5", "tpch-q4", "semi-join"),
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: count of orders, per priority, having at least one
+    lineitem shipped more than LATE_SHIP_DAYS after the order date
+    (the testdata has no l_commitdate; shipdate-vs-orderdate lateness
+    is the same correlated non-equi EXISTS shape).
+
+    Scale: LEFT SEMI join on l_orderkey = o_orderkey with the non-equi
+    lateness residual evaluated during the probe — each order emits at
+    most once no matter how many late lineitems it has (a plain join +
+    distinct would shuffle the duplicates first). Both sides
+    hash-partition on orderkey; lineitem is column-pruned to
+    (l_orderkey, l_shipdate). The priority group-by then aggregates
+    one row per order into 5 groups, map-side."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), LATE_SHIP_DAYS)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 analog: suppliers achieving the maximum revenue
+# --------------------------------------------------------------------------
+@stage(
+    "top_revenue_suppliers",
+    oracle=f"""
+    WITH srev AS (
+      SELECT li.l_suppkey,
+             SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) AS rev10k
+      FROM lineitem li
+      GROUP BY li.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, (srev.rev10k / 10000.0) AS total_revenue
+    FROM srev
+    JOIN (SELECT MAX(rev10k) AS m FROM srev) mx ON srev.rev10k = mx.m
+    JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    """,
+    tags=("J5", "A4", "tpch-q15"),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) whose lineitem revenue equals the
+    global maximum — aggregate, then join the aggregate against its
+    own scalar max (ties must all surface, so this is NOT a LIMIT 1).
+
+    Scale: one map-side-combinable shuffle builds per-supplier revenue
+    (~10k rows/SF); the scalar max is a 1-row broadcast; the equality
+    filter then keeps ~1 row, and the supplier dim join broadcasts
+    THAT (tiny side) — the dim table is never shuffled. Revenue is an
+    exact rev10k BIGINT, so "equals the max" is an integer equality —
+    no float-tie ambiguity between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev10k("l_extendedprice", "l_discount")).alias("rev10k")
+    )
+    mx = srev.agg(F.max("rev10k").alias("m"))
+    top = srev.crossJoin(F.broadcast(mx)).filter(F.col("rev10k") == F.col("m"))
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("rev10k") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 analog: parts holding an outsized share of global revenue
+# --------------------------------------------------------------------------
+@stage(
+    "part_revenue_concentration",
+    oracle=f"""
+    WITH prev AS (
+      SELECT li.l_partkey,
+             SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) AS rev10k
+      FROM lineitem li
+      GROUP BY li.l_partkey
+    ),
+    tot AS (SELECT SUM(rev10k) AS t FROM prev)
+    SELECT prev.l_partkey AS p_partkey,
+           (prev.rev10k / 10000.0) AS part_revenue,
+           (prev.rev10k * 1.0 / tot.t) AS revenue_share
+    FROM prev, tot
+    WHERE prev.rev10k * 1000000 > tot.t * {CONCENTRATION_PPM}
+    """,
+    tags=("A1", "tpch-q11", "having-share"),
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose revenue exceeds CONCENTRATION_PPM
+    parts-per-million of total revenue — a group-sum HAVING a share of
+    the global sum of the same expression.
+
+    Scale: ONE map-side-combinable shuffle builds per-part revenue;
+    the global total re-aggregates that result (no second fact scan —
+    the textbook Q11 plan computes both from one pass) and broadcasts
+    as a single row. The share threshold is the exact integer
+    cross-multiplication `rev*1e6 > total*ppm` (no float compare);
+    the reported share is one IEEE division per surviving row."""
+    li = _t(spark, sf_dir, "lineitem")
+    prev = li.groupBy("l_partkey").agg(
+        F.sum(_rev10k("l_extendedprice", "l_discount")).alias("rev10k")
+    )
+    tot = prev.agg(F.sum("rev10k").alias("t"))
+    return (
+        prev.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev10k") * 1000000 > F.col("t") * CONCENTRATION_PPM)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("rev10k") / 10000.0).alias("part_revenue"),
+            (F.col("rev10k") * 1.0 / F.col("t")).alias("revenue_share"),
+        )
+    )
+
+
+# ==========================================================================
+# Part 2: Q8 / Q21 shapes, the IVF-PQ serving path, and a hashed-feature
+# linear quality classifier (fasttext-style scoring, pure SQL).
+# ==========================================================================
+
+# Q8 analog: market-share region and the supplier nation being tracked.
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_2"
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 analog: one nation's supplier market share inside a region
+# --------------------------------------------------------------------------
+@stage(
+    "regional_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           (SUM(CASE WHEN ns.n_name = '{SHARE_NATION}'
+                     THEN {_sql_rev10k('li.l_extendedprice', 'li.l_discount')}
+                     ELSE 0 END) * 1.0
+            / SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')})) AS mkt_share,
+           (SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) / 10000.0)
+             AS region_revenue
+    FROM lineitem li
+    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = '{SHARE_REGION}'
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY o_year
+    """,
+    tags=("J5", "A1", "tpch-q8"),
+)
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: of all revenue shipped to SHARE_REGION customers, the
+    share supplied by SHARE_NATION suppliers, per order year — the
+    deepest join tree in the TPC-H suite (fact + 5 dimension hops on
+    both the customer and supplier sides).
+
+    Scale: every dimension chain (customer->nation->region,
+    supplier->nation) collapses to a broadcast — customer is the
+    largest at 150k rows/SF and the region filter prunes it to 1/5
+    before broadcast. The ONLY non-broadcast join is
+    lineitem-orders on orderkey (bucketing both by orderkey makes it
+    shuffle-free, tests/test_bucketing.py pattern). Conditional
+    rev10k sums keep the share an exact-integer ratio evaluated once
+    per year group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == SHARE_REGION)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    region_cust = (
+        c.join(F.broadcast(nc), c.c_nationkey == nc.n_nationkey)
+        .join(F.broadcast(r), nc.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    rev = _rev10k("l_extendedprice", "l_discount")
+    nation_rev = F.when(F.col("sn_name") == SHARE_NATION, rev).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(region_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev) * 1.0 / F.sum(rev)).alias("mkt_share"),
+            (F.sum(rev) / 10000.0).alias("region_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 analog: the sole late supplier in multi-supplier orders
+# --------------------------------------------------------------------------
+@stage(
+    "sole_late_supplier_orders",
+    oracle=f"""
+    WITH per_os AS (
+      SELECT li.l_orderkey, li.l_suppkey,
+             MAX(CASE WHEN li.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      GROUP BY li.l_orderkey, li.l_suppkey
+    ),
+    per_o AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM per_os GROUP BY l_orderkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM per_os
+    JOIN per_o USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = per_os.l_suppkey
+    WHERE per_os.late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("J3", "A5", "tpch-q21", "semi-anti"),
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the ONLY late supplier in orders
+    involving at least two suppliers (shipdate-vs-orderdate lateness —
+    the testdata has no receipt/commit dates). The textbook form is an
+    EXISTS (another supplier in the order) + NOT EXISTS (another LATE
+    supplier) pair; both correlated subqueries decorrelate into ONE
+    per-order aggregate — stated explicitly so the plan computes each
+    order's supplier/late counts once instead of probing twice.
+
+    Scale: lineitem joins orders on orderkey (the one big shuffle;
+    bucketed tables make it shuffle-free), then the (orderkey,
+    suppkey) and orderkey aggregates both shrink data before any
+    further exchange. The per-order frame re-joins the per-(order,
+    supplier) frame on orderkey — both sides already hash-partitioned
+    by orderkey prefix, and AQE picks broadcast when the filtered side
+    collapses. Supplier dim is broadcast at the end."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), LATE_SHIP_DAYS),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    culprit = (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the complete ANN serving path (coarse cells -> PQ codes -> ADC)
+# --------------------------------------------------------------------------
+@stage(
+    "emb_ann_ivfpq",
+    oracle=None,  # assembled below (composes the IVF and PQ oracle CTEs)
+    tags=("embedding", "similarity", "ann-ivf-pq"),
+)
+def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled IVF-PQ index (Jégou et al. 2011), end to end:
+    coarse quantization assigns every vector to its nearest of 16
+    cells (emb_ann_ivf's inverted file), vectors at rest are ONLY
+    their 8-byte PQ codes (emb_pq_quantize), and each query probes its
+    nprobe=2 nearest cells scoring candidates by ADC lookup tables
+    (emb_ann_adc's scorer) — the architecture FAISS ships as IndexIVFPQ,
+    here as one declarative plan.
+
+    vs the standalone pieces: emb_ann_adc scans ALL codes per query;
+    this plan's ADC only touches codes in probed cells — at 100 TB,
+    with the cell column persisted as a partition key, each query
+    reads nprobe/ncells of the corpus (partition pruning) and 1/32 of
+    the bytes (codes, not raw vectors). That product is the reason
+    IVF-PQ is the standard billion-scale layout.
+
+    Determinism: cell assignment is rounded-cosine + cid tiebreak
+    (emb_ann_ivf's rule); ADC distances are exact BIGINTs on the
+    integer grid; ranks tiebreak on (adc_dist, vec_id) — total order,
+    full hash oracle."""
+    from ..functions.vectors import cosine, to_double_array
+    from ..operators.dedup import topk_per_group
+    from .llm_queries import ANN_QUERY_IDS, IVF_CENTROID_IDS, IVF_NPROBE
+    from .round8_queries import ADC_TOPK, PQ_DSUB, PQ_K, PQ_M, _pq_code_frame, _pq_grid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    cents_df = base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents_df)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
+    )
+    assign = topk_per_group(
+        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
+    ).select("vec_id", F.col("cid").alias("cell"))
+    probes = (
+        topk_per_group(
+            scored_cells.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)),
+            ["vec_id"],
+            [F.col("ccos").desc(), F.col("cid").asc()],
+            k=IVF_NPROBE,
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    codes = (
+        _pq_code_frame(emb)
+        .drop("q", *[f"e{m}" for m in range(PQ_M)])
+        .join(assign, "vec_id")  # persisted `cell` column at scale
+    )
+
+    def lut_m(m: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            lambda c: F.aggregate(
+                F.slice(F.col("qarr"), m * PQ_DSUB + 1, PQ_DSUB),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x - (32 + 64 * c)) * (x - (32 + 64 * c)),
+            ),
+        )
+
+    qq = (
+        emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _pq_grid(F.col("embedding")).alias("qarr"),
+        )
+        .select("query_id", *[lut_m(m).alias(f"lut{m}") for m in range(PQ_M)])
+    )
+    adc = sum(
+        [
+            F.element_at(F.col(f"lut{m}"), (F.col(f"c{m}") + 1).cast("int"))
+            for m in range(1, PQ_M)
+        ],
+        F.element_at(F.col("lut0"), (F.col("c0") + 1).cast("int")),
+    )
+    pair = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qq), "query_id")
+        .select("query_id", "vec_id", adc.cast("long").alias("adc_dist"))
+    )
+    return topk_per_group(
+        pair,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("vec_id").asc()],
+        k=ADC_TOPK,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivfpq_sql() -> str:
+    from .llm_queries import (
+        _Q_IDS,
+        EMB_DIM,
+        IVF_CENTROID_IDS,
+        IVF_NPROBE,
+        sql_cosine,
+    )
+    from .round8_queries import ADC_TOPK, PQ_DSUB, PQ_M, _pq_cte
+
+    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+
+    def dist(m: int) -> str:
+        lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
+        return (
+            f"list_sum(list_transform(qq.qarr[{lo}:{hi}], "
+            f"x -> (x - (32 + 64*cv.c{m})) * (x - (32 + 64*cv.c{m}))))"
+        )
+
+    adc = " + ".join(dist(m) for m in range(PQ_M))
+    return f"""
+    WITH {_pq_cte()},
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id IN ({cids})
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id IN ({_Q_IDS})
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    qq AS (SELECT vec_id AS query_id, q AS qarr FROM qv WHERE vec_id IN ({_Q_IDS})),
+    pair AS (
+      SELECT p.query_id, a.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+      JOIN cv ON cv.vec_id = a.vec_id
+      JOIN qq ON qq.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM pair
+    ) WHERE rank <= {ADC_TOPK}
+    """
+
+
+STAGING["emb_ann_ivfpq"].oracle = _ivfpq_sql()
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fasttext-style scoring)
+# --------------------------------------------------------------------------
+# Score = sum over DISTINCT tokens of w(h(token)) / n_distinct, with
+# integer milliweights w = (h mod 1001) - 500 in [-500, 500] derived
+# from the portable 60-bit hash — a stand-in for trained weights that
+# keeps the oracle closed-form. A real model swaps the hash-derived
+# weight for a broadcast (feature_bucket -> weight) lookup; the plan
+# shape (hash -> weight -> sum -> threshold) is identical.
+QUALITY_CLF_THRESHOLD = 0.02  # keep docs scoring above +20 milliweights/token
+
+
+@stage(
+    "docs_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+               t -> (('0x' || substr(md5('qw:' || t), 1, 15))::BIGINT % 1001) - 500
+             ) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(w) AS BIGINT) AS milli_sum,
+             len(w) AS n_feat
+      FROM feat WHERE len(w) > 0
+    )
+    SELECT doc_id, lang,
+           (milli_sum * 1.0 / (1000.0 * n_feat)) AS clf_score,
+           CAST(CASE WHEN milli_sum * 1.0 > {QUALITY_CLF_THRESHOLD} * 1000 * n_feat
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM scored
+    """,
+    tags=("llm", "quality-classifier", "hashed-features"),
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    fasttext-shaped model-based filter step of a training-data
+    pipeline (score each doc with a linear model over its bag of
+    hashed features, keep above threshold). Weights here are
+    hash-derived integers so the DuckDB oracle is closed-form; a
+    TRAINED model replaces `w(h)` with a broadcast feature->weight
+    map joined by bucket — the plan is unchanged.
+
+    Determinism: per-token weights are exact BIGINT milliweights; the
+    doc score sums them with an order-free integer fold (list order
+    differs between engines — an IEEE float sum would not hash-match),
+    then divides once. The keep decision is the integer
+    cross-multiplication `sum*1.0 > thr*1000*n` — no accumulated
+    float error can flip it.
+
+    Scale: pure per-row map over the documents scan — tokenize,
+    distinct, hash, fold; no shuffle, no explode (the fold runs inside
+    the array, so a 10k-token doc never becomes 10k rows). Scan-bound
+    at 100 TB exactly like docs_fingerprint; with the trained-weights
+    variant the weight table broadcasts once per executor."""
+    from ..functions.text import portable_hash64, tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.transform(
+        F.array_distinct(tokens(F.col("text"))),
+        lambda t: F.pmod(portable_hash64(F.concat(F.lit("qw:"), t)), F.lit(1001))
+        - 500,
+    )
+    feat = d.select("doc_id", "lang", w.alias("w")).filter(F.size("w") > 0)
+    scored = feat.select(
+        "doc_id",
+        "lang",
+        F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + x).alias("milli_sum"),
+        F.size("w").cast("long").alias("n_feat"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        (F.col("milli_sum") * 1.0 / (1000.0 * F.col("n_feat"))).alias("clf_score"),
+        F.when(
+            F.col("milli_sum") * 1.0 > QUALITY_CLF_THRESHOLD * 1000 * F.col("n_feat"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
