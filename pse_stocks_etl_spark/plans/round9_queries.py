@@ -819,3 +819,91 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming left-outer interval join (unmatched clicks surface as NULLs)
+# --------------------------------------------------------------------------
+@stage(
+    "streaming_click_outer_join",
+    # Hash-checked against the batch equivalent WITH the watermark
+    # emission rule made explicit: matched pairs are the plain interval
+    # join; unmatched clicks appear with NULL purchase columns ONLY
+    # when the final watermark (min of both sides' max event time minus
+    # the 1h delay) has passed click_ts + 6h — clicks nearer the end of
+    # the stream are still buffered awaiting a possible match, exactly
+    # as an unbounded stream would leave them.
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL, c.ts, NULL
+    FROM c, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    )
+    AND c.ts + INTERVAL 6 HOUR < wm.w
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream interval join: attribution
+    pairs plus every click that provably converted to nothing — the
+    runtime emits the NULL row only once the watermark passes the
+    click's attribution horizon, so "unmatched" is a statement the
+    stream can actually prove. Driven to completion synchronously and
+    hash-checked against the batch oracle with the same emission rule
+    (the no-data micro-batch after the last file advances the
+    watermark and flushes expired state; end-of-horizon clicks stay
+    buffered on BOTH engines' accounting).
+
+    Scale: identical state bounds to the inner join — both sides
+    watermarked, both directions of the time predicate bounded, state
+    keyed and partitioned by user_id. The outer emission adds no state;
+    it changes only what eviction produces."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import interval_join_clicks, stream_events
+    from .pipeline_queries import _stream_partitions
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = interval_join_clicks(events, join_type="left_outer")
+    name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+
+    def ntz(col: str):
+        return F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({col}), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias(col)
+
+    return out.select(
+        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    )

@@ -212,17 +212,30 @@ def interval_join_clicks(
     events: DataFrame,
     attribution_window: str = "6 hours",
     watermark_delay: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range predicate:
-    every (click, purchase) pair for the same user where the purchase
-    lands within `attribution_window` after the click.
+    """Stream-stream join with an event-time range predicate: every
+    (click, purchase) pair for the same user where the purchase lands
+    within `attribution_window` after the click.
+
+    `join_type="left_outer"` additionally emits every UNMATCHED click
+    with NULL purchase columns — but only once the watermark passes
+    `click_ts + attribution_window`, i.e. once no future purchase
+    could still match (the runtime cannot know a click is unmatched
+    earlier; this delayed-NULL semantics is the documented behavior of
+    watermarked outer stream-stream joins). Clicks still inside the
+    final watermark horizon stay buffered and never emit — callers
+    comparing against a batch oracle must scope the NULL rows to
+    `click_ts + window < final watermark` (see
+    plans/round9_queries.py::streaming_click_outer_join).
 
     State stays bounded because BOTH sides carry watermarks and the
     join condition bounds purchase_ts relative to click_ts in both
     directions — the runtime can expire a buffered click once the
     purchase-side watermark passes click_ts + window (and vice versa),
     which is the documented requirement for stream-stream joins to
-    avoid unbounded state. The equality key (user_id) hash-partitions
+    avoid unbounded state (and, for outer joins, the trigger that
+    emits the NULL row). The equality key (user_id) hash-partitions
     both sides, so each executor joins only its own users."""
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -248,7 +261,7 @@ def interval_join_clicks(
             "user_id = p_user_id AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + interval {attribution_window}"
         ),
-        "inner",
+        join_type,
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
 
 

@@ -1,0 +1,91 @@
+"""Plan-shape guards for the round-9 staged queries: the physical plan
+properties that make each query scale-safe must survive refactors
+(same pattern as tests/test_round8.py's guards)."""
+
+from __future__ import annotations
+
+import re
+
+from pse_stocks_etl_spark.plans.staging import STAGING
+
+# Importing populates STAGING.
+from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = STAGING[name].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q19_pushes_bracket_residues_to_scans(spark):
+    """The OR-of-ANDs bracket must CNF-decompose: single-table residues
+    reach both parquet scans as pushed filters."""
+    plan = _plan(spark, "brand_bracket_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    nonempty = [p for p in pushed if p.strip()]
+    # both the part scan (brand/size residue) and the lineitem scan
+    # (quantity residue) must carry pushed filters
+    assert len(nonempty) >= 2, f"bracket residues not pushed: {pushed}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_joins_all_broadcast(spark):
+    """Q17's decorrelated form: brand keys and the per-part aggregate
+    both broadcast — the fact table must never shuffle for a join."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    # the 1-row balance aggregate arrives via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q4_uses_semi_join(spark):
+    """Each order must emit at most once regardless of late-lineitem
+    count — LEFT SEMI, not join+distinct."""
+    plan = _plan(spark, "late_ship_priority_counts")
+    assert "LeftSemi" in plan
+
+
+def test_q8_single_non_broadcast_join(spark):
+    """Q8's five dimension hops all broadcast; the only shuffled join
+    is lineitem-orders on orderkey."""
+    plan = _plan(spark, "regional_market_share")
+    big = len(re.findall(r"\(\d+\) SortMergeJoin", plan)) + len(
+        re.findall(r"\(\d+\) ShuffledHashJoin", plan)
+    )
+    assert big <= 1, f"expected <=1 non-broadcast join, plan has {big}"
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+
+
+def test_quality_classifier_is_exchange_free(spark):
+    """The classifier is a pure per-row map over the documents scan —
+    any Exchange means someone turned scoring into a shuffle."""
+    plan = _plan(spark, "docs_quality_classifier")
+    assert "Exchange" not in plan
+
+
+def test_ivfpq_no_cartesian_product(spark):
+    """Every cross join in the IVF-PQ path must be broadcast (tiny
+    centroid/query sides); a CartesianProduct would be the all-pairs
+    failure mode."""
+    plan = _plan(spark, "emb_ann_ivfpq")
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_aggregates_before_rejoin(spark):
+    """Q21's decorrelated form: the per-(order,supplier) and per-order
+    aggregates both run BEFORE the re-join (HashAggregate nodes feed
+    the join), so the join sides are strictly smaller than lineitem."""
+    plan = _plan(spark, "sole_late_supplier_orders")
+    assert "HashAggregate" in plan
+    # supplier dim must broadcast
+    assert "BroadcastHashJoin" in plan
