@@ -540,11 +540,15 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: lineitem joins orders on orderkey (the one big shuffle;
     bucketed tables make it shuffle-free), then the (orderkey,
-    suppkey) and orderkey aggregates both shrink data before any
-    further exchange. The per-order frame re-joins the per-(order,
-    supplier) frame on orderkey — both sides already hash-partitioned
-    by orderkey prefix, and AQE picks broadcast when the filtered side
-    collapses. Supplier dim is broadcast at the end."""
+    suppkey) aggregate shrinks to one row per order-supplier. The
+    per-order supplier/late counts come from a WINDOW over l_orderkey
+    on that aggregate — NOT a self-join back to a second per-order
+    aggregate, which re-shuffled the big frame twice and measured
+    8.6x wall at 8x orders+lineitem (the window form re-sorts within
+    one repartition of the already-shrunk frame). Supplier dim is
+    broadcast at the end."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -557,11 +561,10 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        per_os.join(per_o, "l_orderkey")
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
@@ -606,18 +609,76 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    # Centroid table -> literals, ONCE, driver-side (16 rows, bounded —
+    # exactly what a trained IVF broadcasts after k-means). Corpus cell
+    # assignment is then a PER-ROW argmax expression: 16 inline cosine
+    # folds + array_position(max) — ZERO shuffle. The crossJoin +
+    # top-k-window form exploded the corpus 16x and sorted 8.2M rows at
+    # x64 embeddings (measured 40s end-to-end; this form: see SCALE.md).
+    # array_position returns the FIRST max index and the array is in
+    # cid-ascending order, so ties land on the smallest cid — the same
+    # (ccos DESC, cid ASC) rule the oracle's row_number spells. The
+    # literal doubles are bit-exact round-trips of the stored values,
+    # and the inline dot() folds left-to-right like the join form, so
+    # every rounded cosine is unchanged.
+    cent_rows = sorted(
+        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+
+    def py_norm(vec: list[float]) -> float:
+        # Python floats ARE C doubles: this left-to-right accumulate is
+        # bit-identical to Spark's aggregate fold in norm(), so the
+        # precomputed centroid norm multiplies exactly like the
+        # join-form's norm(cvec) and every rounded cosine is unchanged.
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    withn = base.withColumn("nv", nv)
+    ccos = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r.v]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nv") * F.lit(py_norm(list(r.v)))),
+                6,
+            )
+            for r in cent_rows
+        ]
+    )
+    cid_arr = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
+    assign = withn.select(
+        "vec_id",
+        F.element_at(cid_arr, F.array_position(ccos, F.array_max(ccos)).cast("int"))
+        .alias("cell"),
+    )
+    # probes: 3 query vectors x 16 cells — tiny, the window form is free
     cents_df = base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )
-    scored_cells = base.crossJoin(F.broadcast(cents_df)).select(
-        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
-    )
-    assign = topk_per_group(
-        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
-    ).select("vec_id", F.col("cid").alias("cell"))
     probes = (
         topk_per_group(
-            scored_cells.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)),
+            base.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+            .crossJoin(F.broadcast(cents_df))
+            .select("vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")),
             ["vec_id"],
             [F.col("ccos").desc(), F.col("cid").asc()],
             k=IVF_NPROBE,

@@ -8,6 +8,12 @@ Usage:
   python scripts/stress_scale.py documents 8 docs_span_dedup docs_containment_prefix_pairs
   python scripts/stress_scale.py embeddings 64 emb_pq_quantize emb_ann_adc
   python scripts/stress_scale.py events 64 hourly_event_rollup sessionization
+  python scripts/stress_scale.py orders+lineitem 16 sole_late_supplier_orders
+
+A `+`-joined table spec replicates ALL named tables with the SAME key
+stride on their shared key (orders+lineitem strides o_orderkey and
+l_orderkey together), so fact-fact joins see a consistent N-fold
+universe instead of orphaned foreign keys.
 
 Writes the replicated table to /tmp/stress_<table>_x<N>/ and prints
 best-of-2 warm wall times at x1 and xN. Queries that only read other
@@ -24,11 +30,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ID_COLS = {
-    "documents": "doc_id",
-    "embeddings": "vec_id",
-    "events": "event_id",
-    "orders": "o_orderkey",
-    "customer": "c_custkey",
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id",),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "lineitem": ("l_orderkey",),
 }
 ID_STRIDE = 10_000_000
 
@@ -38,16 +45,20 @@ def replicate(sf_dir: str, table: str, factor: int) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/stress_{table}_x{factor}"
+    out_dir = f"/tmp/stress_{table.replace('+', '_')}_x{factor}"
     os.makedirs(out_dir, exist_ok=True)
-    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
-    id_col = ID_COLS[table]
-    idx = t.column_names.index(id_col)
-    parts = [
-        t.set_column(idx, id_col, pc.add(t.column(id_col), k * ID_STRIDE))
-        for k in range(factor)
-    ]
-    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, f"{table}.parquet"))
+    for one in table.split("+"):
+        t = pq.read_table(os.path.join(sf_dir, f"{one}.parquet"))
+        parts = []
+        for k in range(factor):
+            rep = t
+            for id_col in ID_COLS[one]:
+                idx = rep.column_names.index(id_col)
+                rep = rep.set_column(
+                    idx, id_col, pc.add(rep.column(id_col), k * ID_STRIDE)
+                )
+            parts.append(rep)
+        pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, f"{one}.parquet"))
     # events replication keys user_id too? No: event_id uniqueness is
     # enough for the event-path queries; user collisions are realistic.
     for other in os.listdir(sf_dir):
@@ -66,7 +77,9 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401 (staging)
     from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+    from pse_stocks_etl_spark.plans.staging import STAGING
     from pse_stocks_etl_spark.session import get_spark
 
     big_dir = replicate(sf_dir, table, factor)
@@ -79,7 +92,9 @@ def main() -> int:
             for _ in range(2):
                 clear_working_set_caches()
                 t0 = time.perf_counter()
-                rows = plans.REGISTRY[name].fn(spark, d).count()
+                fn = (plans.REGISTRY[name].fn if name in plans.REGISTRY
+                      else STAGING[name].fn)
+                rows = fn(spark, d).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
             print(f"{label:4s} {name:32s} {best:7.2f}s rows={rows}")
