@@ -1,0 +1,295 @@
+"""Round-9 semantics beyond oracle parity: hand-computed fixtures for
+the Q21 sole-late rule and the streaming outer-join emission horizon,
+plus hypothesis property tests of the quality classifier and Q13
+distribution against pure-python models."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pse_stocks_etl_spark.plans.round9_queries import (
+    LATE_SHIP_DAYS,
+    QUALITY_CLF_THRESHOLD,
+    customer_order_distribution,
+    docs_quality_classifier,
+    sole_late_supplier_orders,
+    streaming_click_outer_join,
+)
+
+
+# ------------------------------------------------------------ fixtures --
+def _write_orders_lineitem(path, orders, lineitems):
+    """orders: [(orderkey, orderdate)]; lineitems: [(orderkey, suppkey,
+    shipdate)] — minimal columns the Q4/Q21 analogs touch, padded to
+    the testdata schema."""
+    ok = [o[0] for o in orders]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_custkey": pa.array([1] * len(ok), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(ok), pa.string()),
+                "o_totalprice": pa.array([1.0] * len(ok), pa.float64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2020, 1, 1) + dt.timedelta(days=o[1]) for o in orders],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["3-MEDIUM"] * len(ok), pa.string()),
+            }
+        ),
+        str(path / "orders.parquet"),
+    )
+    n = len(lineitems)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([li[0] for li in lineitems], pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([li[1] for li in lineitems], pa.int64()),
+                "l_linenumber": pa.array(range(1, n + 1), pa.int64()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array(
+                    [
+                        dt.datetime(2020, 1, 1) + dt.timedelta(days=li[0 + 2])
+                        for li in lineitems
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+                "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        ),
+        str(path / "supplier.parquet"),
+    )
+    return str(path)
+
+
+def _write_events(path, rows):
+    """rows: [(event_id, user_id, event_type, hours_from_base)]."""
+    base = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(hours=r[3]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+    return str(path)
+
+
+def _write_docs(path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["test"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+# ---------------------------------------------------- Q21 hand fixtures --
+def test_q21_sole_late_multi_supplier(spark, tmp_path):
+    """Order 1: suppliers 1 (late) and 2 (on time) -> supplier 1 counted.
+    Order 2: suppliers 1 and 2 BOTH late -> nobody counted.
+    Order 3: supplier 3 alone and late -> single-supplier, not counted.
+    Order 4: supplier 2 late, supplier 3 on time -> supplier 2 counted."""
+    d = _write_orders_lineitem(
+        tmp_path,
+        orders=[(1, 0), (2, 0), (3, 0), (4, 0)],
+        lineitems=[
+            (1, 1, LATE_SHIP_DAYS + 1),
+            (1, 2, 1),
+            (2, 1, LATE_SHIP_DAYS + 5),
+            (2, 2, LATE_SHIP_DAYS + 5),
+            (3, 3, LATE_SHIP_DAYS + 9),
+            (4, 2, LATE_SHIP_DAYS + 2),
+            (4, 3, 2),
+        ],
+    )
+    rows = {
+        (r.s_suppkey, r.numwait)
+        for r in sole_late_supplier_orders(spark, d).collect()
+    }
+    assert rows == {(1, 1), (2, 1)}
+
+
+def test_q21_boundary_day_not_late(spark, tmp_path):
+    """Shipping exactly LATE_SHIP_DAYS after the order date is ON TIME
+    (strict >): the boundary order must produce no culprit."""
+    d = _write_orders_lineitem(
+        tmp_path,
+        orders=[(1, 0)],
+        lineitems=[(1, 1, LATE_SHIP_DAYS), (1, 2, 0)],
+    )
+    assert sole_late_supplier_orders(spark, d).count() == 0
+
+
+# ------------------------------------- streaming outer join: horizon --
+def test_outer_join_emission_horizon(spark, tmp_path):
+    """Unmatched clicks split by the watermark horizon: a click early in
+    the stream (horizon passed) emits a NULL row; an unmatched click
+    within (attribution window + delay) of the stream end stays
+    buffered and does NOT emit. Matched pairs always emit."""
+    # user 1: click at h0 matched by purchase at h2   -> pair row
+    # user 2: click at h0, no purchase                -> NULL row (0+6h < wm)
+    # user 3: click at h95, no purchase               -> buffered, absent
+    # purchases at h2 (user 1) and h100 (user 4) set the purchase-side
+    # max; watermark = min(95, 100) - 1h = 94h; user2: 0+6 < 94 emits,
+    # user3: 95+6 > 94 buffered.
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 1, "click", 0),
+            (2, 1, "purchase", 2),
+            (3, 2, "click", 0),
+            (4, 3, "click", 95),
+            (5, 4, "purchase", 100),
+        ],
+    )
+    out = streaming_click_outer_join(spark, d).collect()
+    by_click = {r.click_id: r for r in out}
+    assert set(by_click) == {1, 3}
+    assert by_click[1].purchase_id == 2
+    assert by_click[3].purchase_id is None
+
+
+# ------------------------------------------- classifier vs python model --
+def _py_classifier(texts):
+    out = {}
+    for i, t in enumerate(texts, start=1):
+        if t is None:
+            continue
+        # Spark's trim() (and DuckDB's) strips SPACES only — a trailing
+        # tab survives and the \s+ split then yields a trailing empty
+        # token; regex-split of "" also yields [""]. Mirror both.
+        import re
+
+        t2 = t.lower().strip(" ")
+        toks = list(dict.fromkeys(re.split(r"\s+", t2)))
+        ws = [
+            (int(hashlib.md5(f"qw:{tok}".encode()).hexdigest()[:15], 16) % 1001) - 500
+            for tok in toks
+        ]
+        if not ws:
+            continue
+        s = sum(ws)
+        out[i] = (
+            s / (1000.0 * len(ws)),
+            1 if s > QUALITY_CLF_THRESHOLD * 1000 * len(ws) else 0,
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from("ab cd\tx"),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_classifier_matches_python_model(spark, tmp_path_factory, texts):
+    d = _write_docs(tmp_path_factory.mktemp("clf"), texts)
+    got = {
+        r.doc_id: (r.clf_score, r.keep)
+        for r in docs_quality_classifier(spark, d).collect()
+    }
+    want = _py_classifier(texts)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-12
+        assert got[k][1] == want[k][1]
+
+
+# --------------------------------------------- Q13 vs python model --
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_orders_per_cust=st.lists(st.integers(min_value=0, max_value=4),
+                               min_size=1, max_size=6)
+)
+def test_q13_distribution_matches_python_model(
+    spark, tmp_path_factory, n_orders_per_cust
+):
+    path = tmp_path_factory.mktemp("q13")
+    custkeys = list(range(1, len(n_orders_per_cust) + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(custkeys, pa.int64()),
+                "c_name": pa.array([f"C{k}" for k in custkeys], pa.string()),
+                "c_nationkey": pa.array([0] * len(custkeys), pa.int64()),
+                "c_acctbal": pa.array([0.0] * len(custkeys), pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * len(custkeys), pa.string()),
+            }
+        ),
+        str(path / "customer.parquet"),
+    )
+    orders = []
+    oid = 1
+    for k, n in zip(custkeys, n_orders_per_cust):
+        for _ in range(n):
+            orders.append((oid, k))
+            oid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2020, 1, 1)] * len(orders), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["3-MEDIUM"] * len(orders), pa.string()),
+            }
+        ),
+        str(path / "orders.parquet"),
+    )
+    got = {
+        r.n_orders: r.custdist
+        for r in customer_order_distribution(spark, str(path)).collect()
+    }
+    want = dict(Counter(n_orders_per_cust))
+    assert got == want
