@@ -968,3 +968,183 @@ def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-style overlapping chunker (stride < width, per-doc)
+# --------------------------------------------------------------------------
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride; W - S = 16 tokens of overlap between neighbors
+
+
+@stage(
+    "docs_overlap_chunks",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, greatest(len(toks) - {CHUNK_W - CHUNK_S}, 1),
+                    {CHUNK_S})) AS start_tok
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(start_tok / {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_W}, len(toks) - start_tok) AS BIGINT) AS chunk_len,
+           md5(array_to_string(toks[start_tok + 1 : start_tok + {CHUNK_W}], ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+    tags=("llm", "chunking", "rag"),
+)
+def docs_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (RAG / long-context prep):
+    every document becomes ceil(max(n_tok - (W-S), 1) / S) chunks of up
+    to CHUNK_W tokens starting every CHUNK_S — neighbors share W-S
+    tokens so no boundary sentence is ever split across two retrieval
+    units without appearing whole in one. The complement of
+    docs_pack_chunks (disjoint training windows): retrieval wants
+    overlap, training wants packing. Each chunk carries its md5
+    fingerprint so downstream exact-dedup of chunks (shared boilerplate
+    collapses across docs) needs no re-tokenization.
+
+    Scale: per-row map — tokenize once, emit chunk structs with a
+    higher-order transform over a sequence, explode. Chunk count per
+    doc is n_tok/S (bounded fanout, like the Y4M frame sampler); no
+    shuffle anywhere. The md5 runs on the SLICED token array joined by
+    single spaces, so reflowed whitespace in the source text cannot
+    split fingerprints."""
+    from ..functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - (CHUNK_W - CHUNK_S), F.lit(1)) / F.lit(CHUNK_S)
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * CHUNK_S).cast("long").alias("start_tok"),
+                F.least(F.lit(CHUNK_W), F.size("toks") - i * CHUNK_S)
+                .cast("long")
+                .alias("chunk_len"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), i * CHUNK_S + 1, CHUNK_W)
+                    )
+                ).alias("chunk_md5"),
+            ),
+        )
+    )
+    return tk.select("doc_id", chunk.alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_len", "c.chunk_md5"
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster survivorship: canonical doc = longest, then min id
+# --------------------------------------------------------------------------
+@stage(
+    "docs_cluster_canonical",
+    oracle=None,  # assembled below (reuses the Jaccard-pairs CTE)
+    tags=("llm", "dedup-near", "survivorship"),
+)
+def docs_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivorship — the step AFTER near-dup clustering: each
+    component keeps its LONGEST member (ties: smallest doc_id), the
+    policy that retains the most content when boilerplate-stripped
+    variants cluster together (docs_near_dup_clusters' min-id flag is
+    the simpler order-based rule; this is the content-based one real
+    dedup pipelines ship). Output: every doc, its component, the
+    canonical doc it dedups to, and the keep flag.
+
+    Scale: reuses the SESSION-CACHED capped Jaccard pairs and the
+    large-star/small-star connected components (diameter-independent);
+    survivorship itself is one top-1-per-component window over the
+    component frame (|docs| rows, shrinking) joined back broadcast-or-
+    shuffled on component id. Nothing here revisits shingles."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import connected_components_star, topk_per_group
+    from .llm_queries import _CC_PAIRS_CACHE, _docs, _exact_jaccard, _shingles_capped_cached
+
+    pairs = _CC_PAIRS_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir, "cc_pairs"),
+        lambda: _exact_jaccard(_shingles_capped_cached(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components_star(
+        members, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    canon = topk_per_group(
+        labeled,
+        ["component"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=1,
+    ).select("component", F.col("doc_id").alias("canonical_id"))
+    return (
+        labeled.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
+def _cluster_canonical_sql() -> str:
+    from .llm_queries import _SQL_JACCARD_PAIRS
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u
+    ),
+    rep AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(r.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    )
+    SELECT l.doc_id, l.component, c.canonical_id,
+           (l.doc_id = c.canonical_id) AS keep
+    FROM labeled l JOIN canon c ON l.component = c.component
+    """
+
+
+STAGING["docs_cluster_canonical"].oracle = _cluster_canonical_sql()
