@@ -293,3 +293,48 @@ def test_q13_distribution_matches_python_model(
     }
     want = dict(Counter(n_orders_per_cust))
     assert got == want
+
+
+# ------------------------------------------- overlap chunker invariants --
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=5)
+)
+def test_overlap_chunks_invariants(spark, tmp_path_factory, n_toks):
+    """Per doc: chunk starts advance by the stride; every token is
+    covered; consecutive full chunks overlap by exactly W-S tokens; the
+    md5 of each chunk equals the md5 of the corresponding token slice
+    (python model)."""
+    from pse_stocks_etl_spark.plans.round9_queries import (
+        CHUNK_S,
+        CHUNK_W,
+        docs_overlap_chunks,
+    )
+
+    texts = [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in enumerate(n_toks)]
+    d = _write_docs(tmp_path_factory.mktemp("chunks"), texts)
+    rows = docs_overlap_chunks(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(1, len(n_toks) + 1))
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id - 1].split()
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # starts advance by the stride from 0
+        assert [c.start_tok for c in chunks] == [
+            i * CHUNK_S for i in range(len(chunks))
+        ]
+        # full coverage: last chunk reaches the end
+        last = chunks[-1]
+        assert last.start_tok + last.chunk_len == len(toks)
+        for c in chunks:
+            assert c.chunk_len == min(CHUNK_W, len(toks) - c.start_tok)
+            want = hashlib.md5(
+                " ".join(toks[c.start_tok : c.start_tok + CHUNK_W]).encode()
+            ).hexdigest()
+            assert c.chunk_md5 == want
+        # neighbor overlap is W-S tokens whenever the left chunk is full
+        for a, b in zip(chunks, chunks[1:]):
+            if a.chunk_len == CHUNK_W:
+                assert a.start_tok + a.chunk_len - b.start_tok == CHUNK_W - CHUNK_S
