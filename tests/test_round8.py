@@ -477,3 +477,20 @@ def test_docs_queries_null_text_parity(spark, tmp_path):
         assert not problems, (name, problems)
         # and the NULL doc is excluded, not hashed as empty
         assert all(r["doc_id"] != 2 for r in sdf.collect()), name
+
+def test_repetition_and_tfidf_single_scan_forms(spark):
+    """Round-9 rewrites locked in: repetition stats are a ZERO-exchange
+    per-row projection (longest-run fold over sorted bigrams — any
+    Exchange means someone reintroduced the explode/agg/join); TF-IDF
+    computes df as a window over the collapsed (doc,term) frame, one
+    scan of documents and no broadcast of a corpus-sized aggregate."""
+    import re
+
+    plan = _plan(spark, "docs_repetition_stats")
+    assert "Exchange" not in plan, "docs_repetition_stats gained a shuffle"
+
+    plan = _plan(spark, "docs_tfidf_top_terms")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    # one scan computes tf+df; the 1-row corpus total may scan again
+    assert len(scans) <= 2, f"docs_tfidf_top_terms: {len(scans)} scans"
+    assert "SortMergeJoin" not in plan, "df join-back reintroduced"
