@@ -1148,3 +1148,82 @@ def _cluster_canonical_sql() -> str:
 
 
 STAGING["docs_cluster_canonical"].oracle = _cluster_canonical_sql()
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAE vs naive baseline, per type)
+# --------------------------------------------------------------------------
+@stage(
+    "daily_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS season_pred,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS naive_pred
+      FROM daily
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           (SUM(abs(cents - season_pred)) * 1.0 / COUNT(*) / 100.0)
+             AS seasonal_mae,
+           (SUM(abs(cents - naive_pred)) * 1.0 / COUNT(*) / 100.0)
+             AS naive_mae,
+           (SUM(abs(cents - season_pred)) * 1.0
+            / SUM(abs(cents - naive_pred))) AS mase
+    FROM lagged
+    WHERE season_pred IS NOT NULL AND naive_pred IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast-backtest", "mase"),
+)
+def daily_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest without a model: score the SEASONAL-NAIVE
+    predictor (value = same weekday last week) against the naive one
+    (value = yesterday) on daily per-type revenue — MASE (Hyndman &
+    Koehler 2006) below 1 means weekly seasonality carries real
+    signal, the standard go/no-go before any fancier forecaster.
+
+    Determinism: daily sums are integer cents; absolute errors and
+    their sums stay BIGINT; each MAE/MASE is one IEEE division at the
+    end. Rows where either predictor is undefined (first week) are
+    excluded on both engines. days are calendar DATEs from
+    TIMESTAMP_NTZ event time — session-timezone-free.
+
+    Scale: one map-side-combinable daily aggregation of the fact
+    table, then lag windows PARTITIONED BY event_type over the
+    calendar-bounded daily rollup (years of days fit one partition),
+    then a per-type fold. Same shape as weekly_revenue_wow/cusum —
+    the window never sees raw events."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.lag("cents", 7).over(w).alias("season_pred"),
+        F.lag("cents", 1).over(w).alias("naive_pred"),
+    ).filter(F.col("season_pred").isNotNull() & F.col("naive_pred").isNotNull())
+    sa = F.sum(F.abs(F.col("cents") - F.col("season_pred")))
+    na = F.sum(F.abs(F.col("cents") - F.col("naive_pred")))
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (sa * 1.0 / F.count("*") / 100.0).alias("seasonal_mae"),
+        (na * 1.0 / F.count("*") / 100.0).alias("naive_mae"),
+        (sa * 1.0 / na).alias("mase"),
+    )
