@@ -27,6 +27,8 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 from pse_stocks_etl_spark import plans  # noqa: E402
+from pse_stocks_etl_spark.plans import round9_queries  # noqa: E402,F401
+from pse_stocks_etl_spark.plans.staging import STAGING  # noqa: E402
 from pse_stocks_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from pse_stocks_etl_spark.session import get_spark  # noqa: E402
 from pse_stocks_etl_spark.testing import arrow_summary  # noqa: E402
@@ -40,7 +42,8 @@ def main() -> int:
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = []
-    for name, q in plans.REGISTRY.items():
+    todo = {**plans.REGISTRY, **STAGING}  # staged queries: same gate
+    for name, q in todo.items():
         if only and name not in only:
             continue
         try:
@@ -84,7 +87,8 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             continue
         print(f"ok   {name}: {len(s_rows)} rows match")
-    print(f"\n{len(plans.REGISTRY) - len(failures)}/{len(plans.REGISTRY)} pass")
+    n = len(todo) if not only else len(only)
+    print(f"\n{n - len(failures)}/{n} pass")
     return 1 if failures else 0
 
 
