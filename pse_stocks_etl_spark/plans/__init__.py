@@ -69,14 +69,16 @@ except ImportError:  # pragma: no cover - partial checkouts
 # move blocks 1-7 out, promote blocks 8+9 (the 24-query declared
 # next-window queue: the round-7 second batch and the round-8 additions
 # incl. multimodal_bmp_decode / multimodal_y4m_frames / emb_pq_quantize /
-# emb_ann_adc), PLUS the round-9 STAGING registry (plans/staging.py —
-# tests/test_round9.py::test_staging_drains_when_backlog_has_room goes
-# red on its own once the backlog has room: move those stage()
-# decorators to register(), import round9_queries here, append the
-# names after blocks 8+9), and fill the remaining slots with the
-# stalest greens (array_agg_user_profile and the r1/r2-green refresh
-# tail: flagship_latest_price, docs_simhash, emb_*,
-# docs_near_dup_clusters, docs_top_terms, docs_bpe_token_stats,
+# emb_ann_adc), PLUS the round-9 STAGING registry (plans/staging.py:
+# move those stage() decorators to register(), import round9_queries
+# here, append the names directly after blocks 8+9 — the guard's
+# 25-query bound constrains only never-checked queries OUTSIDE the
+# 50-slot window, so 24 queue + 16 promoted = 40 window slots is legal
+# and leaves ~10 for stale-green refresh; the drain test in
+# tests/test_round9.py then retires with the staging module). Fill the
+# remaining slots with the stalest greens (array_agg_user_profile and
+# the r1/r2-green refresh tail: flagship_latest_price, docs_simhash,
+# emb_*, docs_near_dup_clusters, docs_top_terms, docs_bpe_token_stats,
 # docs_quality_score, then the r3/r4 block). COVERAGE.md's driver map
 # is the authoritative ledger.
 # COVERAGE.md records the cumulative per-round driver-green map.
