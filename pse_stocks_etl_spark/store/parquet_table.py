@@ -279,6 +279,14 @@ class ParquetTable:
         reason an incremental sync of a trailing window costs
         O(window), not O(table) (SCALE.md "Merge / upsert").
         """
+        # P6 non-empty guard, at the STORE boundary: an empty source
+        # must not burn a version (found by the stateful model test —
+        # an hourly sync poll with no new data was committing 24
+        # identical version dirs a day until vacuum). Schema evolution
+        # with an empty source is also skipped: nothing committed,
+        # nothing evolved, atomically consistent.
+        if source.isEmpty():
+            return
         old_schema = self.schema
         if evolve_schema:
             existing = {f.name for f in self.schema.fields}

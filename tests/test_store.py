@@ -117,9 +117,12 @@ def test_vacuum_keeps_current(spark, table):
 def test_empty_source_merge_noop(spark, table):
     t0 = spark.createDataFrame(_rows(("A", "2024-01-01", 1.0, "2024-01-01T00:00:00")), SCHEMA)
     table.overwrite(t0)
+    before = table.history()
     empty = spark.createDataFrame([], SCHEMA)
     table.merge(empty, keys=("k", "d"))
     assert table.read().count() == 1  # empty-input edge (SURVEY §7.5 risk 5)
+    # and no version burned: a no-op sync poll must not commit
+    assert table.history() == before
 
 
 PART_SCHEMA = T.StructType(
