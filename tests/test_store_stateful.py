@@ -90,6 +90,14 @@ class StoreMachine(RuleBasedStateMachine):
         self.model = {}
         self._commit_model()
 
+    @rule(retain=st.integers(min_value=1, max_value=3))
+    def vacuum(self, retain):
+        self.table.vacuum(retain_versions=retain)
+        # model keeps ALL snapshots (indexed by absolute version number);
+        # the invariant only visits versions the table still retains, and
+        # restore only picks from history() — so vacuum needs no model
+        # mutation beyond what the table itself reports.
+
     @rule(pick=st.integers(min_value=0, max_value=10_000))
     def restore(self, pick):
         hist = self.table.history()
