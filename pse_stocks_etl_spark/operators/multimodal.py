@@ -59,7 +59,12 @@ FEATURES_SCHEMA = T.StructType(
 
 def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
     """Wrap a text column as an opaque binary payload + metadata struct
-    (stand-in for real media ingest; the schema is the contract)."""
+    (stand-in for real media ingest; the schema is the contract).
+    NULL text carries no media: the row is excluded here, BEFORE the
+    Arrow boundary — a NULL payload crashed the decode worker (found
+    by tests/test_null_text_parity.py), and excluded-not-faked is the
+    same convention every docs query uses."""
+    docs = docs.filter(F.col("text").isNotNull())
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",

@@ -135,7 +135,10 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = token_count(F.col("text"))
     npunct = punct_count(F.col("text"))
     nchars = F.length("text")
-    punct_ratio = npunct * 1.0 / nchars
+    # try_divide: an EMPTY text has n_chars=0 and must yield NULL like
+    # DuckDB's x/0, not an ANSI DIVIDE_BY_ZERO crash (found by the
+    # NULL/empty-text parity matrix, tests/test_null_text_parity.py)
+    punct_ratio = F.try_divide(npunct * 1.0, nchars)
     return d.select(
         "doc_id",
         ntok.alias("n_tokens"),

@@ -59,7 +59,7 @@ def _stream_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
       SELECT doc_id,
              ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
              octet_length(encode(text)) AS nb
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
            CAST(16 + hv % 2048 AS BIGINT) AS width,
@@ -86,6 +86,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(hex(encode(d.text)), u.fi * 128 + 1, 128) AS frame_hex
     FROM documents d,
          UNNEST(range(0, octet_length(encode(d.text)) // 64, 4)) AS u(fi)
+    WHERE d.text IS NOT NULL
     """,
     tags=("llm", "multimodal", "frame-sample"),
 )

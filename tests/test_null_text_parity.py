@@ -1,0 +1,91 @@
+"""Every documents-only query (registry AND staging), Spark vs DuckDB,
+on a corpus CONTAINING A NULL text row. The testdata has no NULL texts
+today — but it has changed between rounds before (the r4 timestamp-unit
+collapse), and the r4 ADVICE found exactly this class of latent
+divergence (Spark collect_set drops NULLs, DuckDB lists count them).
+This test makes the whole docs surface NULL-regeneration-proof instead
+of pinning three hand-picked queries (tests/test_round8.py).
+
+Mechanically selected: every query whose oracle references documents
+and no other table — a new docs query joins this matrix automatically."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pse_stocks_etl_spark import plans
+from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
+from pse_stocks_etl_spark.plans.staging import STAGING
+from pse_stocks_etl_spark.schemas import TESTDATA_TABLES
+from pse_stocks_etl_spark.testing import compare
+
+
+def _docs_only_queries():
+    out = []
+    for reg in (plans.REGISTRY, STAGING):
+        for name, q in reg.items():
+            if q.oracle is None:
+                continue
+            used = {t for t in TESTDATA_TABLES if re.search(rf"\b{t}\b", q.oracle)}
+            if used == {"documents"}:
+                out.append((name, q))
+    return out
+
+DOCS_ONLY = _docs_only_queries()
+
+TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta",
+    None,
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three four five six seven eight nine ten",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def null_corpus(tmp_path_factory):
+    path = tmp_path_factory.mktemp("nulldocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(TEXTS) + 1), pa.int64()),
+                "text": pa.array(TEXTS, pa.string()),
+                "lang": pa.array(["en", "de", "en", "es", "fr"], pa.string()),
+                "source": pa.array(["s1", "s1", "s2", "s2", "s3"], pa.string()),
+                "n_chars": pa.array([len(t or "") for t in TEXTS], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def duck(null_corpus):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{null_corpus}/documents.parquet'"
+    )
+    return con
+
+
+def test_matrix_is_nontrivial():
+    assert len(DOCS_ONLY) >= 35, [n for n, _ in DOCS_ONLY]
+
+
+@pytest.mark.parametrize("name,q", DOCS_ONLY, ids=[n for n, _ in DOCS_ONLY])
+def test_null_text_parity(spark, duck, null_corpus, name, q):
+    from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+
+    clear_working_set_caches()  # caches are keyed by sf_dir, but stay hygienic
+    sdf = q.fn(spark, null_corpus)
+    rel = duck.sql(q.oracle)
+    problems = compare(
+        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
+    )
+    assert not problems, (name, problems)
