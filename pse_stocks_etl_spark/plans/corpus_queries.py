@@ -825,7 +825,10 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s").cast("double") / F.col("n")
     var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.col("n")
-    z = (F.col("vc") - mean) / F.sqrt(var)
+    # try_divide: a CONSTANT-valued group has sigma=0 — DuckDB's x/0
+    # yields NULL (row then filtered), ANSI Spark crashed (found by
+    # tests/test_null_events_parity.py's constant purchase group)
+    z = F.try_divide(F.col("vc") - mean, F.sqrt(var))
     return (
         c.join(F.broadcast(stats), "event_type")
         .select(

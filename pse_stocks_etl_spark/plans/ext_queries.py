@@ -832,8 +832,13 @@ def approx_quantile_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10_000)
     sk = ev.groupBy("event_type").agg(
         q.getItem(0).alias("a50"), q.getItem(1).alias("a90")
-    )
-    graded = ev.join(F.broadcast(sk), "event_type").groupBy("event_type").agg(
+    ).withColumnsRenamed({"event_type": "sk_type"})
+    # NULL-SAFE join back: groupBy keeps a NULL event_type group on
+    # both engines, but a plain equi-join would silently drop it here
+    # (NULL != NULL) — found by tests/test_null_events_parity.py.
+    graded = ev.join(
+        F.broadcast(sk), F.col("event_type").eqNullSafe(F.col("sk_type"))
+    ).drop("sk_type").groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
         F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),

@@ -839,13 +839,13 @@ EWMA_WINDOW = 8  # weights 1/2^j, j = 0..7 — all dyadic, all exact
     WITH seq AS (
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT t.user_id, t.rn, COUNT(*) AS n_window,
            SUM(s.y / CAST((1 << (t.rn - s.rn)) AS DOUBLE))
              / SUM(1.0 / CAST((1 << (t.rn - s.rn)) AS DOUBLE)) AS ewma_cents
     FROM seq t JOIN seq s
-      ON s.user_id = t.user_id AND s.rn BETWEEN t.rn - {EWMA_WINDOW - 1} AND t.rn
+      ON s.user_id IS NOT DISTINCT FROM t.user_id AND s.rn BETWEEN t.rn - {EWMA_WINDOW - 1} AND t.rn
     GROUP BY 1, 2
     """,
     tags=("timeseries", "ewma", "window-frame", "higher-order"),
@@ -859,8 +859,14 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1/2^j, so all terms are dyadic rationals exactly representable
     in binary64 — sums are order-independent and the final single
     division is bit-identical across engines (the same dyadic-exactness
-    rule as the Tukey/percentile queries)."""
-    ev = _t(spark, sf_dir, "events")
+    rule as the Tukey/percentile queries).
+
+    NULL policy (pinned by tests/test_null_events_parity.py): a
+    NULL-value event contributes nothing and occupies no window slot
+    (collect_list would silently skip it on Spark while the oracle
+    counted its weight — filter both sides instead); a NULL user_id is
+    a real series (the oracle joins null-safely)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(EWMA_WINDOW - 1), 0)
     seq = ev.select(
@@ -997,7 +1003,7 @@ MEDIAN_WINDOW = 7
     WITH seq AS (
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, rn,
            median(y) OVER (PARTITION BY user_id ORDER BY rn
@@ -1015,8 +1021,13 @@ def user_value_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting ≤{MEDIAN_WINDOW} elements per row is O(1) work, NOT a
     per-group global sort. Exactness: integer cents; the even-count
     midpoint (a+b)/2 is a dyadic rational, bit-equal to DuckDB's
-    interpolated windowed median."""
-    ev = _t(spark, sf_dir, "events")
+    interpolated windowed median.
+
+    NULL policy (same as user_value_ewma, pinned by
+    tests/test_null_events_parity.py): NULL-value events occupy no
+    window slot — collect_list would silently skip them while
+    row_number counted them, shifting every later frame."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(MEDIAN_WINDOW - 1), 0)
     seq = ev.select(

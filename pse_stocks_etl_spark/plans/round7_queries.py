@@ -621,7 +621,7 @@ def funnel_strict_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id, event_type
     QUALIFY row_number() OVER (
-      PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) = 1
+      PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type NULLS LAST) = 1
     """,
     tags=("mode", "topk-per-group"),
 )
@@ -636,7 +636,13 @@ def mode_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny, so the window sort is O(types) per user."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    pick = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    # NULLS LAST explicitly: Spark's ASC default is nulls-FIRST while
+    # DuckDB's is nulls-LAST, so a tied NULL event_type won the mode on
+    # one engine only (tests/test_null_events_parity.py). Policy: a
+    # NULL type never beats a real one.
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
+    )
     return (
         counts.withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
@@ -1519,6 +1525,7 @@ def weekly_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL
       GROUP BY 1
     ),
     cum AS (
@@ -1556,6 +1563,11 @@ def value_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed. ks_at_value ties resolve to the smallest value."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        # a NULL value has no place in a CDF — and it would enter the
+        # cumulative window at OPPOSITE ends on the two engines (Spark
+        # sorts NULL first, DuckDB last); both sides filter
+        # (tests/test_null_events_parity.py)
+        & F.col("value").isNotNull()
     )
     v = ev.groupBy(_cents("value").alias("cents")).agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),

@@ -52,8 +52,11 @@ def _update(
         n += len(pdf)
         # round per ROW, then sum: rounding a batch-level float sum would
         # make the state depend on micro-batch boundaries (sub-cent
-        # residues accumulate differently per batching).
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # residues accumulate differently per batching). dropna first:
+        # a NULL value contributes nothing, like SQL SUM — and a NaN
+        # would crash the int64 cast in the state worker (found by
+        # tests/test_null_events_parity.py).
+        cents += int((pdf["value"] * 100).round().dropna().astype("int64").sum())
         if len(pdf):
             v = pdf["ts"].max()
             # ts arrives either as a pandas Timestamp (.value = epoch ns)
