@@ -256,7 +256,8 @@ def empty_relation_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            (SUM({sql_cents('o_totalprice')}) OVER (
-              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate NULLS LAST, o_orderkey
               ROWS UNBOUNDED PRECEDING) / 100.0) AS running_total
     FROM orders
     """,
@@ -268,9 +269,12 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import cents
 
     o = _t(spark, sf_dir, "orders")
+    # NULLS LAST pinned on both engines (Spark's ASC default is
+    # nulls-FIRST, DuckDB's nulls-LAST — a NULL orderdate row slotted
+    # at opposite ends of the running sum; tests/test_null_tpch_parity)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return o.select(
@@ -288,8 +292,9 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (COUNT(*) OVER w) / 100.0) AS moving_avg
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
-                          l_extendedprice, l_partkey, l_quantity
+                 ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber,
+                          l_extendedprice NULLS LAST, l_partkey,
+                          l_quantity NULLS LAST
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "moving-agg"),
@@ -310,12 +315,12 @@ def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy(
-            "l_shipdate",
+            F.col("l_shipdate").asc_nulls_last(),
             "l_orderkey",
             "l_linenumber",
-            "l_extendedprice",
+            F.col("l_extendedprice").asc_nulls_last(),
             "l_partkey",
-            "l_quantity",
+            F.col("l_quantity").asc_nulls_last(),
         )
         .rowsBetween(-6, 0)
     )
@@ -456,8 +461,16 @@ def pandas_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
 
     def median_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents_vals = np.round(pdf["c_acctbal"].to_numpy() * 100).astype("int64")
-        med = float(np.quantile(cents_vals, 0.5, method="linear")) / 100.0
+        # dropna BEFORE the int64 cast: a NULL acctbal arrives as NaN,
+        # and NaN.astype(int64) is garbage (-9.2e18 cents) — quantile
+        # over the non-null values only, NULL when none, matching
+        # quantile_cont (tests/test_null_tpch_parity.py)
+        vals = pdf["c_acctbal"].dropna().to_numpy()
+        if len(vals):
+            cents_vals = np.round(vals * 100).astype("int64")
+            med = float(np.quantile(cents_vals, 0.5, method="linear")) / 100.0
+        else:
+            med = None
         return pd.DataFrame(
             {
                 "mktsegment": [pdf["c_mktsegment"].iloc[0]],
@@ -1648,7 +1661,7 @@ def vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY l_suppkey, CAST(date_trunc('day', l_shipdate) AS DATE)
                ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
-      FROM lineitem
+      FROM lineitem WHERE l_shipdate IS NOT NULL
     ),
     daily AS (SELECT l_suppkey, d, c FROM ranked WHERE rn = 1),
     rets AS (
@@ -1685,15 +1698,24 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: daily close (argmax within day), LAG, and both rolling sums
     all share the suppkey partition key — ONE shuffle, streaming O(1)
-    window state per frame."""
+    window state per frame.
+
+    NULL policy: a NULL ship date cannot sit on a time axis — filtered
+    on both sides (it slotted at opposite ends of the date-ordered
+    windows, shifting every trailing frame for that supplier;
+    tests/test_null_tpch_parity.py)."""
     from ..functions.money import cents
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        F.to_date("l_shipdate").alias("d"),
-        cents(F.col("l_extendedprice")).alias("c"),
-        "l_orderkey",
-        "l_linenumber",
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("d"),
+            cents(F.col("l_extendedprice")).alias("c"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
     daily = li.groupBy("l_suppkey", "d").agg(
         F.max_by("c", F.struct("l_orderkey", "l_linenumber")).alias("c")

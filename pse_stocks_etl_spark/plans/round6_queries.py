@@ -1128,6 +1128,7 @@ def _skyline_filter(df: DataFrame, *, pid: str | None) -> DataFrame:
       SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
              CAST(p_size AS BIGINT) AS size
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT p_partkey, price_c, size
     FROM p a WHERE NOT EXISTS (
@@ -1148,8 +1149,15 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the one global-ordered window runs on a bounded set instead of
     collapsing 100 TB onto a single reducer; the oracle is the
     textbook quadratic NOT-EXISTS, which the sorted plan must
-    reproduce exactly (integer cents make the sort keys exact)."""
-    part = _t(spark, sf_dir, "part")
+    reproduce exactly (integer cents make the sort keys exact).
+
+    NULL policy: a part with a NULL coordinate cannot be compared for
+    dominance (the NOT-EXISTS form would admit it vacuously — every
+    comparison is NULL); both sides require both coordinates
+    (tests/test_null_tpch_parity.py)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     p = part.select(
         "p_partkey",
         cents(F.col("p_retailprice")).alias("price_c"),

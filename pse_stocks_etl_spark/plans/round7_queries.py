@@ -1145,7 +1145,7 @@ _DECILE_BUCKET_CENTS = 10_000  # $100-wide rank buckets
                ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
                         o_orderkey) AS rn,
              COUNT(*) OVER () AS n
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
            COUNT(*) AS n_orders,
@@ -1166,9 +1166,15 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     here keyed by a value range instead of an id range.
 
     Deciles use the explicit floor formula over (rank-1)*10/n, not
-    NTILE (whose remainder allocation is engine-defined)."""
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", _cents("o_totalprice").alias("cents")
+    NTILE (whose remainder allocation is engine-defined).
+
+    NULL policy: a NULL price has no rank — filtered on both sides
+    (tests/test_null_tpch_parity.py; a NULL cents bucket would also
+    break the broadcast-offset equi-join silently)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice", _cents("o_totalprice").alias("cents"))
     )
     b = o.withColumn("bucket", F.expr(f"cents DIV {_DECILE_BUCKET_CENTS}"))
     counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))

@@ -108,7 +108,12 @@ def grouped_rollup_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         partition_by=("priority",),
     )
     cut = "1997-06-01"
-    table.overwrite(rollup.filter(F.col("month") < cut))
+    # NULL months route to the history branch explicitly: a plain
+    # month < cut / month >= cut split silently drops the NULL-month
+    # group from BOTH writes (NULL fails both predicates) — found by
+    # tests/test_null_tpch_parity.py. This also exercises the store's
+    # NULL-partition-value path (priority is the partition column).
+    table.overwrite(rollup.filter((F.col("month") < cut) | F.col("month").isNull()))
     table.merge(rollup.filter(F.col("month") >= cut), keys=["priority", "month"])
     return table.read()
 
