@@ -1227,3 +1227,360 @@ def daily_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (na * 1.0 / F.count("*") / 100.0).alias("naive_mae"),
         (sa * 1.0 / na).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA: top principal component by power iteration
+# --------------------------------------------------------------------------
+# Fixed iteration count + deterministic init -> an ITERATIVE spectral
+# algorithm that still hash-matches an unrolled SQL oracle (the
+# emb_kmeans_refine playbook applied to linear algebra).
+PIT_ITERS = 3
+PIT_Q = 1_000_000  # fixed-point quantum for order-free integer sums
+
+
+def _sql_power_iteration() -> str:
+    from .llm_queries import EMB_DIM
+
+    parts = [
+        # one unnest pass: raw component (for the dot product) + its
+        # integer quantization (for the order-free matvec sum)
+        "x AS (SELECT vec_id, dim, xv, CAST(round(xv * 1000000) AS BIGINT)"
+        " AS xq FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1"
+        " AS dim, unnest(embedding::DOUBLE[]) AS xv FROM embeddings))",
+        # v0 = uniform unit vector; 1/8 = 0.125 is exactly representable
+        f"v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vd"
+        f" FROM range({EMB_DIM}) t(dim))",
+    ]
+    for i in range(1, PIT_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT x.vec_id, SUM(CAST(round(x.xv * v.vd * 1000000)"
+            f" AS BIGINT)) AS sq FROM x JOIN v{p} v USING (dim)"
+            " GROUP BY x.vec_id)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT x.dim, SUM(x.xq * s.sq) AS ws"
+            f" FROM x JOIN s{i} s USING (vec_id) GROUP BY x.dim)"
+        )
+        parts.append(f"m{i} AS (SELECT MAX(ABS(ws)) AS m FROM w{i})")
+        parts.append(
+            f"u{i} AS (SELECT dim, CAST(round(CAST(ws AS DOUBLE)"
+            f" / CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS uq"
+            f" FROM w{i}, m{i})"
+        )
+        parts.append(f"n{i} AS (SELECT SUM(uq * uq) AS n2 FROM u{i})")
+        parts.append(
+            f"v{i} AS (SELECT dim, CAST(uq AS DOUBLE)"
+            f" / sqrt(CAST(n2 AS DOUBLE)) AS vd FROM u{i}, n{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT dim, vd AS loading FROM v{PIT_ITERS}"
+    )
+
+
+@stage(
+    "emb_power_iteration",
+    oracle=_sql_power_iteration(),
+    tags=("llm", "similarity", "pca", "iterative"),
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 rounds of
+    power iteration on the (uncentered) Gram matrix — the distributed
+    spectral step under PCA whitening / spectral indexes, expressed so
+    a fixed-iteration unrolled SQL oracle hash-matches it bit-for-bit:
+
+    - per-row dot product s_i = x_i.v sums ROUNDED INTEGER terms
+      (round(x*v*1e6) as BIGINT) — exact, order-free;
+    - the matvec w = sum_i s_i * x_i sums integer products
+      xq * sq (quantized component times quantized dot) — exact,
+      order-free, one (dim)-keyed 64-group aggregate;
+    - normalization re-quantizes w against its max-abs component and
+      divides by sqrt of an exact integer sum of squares — every float
+      op left is a single correctly-rounded IEEE op (cast, /, sqrt),
+      so both engines walk bit-identical v vectors each round.
+
+    Overflow bound: |xq| <= 1e6, |sq| <= 64e6 * max|x| => each product
+    < 2.2e13; BIGINT holds corpora to ~4e5 vectors at this quantum
+    (rescale PIT_Q for more — documented, not silent).
+
+    Scale: per iteration one broadcast of the 64-double v, one
+    map-only fold for s_i (no shuffle), one posexplode feeding a
+    64-group map-side-combinable aggregate, and two scalar one-row
+    steps. 3 iterations = 3 scans of the corpus; at real scale the
+    base projection persists once and each iteration ends in a
+    localCheckpoint to keep the stacked plan flat (kmeans-refine
+    pattern, llm_queries.py)."""
+    from .llm_queries import EMB_DIM, _emb
+
+    base = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("varr")
+    )
+    out = None
+    for _ in range(PIT_ITERS):
+        s = base.crossJoin(F.broadcast(vdf)).select(
+            "vec_id",
+            "x",
+            F.aggregate(
+                F.zip_with(
+                    "x",
+                    "varr",
+                    lambda a, b: F.round(a * b * F.lit(PIT_Q)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("sq"),
+        )
+        w = (
+            s.select(F.posexplode("x").alias("dim", "xv"), "sq")
+            .select(
+                "dim",
+                (F.round(F.col("xv") * PIT_Q).cast("long") * F.col("sq")).alias("c"),
+            )
+            .groupBy("dim")
+            .agg(F.sum("c").alias("ws"))
+        )
+        m = w.agg(F.max(F.abs(F.col("ws"))).alias("m"))
+        u = w.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.round(F.col("ws").cast("double") / F.col("m").cast("double") * PIT_Q)
+            .cast("long")
+            .alias("uq"),
+        )
+        uqa = (
+            u.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "uq"))).alias("su"))
+            .select(F.transform("su", lambda t: t["uq"]).alias("uqa"))
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("uqa"), F.lit(0).cast("long"), lambda acc, q: acc + q * q
+            ).cast("double")
+        )
+        vdf = uqa.select(
+            F.transform(F.col("uqa"), lambda q: q.cast("double") / norm).alias("varr")
+        )
+        out = vdf
+    return out.select(F.posexplode("varr").alias("dim", "loading"))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup PAIRS: 60-bit fingerprint + pigeonhole block join
+# --------------------------------------------------------------------------
+# Manku/Jain/Sarma (WWW'07): if hamming(a, b) <= 3 then at least one of
+# 4 disjoint 15-bit blocks of the 60-bit fingerprints is EQUAL — so the
+# candidate join is a bucket equi-join on (block_idx, block_value), not
+# an all-pairs scan, and the exact Hamming verify runs on candidates
+# only. 60 bits (the full portable shingle-hash width) rather than the
+# 32-bit fingerprint of `docs_simhash`: 15-bit blocks give 32k buckets
+# per block, which is what keeps bucket occupancy — and the join —
+# subquadratic as the corpus grows.
+SIMHASH60_BITS = 60
+SIMHASH_HAM_BLOCKS = 4
+SIMHASH_HAM_T = SIMHASH_HAM_BLOCKS - 1  # pigeonhole guarantee
+SIMHASH_BLOCK_BITS = SIMHASH60_BITS // SIMHASH_HAM_BLOCKS  # 15
+SIMHASH_BLOCK_CAP = 1000  # degenerate-bucket kill switch (LSH_BUCKET_CAP twin)
+
+
+def _sql_simhash60() -> str:
+    from .llm_queries import _SQL_SHINGLE_H
+
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (sh // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH60_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH60_BITS)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLE_H}),
+    bits AS (
+      SELECT doc_id, {bit_sums}
+      FROM sh GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, ({assemble}) AS simhash FROM bits)
+    """
+
+
+def _sql_simhash_pairs() -> str:
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS blk,"
+        f" (simhash // {1 << (SIMHASH_BLOCK_BITS * b)}) % {mask + 1} AS bv"
+        " FROM sim"
+        for b in range(SIMHASH_HAM_BLOCKS)
+    )
+    return f"""{_sql_simhash60()},
+    blocks AS ({blocks}),
+    capped AS (
+      SELECT doc_id, blk, bv FROM blocks
+      QUALIFY COUNT(*) OVER (PARTITION BY blk, bv) <= {SIMHASH_BLOCK_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sim sa ON sa.doc_id = c.doc_a
+    JOIN sim sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_T}
+    """
+
+
+def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc over the shared cached shingle working set
+    (same +-1 bit votes as docs_simhash, full hash width)."""
+    from .llm_queries import _shingles_cached
+
+    sh = _shingles_cached(spark, sf_dir)
+    h = F.col("sh")
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH60_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH60_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@stage(
+    "docs_simhash_hamming_pairs",
+    oracle=_sql_simhash_pairs(),
+    tags=("llm", "dedup-near", "simhash", "hamming"),
+)
+def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at Hamming distance <= 3 via the
+    pigeonhole block join (Manku et al., WWW'07): split each 60-bit
+    fingerprint into 4 disjoint 15-bit blocks; any pair within the
+    Hamming budget MUST agree on at least one block, so candidates come
+    from a bucket equi-join on (block_idx, block_value) — one 8-byte-ish
+    shuffle key, 32k buckets per block — and the exact popcount verify
+    (bit_count of XOR) touches candidates only. Buckets wider than
+    SIMHASH_BLOCK_CAP are dropped before the join (boilerplate-identical
+    fingerprints would go quadratic — same kill switch as the MinHash
+    LSH bands). Completes the near-dup family: MinHash ~ Jaccard,
+    hyperplane-LSH ~ cosine, SimHash-blocks ~ Hamming."""
+    sim = _simhash60(spark, sf_dir)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blk_rows = [
+        sim.select(
+            "doc_id",
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * b)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for b in range(SIMHASH_HAM_BLOCKS)
+    ]
+    blocks = blk_rows[0]
+    for extra in blk_rows[1:]:
+        blocks = blocks.unionByName(extra)
+    wide = (
+        blocks.groupBy("blk", "bv")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > SIMHASH_BLOCK_CAP)
+        .select("blk", "bv")
+    )
+    capped = blocks.join(F.broadcast(wide), ["blk", "bv"], "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(ha ^ hb)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap (crawl-pipeline domain cap)
+# --------------------------------------------------------------------------
+SOURCE_CAP_K = 15
+
+
+def _sql_source_cap() -> str:
+    from ..functions.text import sql_portable_hash64
+
+    h = sql_portable_hash64("'cap:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, source,
+           (row_number() OVER (
+              PARTITION BY source
+              ORDER BY {h}, doc_id
+            ) <= {SOURCE_CAP_K}) AS kept
+    FROM documents
+    """
+
+
+@stage(
+    "docs_source_cap",
+    oracle=_sql_source_cap(),
+    tags=("llm", "sampling", "source-cap"),
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the crawl-pipeline guard against domain
+    dominance: keep at most SOURCE_CAP_K documents per source, chosen by
+    a salted portable hash of doc_id (reproducible across runs, engines
+    and cluster sizes; new crawls never evict previously-kept docs of
+    other hashes' order — same rationale as docs_split_assign).
+
+    Scale: sources BELOW the cap never enter a sort — they short-circuit
+    through a broadcast semi-join on the per-source counts (map-only),
+    so the row_number window runs ONLY over the hot tail (capped
+    domains), which is precisely where per-source ordering is required.
+    A uniform corpus pays one tiny count aggregate + one window; a
+    skewed crawl (the realistic case: web domains are Zipfian) windows
+    only the few giant domains. Tested on a skewed fixture in
+    tests/test_round9_models.py."""
+    from ..functions.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    small = d.join(
+        F.broadcast(counts.filter(F.col("n") <= SOURCE_CAP_K).select("source")),
+        "source",
+    ).select("doc_id", "source", F.lit(True).alias("kept"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    hot = (
+        d.join(
+            F.broadcast(counts.filter(F.col("n") > SOURCE_CAP_K).select("source")),
+            "source",
+        )
+        .select(
+            "doc_id", "source", (F.row_number().over(w) <= SOURCE_CAP_K).alias("kept")
+        )
+    )
+    return small.unionByName(hot)

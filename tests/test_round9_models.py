@@ -338,3 +338,49 @@ def test_overlap_chunks_invariants(spark, tmp_path_factory, n_toks):
         for a, b in zip(chunks, chunks[1:]):
             if a.chunk_len == CHUNK_W:
                 assert a.start_tok + a.chunk_len - b.start_tok == CHUNK_W - CHUNK_S
+
+
+# --------------------------------------------- per-source cap model --
+def test_source_cap_skewed_matches_python_model(spark, tmp_path_factory):
+    """Skewed fixture exercising BOTH plan paths (the uniform testdata
+    only hits the hot-tail window): a 40-doc source goes through the
+    row_number window, a 5-doc source through the broadcast fast path.
+    Kept set must equal the python model of the same salted hash order,
+    and the small source must keep everything."""
+    import hashlib
+
+    from pse_stocks_etl_spark.plans.round9_queries import (
+        SOURCE_CAP_K,
+        docs_source_cap,
+    )
+
+    n_big, n_small = 40, 5
+    texts = [f"doc number {i}" for i in range(n_big + n_small)]
+    path = tmp_path_factory.mktemp("srccap")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(
+                    ["big"] * n_big + ["small"] * n_small, pa.string()
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    rows = docs_source_cap(spark, str(path)).collect()
+    assert len(rows) == n_big + n_small
+    got_kept = {r.doc_id for r in rows if r.kept}
+
+    def h(doc_id: int) -> int:
+        return int(hashlib.md5(f"cap:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    big_ids = list(range(1, n_big + 1))
+    small_ids = list(range(n_big + 1, n_big + n_small + 1))
+    want_kept = set(sorted(big_ids, key=lambda i: (h(i), i))[:SOURCE_CAP_K])
+    want_kept |= set(small_ids)  # below the cap: everything kept
+    assert got_kept == want_kept
+    assert sum(1 for r in rows if r.source == "big" and r.kept) == SOURCE_CAP_K

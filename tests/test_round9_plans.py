@@ -97,3 +97,37 @@ def test_q21_window_form_single_big_join(spark):
     assert big <= 1, f"expected <=1 non-broadcast join, plan has {big}"
     # supplier dim must broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_power_iteration_no_cartesian_no_udf(spark):
+    """Each power-iteration round broadcasts only the 64-double v (and
+    the 1-row max); the corpus side must never cartesian-join or leave
+    the JVM. The only aggregates are 64-group (dim) and per-vector —
+    both map-side combinable."""
+    plan = _plan(spark, "emb_power_iteration")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_simhash_pairs_candidate_join_is_equi(spark):
+    """The pigeonhole candidate join must hash on (blk, bv) — an equi
+    join with the doc_id inequality as a post-condition — never a
+    cartesian/nested-loop over the corpus."""
+    plan = _plan(spark, "docs_simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_source_cap_single_window_over_hot_tail(spark):
+    """The fast path must keep small sources out of the sort: exactly
+    one Window node (the hot tail), and the per-source count joins
+    arrive broadcast."""
+    plan = _plan(spark, "docs_source_cap")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
