@@ -1239,7 +1239,10 @@ PIT_ITERS = 3
 PIT_Q = 1_000_000  # fixed-point quantum for order-free integer sums
 
 
-def _sql_power_iteration() -> str:
+def _sql_pit_parts() -> list[str]:
+    """Shared unrolled power-iteration CTE chain: x (quantized unnest),
+    v0 (uniform init), then per iteration s/w/m/u/n/v — ending at
+    v{PIT_ITERS}, the converged unit direction both PCA oracles read."""
     from .llm_queries import EMB_DIM
 
     parts = [
@@ -1274,8 +1277,14 @@ def _sql_power_iteration() -> str:
             f"v{i} AS (SELECT dim, CAST(uq AS DOUBLE)"
             f" / sqrt(CAST(n2 AS DOUBLE)) AS vd FROM u{i}, n{i})"
         )
+    return parts
+
+
+def _sql_power_iteration() -> str:
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT dim, vd AS loading FROM v{PIT_ITERS}"
+        "WITH "
+        + ",\n".join(_sql_pit_parts())
+        + f"\nSELECT dim, vd AS loading FROM v{PIT_ITERS}"
     )
 
 
@@ -1311,6 +1320,14 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     base projection persists once and each iteration ends in a
     localCheckpoint to keep the stacked plan flat (kmeans-refine
     pattern, llm_queries.py)."""
+    base, vdf = _pit_v(spark, sf_dir)
+    return vdf.select(F.posexplode("varr").alias("dim", "loading"))
+
+
+def _pit_v(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base projection, converged 1-row unit direction) after PIT_ITERS
+    deterministic power-iteration rounds — the Spark twin of the
+    _sql_pit_parts CTE chain."""
     from .llm_queries import EMB_DIM, _emb
 
     base = _emb(spark, sf_dir).select(
@@ -1319,7 +1336,6 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     vdf = spark.range(1).select(
         F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("varr")
     )
-    out = None
     for _ in range(PIT_ITERS):
         s = base.crossJoin(F.broadcast(vdf)).select(
             "vec_id",
@@ -1363,8 +1379,83 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         vdf = uqa.select(
             F.transform(F.col("uqa"), lambda q: q.cast("double") / norm).alias("varr")
         )
-        out = vdf
-    return out.select(F.posexplode("varr").alias("dim", "loading"))
+    return base, vdf
+
+
+# PCA diagnostics: share of total variance captured by the top component
+PIT_Q9 = 1_000_000_000  # finer quantum: both Rayleigh terms are <= 1 per row
+
+
+def _sql_variance_explained() -> str:
+    last = f"v{PIT_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(_sql_pit_parts())
+        + f""",
+    sf AS (
+      SELECT x.vec_id, SUM(CAST(round(x.xv * v.vd * 1000000) AS BIGINT)) AS sq
+      FROM x JOIN {last} v USING (dim) GROUP BY x.vec_id
+    ),
+    qn AS (
+      SELECT vec_id,
+             CAST(round((CAST(sq AS DOUBLE) / 1000000)
+                        * (CAST(sq AS DOUBLE) / 1000000)
+                        * {PIT_Q9}) AS BIGINT) AS q
+      FROM sf
+    ),
+    dn AS (
+      SELECT vec_id, SUM(CAST(round(xv * xv * {PIT_Q9}) AS BIGINT)) AS d
+      FROM x GROUP BY vec_id
+    )
+    SELECT COUNT(*) AS n_vecs,
+           (SUM(q.q) * 1.0 / SUM(d.d)) AS top_share
+    FROM qn q JOIN dn d USING (vec_id)
+    """
+    )
+
+
+@stage(
+    "emb_variance_explained",
+    oracle=_sql_variance_explained(),
+    tags=("llm", "similarity", "pca", "iterative"),
+)
+def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh-quotient diagnostic for the power-iteration component:
+    the share of total (uncentered) variance the top direction captures,
+    share = sum_i (x_i.v)^2 / sum_i ||x_i||^2 — the go/no-go number
+    before spending a whitening or spectral-index pass (a near-isotropic
+    corpus, share ~ 1/dim, gains nothing from rank-1 treatment).
+
+    Determinism: the dot product re-uses the iteration's integer-term
+    sum; its square and each ||x||^2 term are quantized to 1e-9 units
+    (both are <= 1 per row for unit-norm inputs) so BOTH Rayleigh sums
+    are exact BIGINT reductions — order-free — and the share is one
+    IEEE division. Scale: one broadcast of v, one map-only projection,
+    one global 2-sum aggregate; nothing keyed, nothing quadratic."""
+    base, vdf = _pit_v(spark, sf_dir)
+    s = base.crossJoin(F.broadcast(vdf)).select(
+        F.aggregate(
+            F.zip_with(
+                "x",
+                "varr",
+                lambda a, b: F.round(a * b * F.lit(PIT_Q)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("sq"),
+        F.aggregate(
+            F.col("x"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.round(t * t * F.lit(PIT_Q9)).cast("long"),
+        ).alias("d"),
+    )
+    xi_v = F.col("sq").cast("double") / PIT_Q
+    return s.select(
+        F.round(xi_v * xi_v * F.lit(PIT_Q9)).cast("long").alias("q"), "d"
+    ).agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum("q") * 1.0 / F.sum("d")).alias("top_share"),
+    )
 
 
 # --------------------------------------------------------------------------
