@@ -362,13 +362,21 @@ def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_PAIRS_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
 
 
+# Other plan modules register their working-set caches here so ONE
+# clear call keeps the whole engine's persisted state bounded.
+EXTRA_WORKING_SET_CACHES: list[_PersistedLRU] = []
+
+
 def clear_working_set_caches() -> None:
     """Unpersist + forget every session working-set cache (shingles,
-    capped shingles, CC pairs). For harnesses that need per-query
-    isolation (bench.py) and long-lived services rotating datasets."""
+    capped shingles, CC pairs, registered extras). For harnesses that
+    need per-query isolation (bench.py) and long-lived services
+    rotating datasets."""
     _SHINGLE_CACHE.clear()
     _SHINGLE_CAPPED_CACHE.clear()
     _CC_PAIRS_CACHE.clear()
+    for cache in EXTRA_WORKING_SET_CACHES:
+        cache.clear()
 
 
 def _exact_jaccard(

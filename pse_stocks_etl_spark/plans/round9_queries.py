@@ -1320,36 +1320,39 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     base projection persists once and each iteration ends in a
     localCheckpoint to keep the stacked plan flat (kmeans-refine
     pattern, llm_queries.py)."""
-    base, vdf = _pit_v(spark, sf_dir)
+    base, vdf, _ = _pit_v(spark, sf_dir)
     return vdf.select(F.posexplode("varr").alias("dim", "loading"))
 
 
-def _pit_v(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pit_v(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, list]:
     """(base projection, converged 1-row unit direction) after PIT_ITERS
     deterministic power-iteration rounds — the Spark twin of the
-    _sql_pit_parts CTE chain."""
+    _sql_pit_parts CTE chain.
+
+    Each round ends in a BOUNDED collect of the 64-double v (the
+    parquet_table partition-values precedent: bounded by EMB_DIM, never
+    by data size) which re-enters the next round as a literal array.
+    Left lazy, round i's plan nests rounds 1..i-1 inside stacked
+    broadcast subtrees that re-execute rather than reuse (measured 22s
+    vs 3s at x64); localCheckpoint flattens the plan but materializes
+    through the RDD path at ~8s per 1-row checkpoint. The literal
+    re-entry keeps every iteration at exactly one job and the returned
+    v a plan-free 1-row frame. ALL arithmetic stays in Spark
+    expressions — the collect only round-trips exact IEEE doubles — so
+    oracle hash parity is untouched.
+
+    The dot product stays a zip_with/aggregate fold against the literal
+    v array (measured: the fold beats a 64-term unrolled element_at sum
+    ~2x per corpus pass — the wide expression deoptimizes, the same
+    family of effect as SCALE.md's IVF negative result)."""
     from .llm_queries import EMB_DIM, _emb
 
     base = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    vdf = spark.range(1).select(
-        F.array(*[F.lit(0.125).cast("double")] * EMB_DIM).alias("varr")
-    )
+    vals: list[float] = [0.125] * EMB_DIM
     for _ in range(PIT_ITERS):
-        s = base.crossJoin(F.broadcast(vdf)).select(
-            "vec_id",
-            "x",
-            F.aggregate(
-                F.zip_with(
-                    "x",
-                    "varr",
-                    lambda a, b: F.round(a * b * F.lit(PIT_Q)).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("sq"),
-        )
+        s = base.select("vec_id", "x", _dot_q(vals).alias("sq"))
         w = (
             s.select(F.posexplode("x").alias("dim", "xv"), "sq")
             .select(
@@ -1376,10 +1379,31 @@ def _pit_v(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 F.col("uqa"), F.lit(0).cast("long"), lambda acc, q: acc + q * q
             ).cast("double")
         )
-        vdf = uqa.select(
-            F.transform(F.col("uqa"), lambda q: q.cast("double") / norm).alias("varr")
-        )
-    return base, vdf
+        vals = [
+            float(v)
+            for v in uqa.select(
+                F.transform(F.col("uqa"), lambda q: q.cast("double") / norm).alias(
+                    "varr"
+                )
+            )
+            .collect()[0]["varr"]
+        ]
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(v).cast("double") for v in vals]).alias("varr")
+    )
+    return base, vdf, vals
+
+
+def _dot_q(vals: list[float]):
+    """Quantized dot product of the x array against the literal
+    direction `vals`: sum_d round(x[d] * v_d * 1e6) as an exact BIGINT
+    fold — order-fixed AND order-free (integer terms)."""
+    varr = F.array(*[F.lit(v).cast("double") for v in vals])
+    return F.aggregate(
+        F.zip_with("x", varr, lambda a, b: F.round(a * b * F.lit(PIT_Q)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
 
 
 # PCA diagnostics: share of total variance captured by the top component
@@ -1430,19 +1454,12 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum; its square and each ||x||^2 term are quantized to 1e-9 units
     (both are <= 1 per row for unit-norm inputs) so BOTH Rayleigh sums
     are exact BIGINT reductions — order-free — and the share is one
-    IEEE division. Scale: one broadcast of v, one map-only projection,
+    IEEE division. Scale: one map-only projection (v enters as a
+    literal; both per-row sums are unrolled codegen terms, see _dot_q),
     one global 2-sum aggregate; nothing keyed, nothing quadratic."""
-    base, vdf = _pit_v(spark, sf_dir)
-    s = base.crossJoin(F.broadcast(vdf)).select(
-        F.aggregate(
-            F.zip_with(
-                "x",
-                "varr",
-                lambda a, b: F.round(a * b * F.lit(PIT_Q)).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).alias("sq"),
+    base, _, vals = _pit_v(spark, sf_dir)
+    s = base.select(
+        _dot_q(vals).alias("sq"),
         F.aggregate(
             F.col("x"),
             F.lit(0).cast("long"),
@@ -1525,9 +1542,39 @@ def _sql_simhash_pairs() -> str:
     """
 
 
+# The 60-bit fingerprint table is a per-(session, sf_dir) persisted
+# working set like the shingle explode: the pairs query references it
+# from the 4 block branches, the bucket-cap aggregate, BOTH self-join
+# sides, and BOTH verify joins — unpersisted, Catalyst recomputes the
+# 60-aggregate vote pass for every reference (~6x the cost, measured
+# 8.2s -> 2.1s warm at sf0.1). One BIGINT per doc; at corpus scale this
+# is exactly the fingerprint table a production dedup service maintains
+# incrementally. Registered with clear_working_set_caches().
+def _make_simhash_cache():
+    from .llm_queries import EXTRA_WORKING_SET_CACHES, _PersistedLRU, SHINGLE_CACHE_CAP
+
+    cache = _PersistedLRU(SHINGLE_CACHE_CAP)
+    EXTRA_WORKING_SET_CACHES.append(cache)
+    return cache
+
+
+_SIMHASH60_CACHE = _make_simhash_cache()
+
+
 def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc over the shared cached shingle working set
-    (same +-1 bit votes as docs_simhash, full hash width)."""
+    (same +-1 bit votes as docs_simhash, full hash width); persisted
+    per (session, sf_dir) — see _SIMHASH60_CACHE."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SIMHASH60_CACHE.get_or_build(
+        key,
+        lambda: _simhash60_build(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK),
+    )
+
+
+def _simhash60_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_queries import _shingles_cached
 
     sh = _shingles_cached(spark, sf_dir)
@@ -1568,19 +1615,21 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH ~ cosine, SimHash-blocks ~ Hamming."""
     sim = _simhash60(spark, sf_dir)
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
-    blk_rows = [
-        sim.select(
-            "doc_id",
-            F.lit(b).alias("blk"),
-            F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * b)
-            .bitwiseAND(F.lit(mask))
-            .alias("bv"),
-        )
-        for b in range(SIMHASH_HAM_BLOCKS)
-    ]
-    blocks = blk_rows[0]
-    for extra in blk_rows[1:]:
-        blocks = blocks.unionByName(extra)
+    # one pass over the persisted fingerprints: posexplode the 4 block
+    # values instead of a 4-branch union (which would scan sim 4 times)
+    blocks = sim.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(SIMHASH_HAM_BLOCKS)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
     wide = (
         blocks.groupBy("blk", "bv")
         .agg(F.count("*").alias("n"))
