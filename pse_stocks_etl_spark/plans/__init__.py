@@ -73,8 +73,8 @@ except ImportError:  # pragma: no cover - partial checkouts
 # move those stage() decorators to register(), import round9_queries
 # here, append the names directly after blocks 8+9 — the guard's
 # 25-query bound constrains only never-checked queries OUTSIDE the
-# 50-slot window, so 24 queue + 19 promoted = 43 window slots is legal
-# and leaves ~7 for stale-green refresh; the drain test in
+# 50-slot window, so 24 queue + 20 promoted = 44 window slots is legal
+# and leaves ~6 for stale-green refresh; the drain test in
 # tests/test_round9.py then retires with the staging module). Fill the
 # remaining slots with the stalest greens (array_agg_user_profile and
 # the r1/r2-green refresh tail: flagship_latest_price, docs_simhash,

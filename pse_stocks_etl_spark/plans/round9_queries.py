@@ -1724,3 +1724,96 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small.unionByName(hot)
+
+
+# --------------------------------------------------------------------------
+# Character-diversity quality proxy (Gini-Simpson index)
+# --------------------------------------------------------------------------
+@stage(
+    "docs_char_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, ch, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+            -- string_split('', '') is [''], not []: exclude empties so
+            -- the LEFT JOIN gives them the same NULL-metrics row as
+            -- NULL texts (matches the Spark length>0 guard)
+            WHERE length(text) > 0)
+      GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n * n) AS BIGINT) AS ss,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             COUNT(*) AS n_distinct
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_chars, 0) AS n_chars,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           (1.0 - (a.ss * 1.0 / (a.n_chars * a.n_chars))) AS gini_simpson
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "text-quality", "diversity"),
+)
+def docs_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson character diversity per document, 1 - sum_ch p_ch^2:
+    a perplexity-free degenerate-text detector (keyboard mashing, long
+    pad runs, single-char spam score near 0; natural text sits high) —
+    complements the word-level Gopher repetition stats with a
+    character-level signal.
+
+    Rational arithmetic only — counts, squares, one IEEE division —
+    because ln() is not bit-identical across engines (the entropy form
+    would be; Simpson carries the same signal without it).
+
+    Scale: ZERO exchanges — the oracle's unnest + two GROUP BYs
+    re-expresses as a per-row fold over the SORTED char array (the
+    repetition-stats rewrite): run lengths of the sorted array ARE the
+    per-char counts, so sum-of-squared-run-lengths = sum n_ch^2. At
+    100 TB this is a map-only pass over the corpus scan. NULL/empty
+    texts keep their row (counts 0, diversity NULL) on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text")),
+            lambda i: F.col("text").substr(i, F.lit(1)),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("ss"),
+        zero.alias("nd"),
+    )
+    folded = F.aggregate(
+        chars,
+        acc0,
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(c == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(c == acc["prev"], acc["ss"])
+            .otherwise(acc["ss"] + acc["run"] * acc["run"])
+            .alias("ss"),
+            F.when(c == acc["prev"], acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
+        ),
+        lambda acc: F.struct(
+            (acc["ss"] + acc["run"] * acc["run"]).alias("ss"), acc["nd"].alias("nd")
+        ),
+    )
+    has_text = F.length("text") > 0
+    out = d.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        F.when(has_text, folded).alias("f"),
+    )
+    n = F.col("n_chars")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("f.nd"), F.lit(0).cast("long")).alias("n_distinct"),
+        # NULL f (no/empty text) propagates to a NULL diversity
+        (1.0 - (F.col("f.ss") * 1.0 / (n * n))).alias("gini_simpson"),
+    )

@@ -133,3 +133,11 @@ def test_source_cap_single_window_over_hot_tail(spark):
     plan = _plan(spark, "docs_source_cap")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_char_diversity_is_exchange_free(spark):
+    """The sorted-run fold makes diversity a pure per-row map over the
+    documents scan (the repetition-stats rewrite) — any Exchange means
+    someone re-introduced the unnest + double group-by."""
+    plan = _plan(spark, "docs_char_diversity")
+    assert "Exchange" not in plan
