@@ -43,110 +43,54 @@ try:  # round-8 queries (TPC-H Q14/Q18/Q7 shapes, span/bow/containment dedup)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-9 queries (TPC-H subquery shapes, IVF-PQ, PCA, SimHash pairs)
+    from . import round9_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
+try:  # round-10 queries (store lifecycle, incremental IVF-PQ)
+    from . import round10_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. The round-6 window below leads with every query that has
-# NO hash-green row in any CORRECTNESS_r*.json on disk (the rotation
-# contract tests/test_parity.py::test_driver_window_covers_unverified_queries
-# enforces this mechanically — a no-rotation round turns the suite red).
-# NOTE: no CORRECTNESS_r05.json was recorded, so the whole round-5 priority
-# block (the streaming timestamp fix, the r4 rotation queue, the sketch
-# oracle upgrades, and the round-5 additions) is still unverified
-# and stays at the front:
-#   1. the two streaming queries fixed in r5 (timestamp-unit bug —
-#      the driver must confirm the fix end-to-end),
-#   2. the five round-3 additions never yet inside a window,
-#   3. the two sketch queries upgraded to full error-bound oracles in r5,
-#   5. the eleven round-5 additions (never driver-seen by definition),
-#   6. the nineteen round-6 additions,
-#   7. eleven of this round's additions (fills slot 50),
-#   8. positions 51+: this round's overflow queue (the rotation guard
-#      requires them HERE so they enter the next window mechanically).
+# order each round. CORRECTNESS_r05.json came back 50/50 green (rows +
+# schema + hash, zero err), draining the whole round-5 window: the
+# streaming timestamp fix, the r4 rotation queue, the sketch-oracle
+# upgrades, and every round-5/6/7 addition are now driver-confirmed.
+# Cumulatively 145/170 pre-promotion registry queries hold a driver-green
+# row (COVERAGE.md's driver map is the authoritative ledger).
 #
-# NEXT-ROUND ROTATION RECIPE: once the driver records this window green,
-# move blocks 1-7 out, promote blocks 8+9 (the 24-query declared
-# next-window queue: the round-7 second batch and the round-8 additions
-# incl. multimodal_bmp_decode / multimodal_y4m_frames / emb_pq_quantize /
-# emb_ann_adc), PLUS the round-9 STAGING registry (plans/staging.py:
-# move those stage() decorators to register(), import round9_queries
-# here, append the names directly after blocks 8+9 — the guard's
-# 25-query bound constrains only never-checked queries OUTSIDE the
-# 50-slot window, so 24 queue + 20 promoted = 44 window slots is legal
-# and leaves ~6 for stale-green refresh; the drain test in
-# tests/test_round9.py then retires with the staging module). Fill the
-# remaining slots with the stalest greens (array_agg_user_profile and
-# the r1/r2-green refresh tail: flagship_latest_price, docs_simhash,
-# emb_*, docs_near_dup_clusters, docs_top_terms, docs_bpe_token_stats,
-# docs_quality_score, then the r3/r4 block). COVERAGE.md's driver map
-# is the authoritative ledger.
-# COVERAGE.md records the cumulative per-round driver-green map.
+# The round-6 window below therefore executes the promotion recipe the
+# r5 rotation declared: every query that has NEVER had a hash-green row
+# in any CORRECTNESS_r*.json leads the registry (the rotation contract
+# tests/test_parity.py::test_driver_window_covers_unverified_queries
+# enforces this mechanically — a no-rotation round turns the suite red):
+#   1. the 12-query round-7 second batch (was positions 51-62),
+#   2. the 13 round-8 additions (was positions 63+),
+#   3. the 20 round-9 queries promoted out of plans/staging.py
+#      (stage() → register(); staging is now EMPTY and stays a queue),
+#   4. this round's additions (never driver-seen by definition),
+#   5. any remaining slots: the stalest greens (r1/r2-green, never
+#      re-confirmed since — refresh guards against silent rot beyond
+#      the window, the r4 failure mode).
+#
+# NEXT-ROUND ROTATION RECIPE: once CORRECTNESS_r06 records this window
+# green, the never-checked backlog is 0. Rebuild _DRIVER_FIRST from the
+# stale-green refresh queue (oldest driver round first — the r1/r2
+# block: flagship_latest_price, pricing_summary, watermark_per_key,
+# dedup_argmax, docs_exact_dedup, docs_fingerprint, emb_*,
+# docs_near_dup_clusters, array_agg_user_profile, sessionization, ...,
+# then r3/r4), with any round-7 additions taking window slots ahead of
+# the refresh tail. New queries go straight to REGISTRY +
+# _DRIVER_FIRST (window first, then overflow positions 51+ up to the
+# 25-query bound); staging stays empty unless the bound is hit.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- block 1: fixed in r5, driver must confirm --
-    "streaming_hourly_counts",
-    "streaming_click_join",
-    # -- block 2: never driver-checked (r4 rotation queue) --
-    "docs_incremental_dedup",
-    "value_histogram",
-    "vwap_weekly",
-    "rolling_volatility",
-    "retention_cohorts",
-    # -- block 3: sketch queries with full error-bound oracles since r5 --
-    "approx_distinct_per_key",
-    "approx_quantile_per_key",
-    # -- block 5: round-5 additions (driver-unseen by definition) --
-    "streaming_user_stats",
-    "kmv_set_algebra",
-    "table_profile",
-    "user_time_weighted_avg",
-    "docs_mixture_weights",
-    "streaming_sessions",
-    "sliding_window_counts",
-    "streaming_sliding_counts",
-    "cms_heavy_hitters",
-    "docs_uniform_sample",
-    "streaming_dedup_counts",
-    # -- block 6: round-6 additions --
-    "bloom_prefilter_semi_join",
-    "event_transition_matrix",
-    "part_name_near_dup",
-    "docs_token_budget_select",
-    "basket_cooccurrence_lift",
-    "streaming_static_enrich",
-    "data_expectations_check",
-    "emb_int8_quantize",
-    "user_trend_slope",
-    "table_key_checksums",
-    "copurchase_triangle_count",
-    "user_value_ewma",
-    "copurchase_pagerank",
-    "user_value_rolling_median",
-    "event_trigram_paths",
-    "part_price_size_skyline",
-    "csv_malformed_tolerant_read",
-    "variant_props_histogram",
-    "customer_abc_classes",
-    # -- block 7: round-7 additions (driver-unseen by definition;
-    # these take the window slots the round-2-green refresh tail
-    # (flagship_latest_price, docs_simhash, emb_*, docs_near_dup_*,
-    # array_agg_user_profile, ...) would otherwise re-confirm — that
-    # refresh queue leads the NEXT round's rotation) --
-    "user_activity_islands",
-    "click_max_concurrency",
-    "purchase_touch_attribution",
-    "value_mad_outliers",
-    "benford_first_digit",
-    "fk_orphan_audit",
-    "daily_cusum_shift",
-    "funnel_strict_24h",
-    "mode_event_per_user",
-    "docs_weighted_sample",
-    "gapfill_interp_daily",
-    # -- block 8: round-7 second batch — positions 51-56, i.e. the
-    # declared NEXT-window queue (the rotation guard requires every
-    # never-checked query to sit in the window OR here, bounded) --
+    # -- block 1: round-7 second batch (never driver-checked) --
     "docs_prefix_jaccard_pairs",
     "purchase_state_asof",
     "segment_priority_chisq",
@@ -159,11 +103,7 @@ _DRIVER_FIRST = [
     "supplier_revenue_gini",
     "weekly_autocorr_lag1",
     "value_ks_two_sample",
-    # -- block 9: round-8 additions — also next-window queue (positions
-    # 57+). Together with block 8 this backlog is 19 queries: it drains
-    # in ONE rotated window with 31 slots left for stale-green refresh
-    # (the guard test bounds the backlog at half a window for exactly
-    # this reason) --
+    # -- block 2: round-8 additions (never driver-checked) --
     "promo_revenue_share",
     "large_order_customers",
     "nation_pair_trade",
@@ -177,6 +117,35 @@ _DRIVER_FIRST = [
     "emb_pq_quantize",
     "emb_ann_adc",
     "docs_containment_prefix_pairs",
+    # -- block 3: round-9 queries promoted from staging (never checked) --
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "idle_rich_customers",
+    "brand_bracket_revenue",
+    "late_ship_priority_counts",
+    "top_revenue_suppliers",
+    "part_revenue_concentration",
+    "regional_market_share",
+    "sole_late_supplier_orders",
+    "emb_ann_ivfpq",
+    "docs_quality_classifier",
+    "streaming_click_outer_join",
+    "docs_overlap_chunks",
+    "docs_cluster_canonical",
+    "daily_seasonal_backtest",
+    "emb_power_iteration",
+    "emb_variance_explained",
+    "docs_simhash_hamming_pairs",
+    "docs_source_cap",
+    "docs_char_diversity",
+    # -- block 4: round-6(-of-the-build) additions (never driver-seen) --
+    "store_lifecycle_preview",
+    "emb_ann_ivfpq_increment",
+    # -- block 5: stale-green refresh (r1/r2-green, never re-confirmed
+    # since; fills the window to 50) --
+    "docs_simhash",
+    "emb_cosine_topk",
+    "array_agg_user_profile",
 ]
 
 

@@ -343,7 +343,15 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((n_ab·N) / (n_a·n_b)) so the double division is bit-identical
     across engines. Per-part counts join back broadcast (|parts| ≪
     |pairs|); at larger dims they'd shuffle on part key."""
-    li = _t(spark, sf_dir, "lineitem")
+    # NULL-key guard (ADVICE r5): groupBy would form a basket for a NULL
+    # orderkey (one giant pseudo-basket) where the oracle's self-join
+    # and COUNT(DISTINCT l_orderkey) both exclude NULLs. The ingest
+    # contract keeps keys NOT NULL, so this filter is a no-op today —
+    # it makes the plan's NULL semantics match the oracle by
+    # construction instead of by data contract.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))

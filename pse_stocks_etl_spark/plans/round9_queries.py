@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents, sql_cents
 from ..sources.catalog import load_table
-from .staging import STAGING, stage
+from .registry import REGISTRY, register
 
 # Q4 analog: a lineitem is "late" when it ships this many days after
 # the order date (no l_commitdate in the testdata).
@@ -75,7 +75,7 @@ def _sql_rev10k(price: str, disc: str) -> str:
 # --------------------------------------------------------------------------
 # TPC-H Q13 analog: distribution of orders-per-customer
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "customer_order_distribution",
     oracle="""
     WITH per_cust AS (
@@ -118,7 +118,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q17 analog: revenue from small-quantity lineitems of one brand
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "small_quantity_revenue",
     oracle=f"""
     WITH brand_parts AS (
@@ -179,7 +179,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q22 analog: above-average-balance customers with no orders
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "idle_rich_customers",
     oracle=f"""
     WITH bal AS (
@@ -238,7 +238,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q19 analog: disjunctive bracket predicate revenue
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "brand_bracket_revenue",
     oracle=f"""
     SELECT (SUM({_sql_rev10k('li.l_extendedprice', 'li.l_discount')}) / 10000.0)
@@ -292,7 +292,7 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q4 analog: orders with a late-shipping lineitem, by priority
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "late_ship_priority_counts",
     oracle=f"""
     SELECT o.o_orderpriority, COUNT(*) AS n_orders
@@ -321,13 +321,14 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per order into 5 groups, map-side."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # Full-timestamp comparison, token-identical to the oracle's
+    # `l_shipdate > o_orderdate + INTERVAL n DAY` — a DATE-truncated
+    # Spark predicate would silently diverge if the testdata ever grew
+    # intra-day shipment times (ADVICE r5).
     late = o.join(
         li,
         (o.o_orderkey == li.l_orderkey)
-        & (
-            F.to_date("l_shipdate")
-            > F.date_add(F.to_date("o_orderdate"), LATE_SHIP_DAYS)
-        ),
+        & (li.l_shipdate > o.o_orderdate + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAY")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
@@ -336,7 +337,7 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q15 analog: suppliers achieving the maximum revenue
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "top_revenue_suppliers",
     oracle=f"""
     WITH srev AS (
@@ -381,7 +382,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q11 analog: parts holding an outsized share of global revenue
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "part_revenue_concentration",
     oracle=f"""
     WITH prev AS (
@@ -439,7 +440,7 @@ SHARE_NATION = "NATION_2"
 # --------------------------------------------------------------------------
 # TPC-H Q8 analog: one nation's supplier market share inside a region
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "regional_market_share",
     oracle=f"""
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
@@ -506,7 +507,7 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q21 analog: the sole late supplier in multi-supplier orders
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "sole_late_supplier_orders",
     oracle=f"""
     WITH per_os AS (
@@ -552,8 +553,11 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # Timestamp-granular lateness, matching the oracle's INTERVAL
+    # comparison by construction (ADVICE r5: a to_date() truncation
+    # here only agreed because testdata timestamps are all midnight).
     late = F.when(
-        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), LATE_SHIP_DAYS),
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAY"),
         F.lit(1),
     ).otherwise(F.lit(0))
     per_os = (
@@ -577,7 +581,7 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-PQ: the complete ANN serving path (coarse cells -> PQ codes -> ADC)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "emb_ann_ivfpq",
     oracle=None,  # assembled below (composes the IVF and PQ oracle CTEs)
     tags=("embedding", "similarity", "ann-ivf-pq"),
@@ -792,7 +796,7 @@ def _ivfpq_sql() -> str:
     """
 
 
-STAGING["emb_ann_ivfpq"].oracle = _ivfpq_sql()
+REGISTRY["emb_ann_ivfpq"].oracle = _ivfpq_sql()
 
 
 # --------------------------------------------------------------------------
@@ -807,7 +811,7 @@ STAGING["emb_ann_ivfpq"].oracle = _ivfpq_sql()
 QUALITY_CLF_THRESHOLD = 0.02  # keep docs scoring above +20 milliweights/token
 
 
-@stage(
+@register(
     "docs_quality_classifier",
     oracle=f"""
     WITH feat AS (
@@ -885,7 +889,7 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Streaming left-outer interval join (unmatched clicks surface as NULLs)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "streaming_click_outer_join",
     # Hash-checked against the batch equivalent WITH the watermark
     # emission rule made explicit: matched pairs are the plain interval
@@ -977,7 +981,7 @@ CHUNK_W = 64  # tokens per chunk
 CHUNK_S = 48  # stride; W - S = 16 tokens of overlap between neighbors
 
 
-@stage(
+@register(
     "docs_overlap_chunks",
     oracle=f"""
     WITH tk AS (
@@ -1050,7 +1054,7 @@ def docs_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Near-dup cluster survivorship: canonical doc = longest, then min id
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "docs_cluster_canonical",
     oracle=None,  # assembled below (reuses the Jaccard-pairs CTE)
     tags=("llm", "dedup-near", "survivorship"),
@@ -1147,13 +1151,13 @@ def _cluster_canonical_sql() -> str:
     """
 
 
-STAGING["docs_cluster_canonical"].oracle = _cluster_canonical_sql()
+REGISTRY["docs_cluster_canonical"].oracle = _cluster_canonical_sql()
 
 
 # --------------------------------------------------------------------------
 # Seasonal-naive forecast backtest (MAE vs naive baseline, per type)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "daily_seasonal_backtest",
     oracle="""
     WITH daily AS (
@@ -1288,7 +1292,7 @@ def _sql_power_iteration() -> str:
     )
 
 
-@stage(
+@register(
     "emb_power_iteration",
     oracle=_sql_power_iteration(),
     tags=("llm", "similarity", "pca", "iterative"),
@@ -1438,7 +1442,7 @@ def _sql_variance_explained() -> str:
     )
 
 
-@stage(
+@register(
     "emb_variance_explained",
     oracle=_sql_variance_explained(),
     tags=("llm", "similarity", "pca", "iterative"),
@@ -1596,7 +1600,7 @@ def _simhash60_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-@stage(
+@register(
     "docs_simhash_hamming_pairs",
     oracle=_sql_simhash_pairs(),
     tags=("llm", "dedup-near", "simhash", "hamming"),
@@ -1682,7 +1686,7 @@ def _sql_source_cap() -> str:
     """
 
 
-@stage(
+@register(
     "docs_source_cap",
     oracle=_sql_source_cap(),
     tags=("llm", "sampling", "source-cap"),
@@ -1706,18 +1710,31 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     h = portable_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    # NULL-safe routing (ADVICE r5): groupBy keeps a NULL-source group
+    # and the oracle's PARTITION BY treats NULL as a partition, so the
+    # routing joins must be null-safe too — a plain equi-join would
+    # silently drop NULL-source documents from both branches. <=> keys
+    # still hash-join (broadcast), so the fast path is unchanged.
     counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    small_srcs = counts.filter(F.col("n") <= SOURCE_CAP_K).select(
+        F.col("source").alias("cap_src")
+    )
     small = d.join(
-        F.broadcast(counts.filter(F.col("n") <= SOURCE_CAP_K).select("source")),
-        "source",
+        F.broadcast(small_srcs),
+        F.col("source").eqNullSafe(F.col("cap_src")),
+        "left_semi",
     ).select("doc_id", "source", F.lit(True).alias("kept"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    hot_srcs = counts.filter(F.col("n") > SOURCE_CAP_K).select(
+        F.col("source").alias("cap_src")
+    )
     hot = (
         d.join(
-            F.broadcast(counts.filter(F.col("n") > SOURCE_CAP_K).select("source")),
-            "source",
+            F.broadcast(hot_srcs),
+            F.col("source").eqNullSafe(F.col("cap_src")),
+            "left_semi",
         )
         .select(
             "doc_id", "source", (F.row_number().over(w) <= SOURCE_CAP_K).alias("kept")
@@ -1729,7 +1746,7 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Character-diversity quality proxy (Gini-Simpson index)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "docs_char_diversity",
     oracle="""
     WITH c AS (

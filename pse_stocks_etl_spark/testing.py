@@ -136,3 +136,34 @@ def strict_compare(s_tbl: pa.Table, d_tbl: pa.Table) -> list[str]:
     if diffs:
         problems.append(f"{len(diffs)} differing rows; first: {diffs[:3]}")
     return problems
+
+
+def driver_history(repo_root: str) -> dict[str, str]:
+    """Per-query driver-verification history from CORRECTNESS_r*.json:
+    ``name -> "r1 green, r2 FAIL, r3 rows-only, ..."``.
+
+    One classification rule, shared by COVERAGE.md's generated driver
+    map (scripts/gen_driver_map.py) and the doc-drift guard
+    (tests/test_docs_contract.py) so prose about driver rounds can
+    never drift from the recorded files again (r5 VERDICT item 2):
+    ``err == 'no_oracle'`` with rows observed = rows-only;
+    ``hash_match is True`` = green; anything else = FAIL.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    hist: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        rnd = f"r{m.group(1)}"
+        for name, rec in json.load(open(path)).items():
+            if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                status = "rows-only"
+            elif rec.get("hash_match") is True:
+                status = "green"
+            else:
+                status = "FAIL"
+            hist.setdefault(name, []).append(f"{rnd} {status}")
+    return {name: ", ".join(v) for name, v in hist.items()}

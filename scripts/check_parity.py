@@ -87,9 +87,15 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             continue
         print(f"ok   {name}: {len(s_rows)} rows match")
-    n = len(todo) if not only else len(only)
+    # Count EXECUTED queries (ADVICE r5): a typoed --only name is
+    # silently skipped by the loop, so len(only) would overstate the
+    # denominator and print a clean "2/2 pass" for a 1-query run.
+    n = sum(1 for name in todo if not only or name in only)
+    unknown = sorted(set(only) - set(todo)) if only else []
+    if unknown:
+        print(f"WARNING: unknown query names in --only: {unknown}")
     print(f"\n{n - len(failures)}/{n} pass")
-    return 1 if failures else 0
+    return 1 if failures or unknown else 0
 
 
 if __name__ == "__main__":

@@ -47,6 +47,42 @@ def test_coverage_driver_map_covers_registry():
     assert mapped - reg == set(), f"ghost rows in driver map: {sorted(mapped - reg)}"
 
 
+def test_driver_map_matches_correctness_files():
+    """Every row of COVERAGE.md's driver map must carry EXACTLY the
+    history derivable from the CORRECTNESS_r*.json files (via the shared
+    classifier testing.driver_history) and the correct window flag from
+    the live registry order. r5 found two prose claims about driver
+    rounds that no guard covered ('no CORRECTNESS_r05.json was
+    recorded' — it was, 50/50 green); this guard makes any stale or
+    hand-edited driver-map row red."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.testing import driver_history
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    section = text.split("## Driver-verification map", 1)[1]
+    rows = dict(
+        re.findall(r"^\| `([a-z0-9_]+)` \| (.+?) \| .+\|$", section, re.MULTILINE)
+    )
+    hist = driver_history(REPO)
+    names = list(plans.REGISTRY)
+    window = set(names[:50])
+    bad = []
+    for name in names:
+        expected = hist.get(name, "—")
+        if rows.get(name) != expected:
+            bad.append((name, rows.get(name), expected))
+    assert not bad, f"driver-map rows drifted from CORRECTNESS files: {bad[:5]}"
+    # window flags must match the live registry order
+    flagged = set(
+        re.findall(r"^\| `([a-z0-9_]+)` \| .+? \| in current window \|$",
+                   section, re.MULTILINE)
+    )
+    assert flagged == window, (
+        f"window flags drifted: missing={sorted(window - flagged)[:5]}, "
+        f"ghost={sorted(flagged - window)[:5]}"
+    )
+
+
 def test_coverage_staging_table_matches_staging_registry():
     """The COVERAGE.md staged-queries table must list exactly the
     STAGING registry (same no-ghost/no-missing contract as the driver

@@ -44,7 +44,15 @@ TEXTS = [
     "alpha beta gamma delta epsilon zeta eta theta",
     "one two three four five six seven eight nine ten",
     "",
+    # rows 6-7: NULL source (r5 ADVICE — docs_source_cap's routing joins
+    # dropped NULL-source docs while the oracle's PARTITION BY kept them;
+    # two rows so the NULL-source "partition" is non-trivial), row 7
+    # also NULL lang
+    "six quick brown foxes jump over the lazy dog",
+    "pack my box with five dozen liquor jugs",
 ]
+LANGS = ["en", "de", "en", "es", "fr", "en", None]
+SOURCES = ["s1", "s1", "s2", "s2", "s3", None, None]
 
 
 @pytest.fixture(scope="module")
@@ -55,8 +63,8 @@ def null_corpus(tmp_path_factory):
             {
                 "doc_id": pa.array(range(1, len(TEXTS) + 1), pa.int64()),
                 "text": pa.array(TEXTS, pa.string()),
-                "lang": pa.array(["en", "de", "en", "es", "fr"], pa.string()),
-                "source": pa.array(["s1", "s1", "s2", "s2", "s3"], pa.string()),
+                "lang": pa.array(LANGS, pa.string()),
+                "source": pa.array(SOURCES, pa.string()),
                 "n_chars": pa.array([len(t or "") for t in TEXTS], pa.int64()),
             }
         ),

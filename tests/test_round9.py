@@ -1,50 +1,54 @@
-"""Round-9 staged queries: strict DuckDB parity (same gate as
-tests/test_parity.py — Arrow dtype level, bit-exact values) plus the
-staging-drain guard that keeps plans/staging.py a queue, not a
-parking lot."""
+"""Round-9 queries were PROMOTED from plans/staging.py to the registry
+in round 6 (the rotation recipe plans/__init__.py describes): they now
+get strict DuckDB parity through tests/test_parity.py like every other
+registry query. What remains here is the staging-queue contract:
+staging is a queue for rounds where the driver-verification backlog is
+at its 25-query bound, not a parking lot — while the backlog has room,
+new queries go straight to REGISTRY and staging stays empty."""
 
 from __future__ import annotations
 
-import pytest
-
 from pse_stocks_etl_spark import plans
 from pse_stocks_etl_spark.plans.staging import STAGING
-from pse_stocks_etl_spark.testing import duck_connection, strict_compare
 
-from conftest import SF_DIR
-
-# Importing the module populates STAGING.
+# Importing the module populates REGISTRY (promotion happened in r6).
 from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
 
-NAMES = sorted(STAGING)
+ROUND9_NAMES = [
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "idle_rich_customers",
+    "brand_bracket_revenue",
+    "late_ship_priority_counts",
+    "top_revenue_suppliers",
+    "part_revenue_concentration",
+    "regional_market_share",
+    "sole_late_supplier_orders",
+    "emb_ann_ivfpq",
+    "docs_quality_classifier",
+    "streaming_click_outer_join",
+    "docs_overlap_chunks",
+    "docs_cluster_canonical",
+    "daily_seasonal_backtest",
+    "emb_power_iteration",
+    "emb_variance_explained",
+    "docs_simhash_hamming_pairs",
+    "docs_source_cap",
+    "docs_char_diversity",
+]
 
 
-@pytest.fixture(scope="module")
-def duck():
-    return duck_connection(SF_DIR)
+def test_round9_queries_promoted_to_registry():
+    missing = [n for n in ROUND9_NAMES if n not in plans.REGISTRY]
+    assert not missing, f"round-9 queries fell out of the registry: {missing}"
 
 
-@pytest.mark.parametrize("name", NAMES)
-def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
-    q = STAGING[name]
-    sdf = q.fn(spark, sf_dir)
-    if q.oracle is None:
-        assert sdf.count() >= 0
-        return
-    problems = strict_compare(sdf.toArrow(), duck.sql(q.oracle).fetch_arrow_table())
-    assert not problems, f"{name}: {problems}"
-
-
-def test_staged_names_disjoint_from_registry():
-    clash = sorted(set(STAGING) & set(plans.REGISTRY))
-    assert not clash, f"staged names shadow registered queries: {clash}"
-
-
-def test_staging_drains_when_backlog_has_room():
-    """Staging exists ONLY because the driver-verification backlog is at
-    its 25-query bound. Once CORRECTNESS files show the queue drained
-    (backlog below the bound), staged queries MUST be promoted to
-    REGISTRY — this test turns red to force it."""
+def test_staging_stays_empty_while_backlog_has_room():
+    """Staging exists ONLY for rounds where the driver-verification
+    backlog is at its 25-query bound. The round-6 promotion drained it;
+    while the rotation guard (tests/test_parity.py) shows room, new
+    queries must register directly — this test turns red if staging is
+    used as a parking lot."""
     import glob
     import json
     import os

@@ -1,21 +1,22 @@
-"""Plan-shape guards for the round-9 staged queries: the physical plan
-properties that make each query scale-safe must survive refactors
-(same pattern as tests/test_round8.py's guards)."""
+"""Plan-shape guards for the round-9 queries (promoted from staging to
+the registry in round 6): the physical plan properties that make each
+query scale-safe must survive refactors (same pattern as
+tests/test_round8.py's guards)."""
 
 from __future__ import annotations
 
 import re
 
-from pse_stocks_etl_spark.plans.staging import STAGING
+from pse_stocks_etl_spark.plans.registry import REGISTRY
 
-# Importing populates STAGING.
+# Importing populates REGISTRY.
 from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
 
 from conftest import SF_DIR
 
 
 def _plan(spark, name: str) -> str:
-    df = STAGING[name].fn(spark, SF_DIR)
+    df = REGISTRY[name].fn(spark, SF_DIR)
     jvm = spark._jvm
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
