@@ -40,6 +40,45 @@ sys.path.insert(0, REPO)
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
+def canary_sec(spark) -> float:
+    """Host-speed calibration canary: a fixed, parquet-free, shuffle +
+    hash-aggregate workload over spark.range, timed exactly like a
+    headline query (warm-up + best of RUNS). Round-over-round absolute
+    comparisons on this box showed a 1.3-1.9x session-to-session drift
+    with byte-identical plans (r5 VERDICT: driver 30.33s vs same-day
+    same-code re-run 23.04s; SCALE.md r9 calibration experiment), so
+    each BENCH_r*.json now carries the canary and cross-round deltas
+    are read as query_sec / canary_sec ratios, not raw seconds.
+
+    Shape: 50M rows x (mod-1000 key) -> groupBy sum/count, one
+    exchange, whole-stage codegen throughout — CPU + shuffle bound,
+    zero I/O, no data dependence, so its wall time tracks the host,
+    never the engine."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        df = spark.range(0, 50_000_000, 1, 32).select(
+            (F.col("id") % 1000).alias("k"), "id"
+        )
+        (
+            df.groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run()  # warm-up (codegen compile, JIT)
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = _time.perf_counter()
+        run()
+        best = min(best, _time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pse_stocks_etl_spark import plans
@@ -82,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "canary_sec": canary_sec(spark),
             }
         )
     )

@@ -925,6 +925,11 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND c.ts + INTERVAL 6 HOUR < wm.w
     """,
     tags=("streaming", "stream-stream-join", "outer"),
+    # headline bench entry next to streaming_click_join (r5 VERDICT
+    # item 4): outer interval joins with watermark-scoped NULL emission
+    # are the subtlest streaming semantics in the engine — track their
+    # steady-state cost, not just their parity.
+    bench=True,
 )
 def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked LEFT OUTER stream-stream interval join: attribution
