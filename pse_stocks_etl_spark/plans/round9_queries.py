@@ -581,6 +581,78 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-PQ: the complete ANN serving path (coarse cells -> PQ codes -> ADC)
 # --------------------------------------------------------------------------
+def ivf_assign_frame(vectors: DataFrame, centroid_src: DataFrame) -> DataFrame:
+    """(vec_id, cell): closed-form nearest-centroid cell assignment,
+    shared by emb_ann_ivfpq and the incremental index build
+    (round10_queries.emb_ann_ivfpq_increment — the increment must
+    assign new vectors against the SAME frozen centroids, so the
+    formula lives in exactly one place).
+
+    Centroid table -> literals, ONCE, driver-side (16 rows, bounded —
+    exactly what a trained IVF broadcasts after k-means). Corpus cell
+    assignment is then a PER-ROW argmax expression: 16 inline cosine
+    folds + array_position(max) — ZERO shuffle. The crossJoin +
+    top-k-window form exploded the corpus 16x and sorted 8.2M rows at
+    x64 embeddings (measured 40s end-to-end; this form: see SCALE.md).
+    array_position returns the FIRST max index and the array is in
+    cid-ascending order, so ties land on the smallest cid — the same
+    (ccos DESC, cid ASC) rule the oracle's row_number spells. The
+    literal doubles are bit-exact round-trips of the stored values,
+    and the inline dot() folds left-to-right like the join form, so
+    every rounded cosine is unchanged."""
+    from .llm_queries import IVF_CENTROID_IDS
+
+    cent_rows = sorted(
+        centroid_src.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+
+    def py_norm(vec: list[float]) -> float:
+        # Python floats ARE C doubles: this left-to-right accumulate is
+        # bit-identical to Spark's aggregate fold in norm(), so the
+        # precomputed centroid norm multiplies exactly like the
+        # join-form's norm(cvec) and every rounded cosine is unchanged.
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    withn = vectors.withColumn("nv", nv)
+    ccos = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r.v]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nv") * F.lit(py_norm(list(r.v)))),
+                6,
+            )
+            for r in cent_rows
+        ]
+    )
+    cid_arr = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
+    return withn.select(
+        "vec_id",
+        F.element_at(cid_arr, F.array_position(ccos, F.array_max(ccos)).cast("int"))
+        .alias("cell"),
+    )
+
+
 @register(
     "emb_ann_ivfpq",
     oracle=None,  # assembled below (composes the IVF and PQ oracle CTEs)
@@ -613,67 +685,7 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    # Centroid table -> literals, ONCE, driver-side (16 rows, bounded —
-    # exactly what a trained IVF broadcasts after k-means). Corpus cell
-    # assignment is then a PER-ROW argmax expression: 16 inline cosine
-    # folds + array_position(max) — ZERO shuffle. The crossJoin +
-    # top-k-window form exploded the corpus 16x and sorted 8.2M rows at
-    # x64 embeddings (measured 40s end-to-end; this form: see SCALE.md).
-    # array_position returns the FIRST max index and the array is in
-    # cid-ascending order, so ties land on the smallest cid — the same
-    # (ccos DESC, cid ASC) rule the oracle's row_number spells. The
-    # literal doubles are bit-exact round-trips of the stored values,
-    # and the inline dot() folds left-to-right like the join form, so
-    # every rounded cosine is unchanged.
-    cent_rows = sorted(
-        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).collect(),
-        key=lambda r: r.vec_id,
-    )
-
-    def py_norm(vec: list[float]) -> float:
-        # Python floats ARE C doubles: this left-to-right accumulate is
-        # bit-identical to Spark's aggregate fold in norm(), so the
-        # precomputed centroid norm multiplies exactly like the
-        # join-form's norm(cvec) and every rounded cosine is unchanged.
-        import math
-
-        acc = 0.0
-        for x in vec:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
-    nv = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    withn = base.withColumn("nv", nv)
-    ccos = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in r.v]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nv") * F.lit(py_norm(list(r.v)))),
-                6,
-            )
-            for r in cent_rows
-        ]
-    )
-    cid_arr = F.array(*[F.lit(int(r.vec_id)) for r in cent_rows])
-    assign = withn.select(
-        "vec_id",
-        F.element_at(cid_arr, F.array_position(ccos, F.array_max(ccos)).cast("int"))
-        .alias("cell"),
-    )
+    assign = ivf_assign_frame(base, base)
     # probes: 3 query vectors x 16 cells — tiny, the window form is free
     cents_df = base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
