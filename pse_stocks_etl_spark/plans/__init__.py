@@ -146,6 +146,16 @@ _DRIVER_FIRST = [
     "docs_simhash",
     "emb_cosine_topk",
     "array_agg_user_profile",
+    # -- block 6: round-6 second batch — positions 51+, the declared
+    # next-window queue (the rotation guard requires never-checked
+    # queries to sit in the window OR here, bounded at 25) --
+    "discount_band_revenue",
+    "nation_year_profit",
+    "docs_bpe_top_merges",
+    "docs_vocab_growth",
+    "emb_matryoshka_recall",
+    "value_mannwhitney_u",
+    "bucketed_colocated_join",
 ]
 
 

@@ -24,6 +24,7 @@ incrementally-merged table".
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -226,3 +227,500 @@ def emb_ann_ivfpq_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cell for r in new_idx.select("cell").distinct().collect()
     }
     return table.read()
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 analog: revenue delta inside a discount band
+# --------------------------------------------------------------------------
+@register(
+    "discount_band_revenue",
+    # rev10k = price_cents * disc_cents — the exact 1e4-scaled
+    # "forecasted revenue increase" Q6 computes; integer comparisons on
+    # cents keep the band edges engine-identical (a float BETWEEN on
+    # 0.05..0.07 would hinge on double literals).
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})
+                AS BIGINT) AS revenue10k
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND {sql_cents('l_discount')} BETWEEN 5 AND 7
+      AND {sql_cents('l_quantity')} < 2400
+    """,
+    tags=("tpch-q6", "A5", "scan-agg"),
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: how much revenue the discounts in the 5-7% band gave
+    away on small-quantity 1997 lineitems — the canonical pure
+    scan-aggregate. No joins, no windows: the three predicates and the
+    two-column projection must all reach the parquet scan, and the
+    aggregate is a map-side partial + one tiny exchange. At 100 TB
+    this is the query whose cost IS the pushed-down scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & cents(F.col("l_discount")).between(5, 7)
+            & (cents(F.col("l_quantity")) < 2400)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount")))
+            .alias("revenue10k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 analog: profit by supplier nation and order year
+# --------------------------------------------------------------------------
+@register(
+    "nation_year_profit",
+    # profit10k: rev10k = price_cents*(100-disc_cents) (1e4-scaled
+    # revenue) minus cost10k = retail_cents*qty_cents (also exactly
+    # 1e4-scaled: 1e2·retail × 1e2·qty) — no division anywhere, the
+    # whole measure stays BIGINT.
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(SUM({sql_cents('li.l_extendedprice')}
+                    * (100 - {sql_cents('li.l_discount')})
+                    - {sql_cents('p.p_retailprice')}
+                    * {sql_cents('li.l_quantity')}) AS BIGINT) AS profit10k
+    FROM lineitem li
+    JOIN part p ON p.p_partkey = li.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("tpch-q9", "J5", "star-join"),
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on 'red' product lines by the supplier's nation
+    and the order year (the testdata has no partsupp, so supply cost is
+    proxied by p_retailprice × quantity — the JOIN SHAPE, which is what
+    Catalyst optimizes, is Q9's: one fact, four dimension hops, a LIKE
+    filter that prunes the part side before it joins).
+
+    Scale: part (pre-filtered by the pushed LIKE), supplier and nation
+    all broadcast; the only shuffled join is lineitem-orders on
+    orderkey. The group-by runs on (nation, year) — 25x7 groups —
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = cents(F.col("l_extendedprice")) * (
+        100 - cents(F.col("l_discount"))
+    ) - cents(F.col("p_retailprice")) * cents(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit10k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction: top merge-pair candidates
+# --------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "docs_bpe_top_merges",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+      FROM w WHERE len(w) >= 2
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM c QUALIFY rank <= {BPE_TOP_PAIRS}
+    """,
+    tags=("llm", "tokenizer", "bpe"),
+)
+def docs_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE vocabulary induction: the corpus-wide counts of
+    adjacent symbol pairs inside words — the quantity the BPE trainer
+    maximizes at every merge step (Sennrich et al. 2016). The top pair
+    IS the next merge; iterating this query with the merge applied is
+    the whole trainer loop.
+
+    Scale: explode(words) then explode(char pairs) is linear in corpus
+    characters and map-side-combines into at most |alphabet|^2 pair
+    groups before the one tiny exchange; the top-k window runs over
+    that bounded aggregate, not the corpus. At 100 TB the cost is the
+    scan plus one combiner aggregation — the shape a distributed BPE
+    trainer (e.g. the HuggingFace tokenizers map-reduce recipe) uses
+    per iteration."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    win = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary growth across crawl batches
+# --------------------------------------------------------------------------
+VOCAB_BATCHES = 10
+
+
+@register(
+    "docs_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % {VOCAB_BATCHES} AS batch,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT w, MIN(batch) AS batch FROM tok WHERE len(w) > 0 GROUP BY w
+    ),
+    g AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM f GROUP BY batch)
+    SELECT batch, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY batch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM g
+    """,
+    tags=("llm", "vocab", "heaps-law"),
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: how many NEW distinct tokens each
+    crawl batch contributes, and the cumulative vocabulary after it —
+    the curve that tells a data pipeline when more crawl stops buying
+    vocabulary coverage.
+
+    Scale: the naive form (distinct over every cumulative prefix)
+    re-scans the corpus B times; this plan computes each token's FIRST
+    batch (one groupBy on token — the single corpus-sized exchange,
+    map-side combined) and then counts first-appearances per batch;
+    the cumulative window runs over B rows. Incremental crawls extend
+    it by min-merging new tokens' first-batch, never re-scanning."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        (F.col("doc_id") % VOCAB_BATCHES).alias("batch"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).filter(F.length("w") > 0)
+    first = tok.groupBy("w").agg(F.min("batch").alias("batch"))
+    growth = first.groupBy("batch").agg(F.count("*").alias("new_tokens"))
+    win = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return growth.select(
+        "batch",
+        "new_tokens",
+        F.sum("new_tokens").over(win).alias("cum_vocab"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka embedding evaluation: prefix-dim recall against full-dim
+# --------------------------------------------------------------------------
+MRL_PREFIX_DIM = 16
+MRL_TOPK = 10
+
+
+def _sql_matryoshka() -> str:
+    from ..functions.vectors import sql_cosine
+    from .llm_queries import _Q_IDS, EMB_DIM
+
+    full = sql_cosine("e.embedding", "q.embedding", EMB_DIM)
+    pre = sql_cosine("e.embedding", "q.embedding", MRL_PREFIX_DIM)
+    topk = """
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({qids})) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rn <= {k}
+    """
+    return f"""
+    WITH tf AS ({topk.format(cos=full, qids=_Q_IDS, k=MRL_TOPK)}),
+    tp AS ({topk.format(cos=pre, qids=_Q_IDS, k=MRL_TOPK)}),
+    hits AS (
+      SELECT tf.query_id, CAST(COUNT(tp.vec_id) AS BIGINT) AS n_overlap
+      FROM tf LEFT JOIN tp
+        ON tp.query_id = tf.query_id AND tp.vec_id = tf.vec_id
+      GROUP BY tf.query_id
+    )
+    SELECT query_id, n_overlap,
+           n_overlap * 1.0 / {MRL_TOPK} AS recall_at_{MRL_TOPK}
+    FROM hits
+    """
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=_sql_matryoshka(),
+    tags=("embedding", "similarity", "matryoshka", "evaluation"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): for
+    each query, the top-k neighbor set under the TRUNCATED
+    {MRL_PREFIX_DIM}-dim prefix cosine versus under the full embedding,
+    reported as recall@k — the number every MRL deployment needs before
+    it serves the cheap prefix instead of the full vector.
+
+    Scale: one corpus scan computes BOTH cosines against the broadcast
+    query rows (the 16-dim prefix reuses the same scanned array — no
+    second read), and the two top-k windows partition by query. The
+    brute-force scan is the evaluation harness (ground truth requires
+    it); production serving uses the IVF/PQ lane. Recall is one IEEE
+    division of exact integers."""
+    from ..functions.vectors import cosine
+    from ..operators.dedup import topk_per_group
+    from .llm_queries import ANN_QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = base.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv")).alias("cos_full"),
+            cosine(
+                F.slice(F.col("v"), 1, MRL_PREFIX_DIM),
+                F.slice(F.col("qv"), 1, MRL_PREFIX_DIM),
+            ).alias("cos_pre"),
+        )
+    )
+    tf = topk_per_group(
+        pairs, ["query_id"], [F.col("cos_full").desc(), F.col("vec_id").asc()],
+        k=MRL_TOPK,
+    ).select("query_id", "vec_id")
+    tp = topk_per_group(
+        pairs, ["query_id"], [F.col("cos_pre").desc(), F.col("vec_id").asc()],
+        k=MRL_TOPK,
+    ).select("query_id", F.col("vec_id").alias("pre_vec"))
+    hits = (
+        tf.join(
+            tp,
+            (tf.query_id == tp.query_id) & (tf.vec_id == tp.pre_vec),
+            "left",
+        )
+        .groupBy(tf.query_id)
+        .agg(F.count("pre_vec").alias("n_overlap"))
+    )
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        (F.col("n_overlap") * 1.0 / MRL_TOPK).alias(f"recall_at_{MRL_TOPK}"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test: click vs purchase values, exact
+# --------------------------------------------------------------------------
+@register(
+    "value_mannwhitney_u",
+    # Tie-safe integer ranks: 2x the average rank of value v is
+    # 2*(#values below v) + (#rows at v) + 1 — an exact BIGINT — so the
+    # rank sum R1 and U statistic stay integer with any tie structure.
+    # AUC = U / (n1*n2) is the one IEEE division.
+    oracle="""
+    WITH ev AS (
+      SELECT event_type = 'click' AS is_click, value FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    v AS (
+      SELECT value,
+             CAST(COUNT(*) FILTER (WHERE is_click) AS BIGINT) AS n1_v,
+             CAST(COUNT(*) AS BIGINT) AS n_v
+      FROM ev GROUP BY value
+    ),
+    r AS (
+      SELECT n1_v, n_v,
+             CAST(2 * COALESCE(SUM(n_v) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n_v + 1 AS BIGINT) AS avgrank2x
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+             CAST(SUM(n_v - n1_v) AS BIGINT) AS n2,
+             CAST(SUM(n1_v * avgrank2x) AS BIGINT) AS r1_2x
+      FROM r
+    )
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u_click_2x,
+           (r1_2x - n1 * (n1 + 1)) * 1.0 / (2 * n1 * n2) AS auc_click
+    FROM s
+    """,
+    tags=("robust-stats", "rank-test", "two-phase"),
+)
+def value_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing click vs purchase
+    event values — the nonparametric two-sample test the KS query
+    complements: U is ALSO n1*n2*AUC, so the auc_click column is
+    exactly P(click value > purchase value) + 0.5*P(tie), the
+    effect-size a dashboard wants.
+
+    Scale: ranks come from the two-phase pattern (docs_global_index),
+    not a global sort: group by value (the corpus-sized exchange,
+    map-side combined to distinct values), bucket by floor(value),
+    prefix-sum the tiny bucket table, then cumulative-rank WITHIN
+    buckets. 2x-average-ranks keep every intermediate a BIGINT under
+    arbitrary ties."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select((F.col("event_type") == "click").alias("is_click"), "value")
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("is_click"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1_v"),
+        F.count("*").alias("n_v"),
+    )
+    b = v.withColumn("bucket", F.floor("value"))
+    counts = b.groupBy("bucket").agg(F.sum("n_v").alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    )
+    win = Window.partitionBy("bucket").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "avgrank2x",
+            2 * (F.col("off") + F.coalesce(F.sum("n_v").over(win), F.lit(0)))
+            + F.col("n_v")
+            + 1,
+        )
+    )
+    s = r.agg(
+        F.sum("n1_v").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n1_v")).alias("n2"),
+        F.sum(F.col("n1_v") * F.col("avgrank2x")).alias("r1_2x"),
+    )
+    u = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        u.cast("long").alias("u_click_2x"),
+        (u * 1.0 / (2 * F.col("n1") * F.col("n2"))).alias("auc_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: the shuffle-free fact-fact join
+# --------------------------------------------------------------------------
+BUCKETED_N = 8
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({sql_cents('li.l_quantity')}) AS BIGINT) AS qty_cents,
+           CAST(SUM({sql_cents('li.l_extendedprice')}) AS BIGINT) AS price_cents
+    FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J5", "bucketing", "shuffle-free"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join done right: both tables written
+    BUCKETED on the join key (bucketBy {BUCKETED_N}, sortBy key), then
+    joined bucket-to-bucket with ZERO join-side exchange — Spark's
+    declarative co-location (the plan guard in tests/test_round10.py
+    asserts exactly one Exchange, the final tiny aggregate's).
+
+    Scale: on a real warehouse the write happens once at ingest and
+    every subsequent orderkey join is shuffle-free; this query pays
+    the write to PROVE the join side (oracle = the plain join, so
+    bucketing provably changes bytes moved, never the relation).
+    Fixed table names + overwrite keep repeated runs idempotent."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents(F.col("l_quantity")).alias("qty_cents"),
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # Cross-session idempotency: mode("overwrite") only replaces tables
+    # the CURRENT catalog knows. A fresh session with a leftover
+    # warehouse dir from a previous run hits LOCATION_ALREADY_EXISTS —
+    # so drop both the catalog entry AND any orphaned location first.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name in ("bucketed_lineitem_q", "bucketed_orders_q"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    (
+        li.write.bucketBy(BUCKETED_N, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("bucketed_lineitem_q")
+    )
+    (
+        o.write.bucketBy(BUCKETED_N, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("bucketed_orders_q")
+    )
+    lb = spark.table("bucketed_lineitem_q")
+    ob = spark.table("bucketed_orders_q")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty_cents").alias("qty_cents"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )

@@ -61,3 +61,73 @@ def test_lifecycle_counters_are_the_state_machine(spark):
         .first()
     )
     assert tuple(row) == (4, 2, 2)
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Both sides bucketed on the join key: the ONLY Exchange allowed is
+    the final 5-group aggregate's — a shuffle feeding the join means
+    bucketing was silently ignored (wrong bucket count, disabled
+    config, or a schema mismatch)."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_colocated_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the 100 TB case: neither fact side fits a broadcast, so the join
+    # must be a SortMergeJoin fed DIRECTLY by the bucketed scans
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, "scans are not bucketed"
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1, f"join side shuffled: {len(exchanges)} exchanges"
+
+
+def test_q9_star_join_shape(spark):
+    """Q9 analog: part/supplier/nation broadcast; at most one shuffled
+    join (lineitem-orders)."""
+    import re
+
+    plan = _plan(spark, "nation_year_profit")
+    big = len(re.findall(r"\(\d+\) SortMergeJoin", plan)) + len(
+        re.findall(r"\(\d+\) ShuffledHashJoin", plan)
+    )
+    assert big <= 1, f"expected <=1 non-broadcast join, got {big}"
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """The pure scan-aggregate: the shipdate-year band must prune at
+    the parquet scan (pushed filters present), and the plan must be
+    join-free."""
+    import re
+
+    plan = _plan(spark, "discount_band_revenue")
+    assert "Join" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"no pushed filters: {pushed}"
+
+
+def test_matryoshka_no_cartesian(spark):
+    """The query side is a 3-row broadcast; a CartesianProduct would be
+    the corpus×corpus failure mode."""
+    plan = _plan(spark, "emb_matryoshka_recall")
+    assert "CartesianProduct" not in plan
+
+
+def test_mannwhitney_rank_windows_are_bucketed(spark):
+    """The corpus-sized cumulative-rank window must partition by bucket
+    (two-phase ranks); only the tiny bucket-offset window may be
+    global. Plan shape: exactly 2 Window nodes."""
+    import re
+
+    plan = _plan(spark, "value_mannwhitney_u")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "CartesianProduct" not in plan
