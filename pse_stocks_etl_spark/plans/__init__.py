@@ -156,6 +156,10 @@ _DRIVER_FIRST = [
     "emb_matryoshka_recall",
     "value_mannwhitney_u",
     "bucketed_colocated_join",
+    "emb_semdedup",
+    "scd2_customer_merge",
+    "docs_dsir_affinity",
+    "docs_trending_terms",
 ]
 
 

@@ -724,3 +724,335 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside coarse embedding clusters
+# --------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.35  # calibrated to the synthetic corpus (max pair cos ~0.51)
+
+
+def _sql_semdedup() -> str:
+    from ..functions.vectors import sql_cosine
+    from .llm_queries import EMB_DIM, IVF_CENTROID_IDS
+
+    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
+    cos_p = sql_cosine("a.embedding", "b.embedding", EMB_DIM)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id IN ({cids})
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell, embedding FROM (
+        SELECT e.vec_id, c.cid, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (
+             SELECT 1 FROM assign b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND {cos_p} >= {SEMDEDUP_TAU}
+           ) AS kept
+    FROM assign a
+    """
+
+
+@register(
+    "emb_semdedup",
+    oracle=_sql_semdedup(),
+    tags=("embedding", "dedup", "semdedup"),
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    scoped to coarse embedding clusters — a vector is dropped when a
+    SMALLER-id vector in the SAME cluster has cosine ≥ τ (deterministic
+    keep-smallest-id survivor; the pairwise rule, stated as such — the
+    paper's centroid-distance tiebreak swaps in trivially).
+
+    Scale: this is the SemDeDup design point — the quadratic pair
+    search runs per-CLUSTER, never per-corpus. Here the clusters are
+    the 16 frozen IVF cells (shared ivf_assign_frame); a production
+    corpus uses ~100k k-means cells so cluster populations stay
+    bounded and the within-cell self-join (one shuffle on cell,
+    cosine as the join residual) is O(Σ |cell|²) with small cells.
+    The anti-join emits every vector exactly once with its verdict."""
+    from ..functions.vectors import cosine
+    from .round9_queries import ivf_assign_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assign = ivf_assign_frame(vecs, vecs).join(vecs, "vec_id")
+    a = assign.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("v").alias("a_v"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("v").alias("b_v"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("b_id") < F.col("a_id"))
+            & (cosine(F.col("a_v"), F.col("b_v")) >= SEMDEDUP_TAU)
+        )
+        .select("a_id")
+        .distinct()
+    )
+    out = assign.select("vec_id", F.col("cell").cast("long").alias("cell")).join(
+        dup.withColumnRenamed("a_id", "vec_id").withColumn("dup", F.lit(True)),
+        "vec_id",
+        "left",
+    )
+    return out.select(
+        "vec_id", "cell", F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension maintenance THROUGH the versioned store
+# --------------------------------------------------------------------------
+SCD2_D0, SCD2_D1 = "1995-01-01", "1997-06-01"
+SCD2_BUMP_CENTS = 100_000
+
+
+@register(
+    "scd2_customer_merge",
+    # Closed form: every customer has its D0 row (closed iff key%5=0);
+    # the changed fifth additionally has an open D1 row with the bumped
+    # balance. The engine reaches this state through the store's K2
+    # merge on the composite (key, valid_from): the close is an UPDATE
+    # of the (key, D0) row, the new version an INSERT of (key, D1).
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, {sql_cents('c_acctbal')} AS acctbal_cents
+      FROM customer
+    )
+    SELECT c_custkey, c_name, acctbal_cents,
+           DATE '{SCD2_D0}' AS valid_from,
+           CASE WHEN c_custkey % 5 = 0 THEN DATE '{SCD2_D1}' END AS valid_to,
+           c_custkey % 5 <> 0 AS is_current
+    FROM c
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal_cents + {SCD2_BUMP_CENTS},
+           DATE '{SCD2_D1}', CAST(NULL AS DATE), true
+    FROM c WHERE c_custkey % 5 = 0
+    """,
+    tags=("store", "K2", "scd2", "dimension"),
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 maintenance through the
+    versioned store: load the customer dimension as current rows
+    (valid_from D0, open-ended), then apply a change batch (every 5th
+    customer's balance bumped at D1) the SCD2 way — CLOSE the standing
+    row (valid_to=D1, is_current=false) and INSERT the new version —
+    in ONE K2 merge keyed on (c_custkey, valid_from): the close
+    updates (key, D0), the insert creates (key, D1).
+
+    Scale: the merge shuffles once on the composite key; the change
+    batch bounds the work (closed rows are derived FROM the batch by a
+    semi-join, not a table scan — here expressed as the key filter).
+    This is the reference sync loop's dimension-overwrite upgraded to
+    history-preserving form (reference src/etl/price_sync companies
+    table; SURVEY §2.2 K2)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+    )
+    init = c.select(
+        "*",
+        F.lit(SCD2_D0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    table = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="pse_scd2_"), init.schema
+    )
+    table.overwrite(init)
+    changed = table.read().filter(F.col("c_custkey") % 5 == 0)
+    closed = changed.withColumn(
+        "valid_to", F.lit(SCD2_D1).cast("date")
+    ).withColumn("is_current", F.lit(False))
+    opened = changed.select(
+        "c_custkey",
+        "c_name",
+        (F.col("acctbal_cents") + SCD2_BUMP_CENTS).alias("acctbal_cents"),
+        F.lit(SCD2_D1).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    table.merge(closed.unionByName(opened), keys=["c_custkey", "valid_from"])
+    return table.read()
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed-n-gram target affinity
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _sql_dsir() -> str:
+    from ..functions.text import sql_portable_hash64, sql_tokens
+
+    h = sql_portable_hash64("'dsir:' || t")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {h} % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS t
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(t) > 0
+    ),
+    bc AS (
+      SELECT b,
+             CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+               AS n_target,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM tok GROUP BY b
+    ),
+    per_doc AS (
+      SELECT tok.doc_id,
+             CAST(SUM(bc.n_target) AS BIGINT) AS target_mass,
+             CAST(SUM(bc.n_raw) AS BIGINT) AS raw_mass
+      FROM tok JOIN bc USING (b)
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.target_mass, 0) AS target_mass,
+           COALESCE(p.raw_mass, 0) AS raw_mass,
+           p.target_mass * 1.0 / p.raw_mass AS affinity
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "docs_dsir_affinity",
+    oracle=_sql_dsir(),
+    tags=("llm", "data-selection", "dsir"),
+)
+def docs_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-inspired data selection (Xie et al. 2023): score every
+    document's affinity to a target distribution using hashed-n-gram
+    bucket statistics — here unigram buckets (portable 60-bit hash mod
+    {DSIR_BUCKETS}), target = '{DSIR_TARGET_LANG}' documents, and the
+    per-doc score is Σ n_target(bucket) / Σ n_raw(bucket) over the
+    doc's tokens: one IEEE division of two exact BIGINT masses (the
+    paper's log-likelihood-ratio sum needs ln(), which is not
+    bit-portable across engines; the mass ratio ranks comparably and
+    stays hash-exact).
+
+    Scale: the bucket table is {DSIR_BUCKETS} rows — broadcast — so
+    scoring is scan + explode + broadcast join + one doc_id-keyed
+    aggregate; the corpus shuffles once. Empty/NULL-text docs keep a
+    row with zero masses and NULL affinity on both engines."""
+    from ..functions.text import portable_hash64, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash64(F.concat(F.lit("dsir:"), F.col("t"))) % DSIR_BUCKETS)
+            .alias("b"),
+        )
+    )
+    bc = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("n_target"),
+        F.count("*").alias("n_raw"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(bc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_target").alias("target_mass"),
+            F.sum("n_raw").alias("raw_mass"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("target_mass", F.lit(0)).alias("target_mass"),
+        F.coalesce("raw_mass", F.lit(0)).alias("raw_mass"),
+        (F.col("target_mass") * 1.0 / F.col("raw_mass")).alias("affinity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trending terms: last crawl batch vs the standing corpus
+# --------------------------------------------------------------------------
+TREND_TOP = 15
+TREND_NEW_BATCH = 9  # doc_id % 10 == 9 is "the newest crawl"
+
+
+@register(
+    "docs_trending_terms",
+    # Laplace-smoothed rate ratio kept exact: (n_new+1)*9 and
+    # (n_prev+9) are BIGINTs; the trend score is their single IEEE
+    # division (the 9 balances the 9:1 batch-count asymmetry). The
+    # top-k window runs over the aggregated vocabulary.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 10 = {TREND_NEW_BATCH} AS is_new,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT t AS term,
+             CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_prev
+      FROM tok WHERE len(t) > 0 GROUP BY t
+    )
+    SELECT term, n_new, n_prev,
+           (n_new + 1) * 9.0 / (n_prev + 9) AS trend,
+           CAST(row_number() OVER (ORDER BY (n_new + 1) * 9.0 / (n_prev + 9) DESC,
+                                   term ASC) AS BIGINT) AS rank
+    FROM c QUALIFY rank <= {TREND_TOP}
+    """,
+    tags=("llm", "trend", "drift-detection"),
+)
+def docs_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: terms whose rate in the NEWEST crawl
+    batch most exceeds their rate in the standing corpus (Laplace-
+    smoothed rate ratio — a new crawl suddenly full of one token is how
+    SEO spam, outages and genuine topic shifts all first show up).
+
+    Scale: one token explode + one combiner-friendly vocabulary
+    aggregate (the corpus-sized exchange); the ranking window runs
+    over vocabulary-sized data. The smoothing keeps never-seen terms
+    finite and the score a single IEEE division of exact integers."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        (F.col("doc_id") % 10 == TREND_NEW_BATCH).alias("is_new"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).filter(F.length("t") > 0)
+    c = tok.groupBy(F.col("t").alias("term")).agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_prev"),
+    )
+    trend = (F.col("n_new") + 1) * 9.0 / (F.col("n_prev") + 9)
+    win = Window.orderBy(trend.desc(), F.col("term").asc())
+    return (
+        c.select("term", "n_new", "n_prev", trend.alias("trend"))
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= TREND_TOP)
+    )
