@@ -160,6 +160,9 @@ _DRIVER_FIRST = [
     "scd2_customer_merge",
     "docs_dsir_affinity",
     "docs_trending_terms",
+    "events_cdc_apply",
+    "brand_share_with_others",
+    "emb_knn_classify",
 ]
 
 

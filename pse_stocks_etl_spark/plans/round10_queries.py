@@ -1056,3 +1056,250 @@ def docs_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(win).cast("long"))
         .filter(F.col("rank") <= TREND_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply: reconstruct current state from a change log
+# --------------------------------------------------------------------------
+@register(
+    "events_cdc_apply",
+    # The change log is derived deterministically from events:
+    # purchase = upsert(value), error = delete, everything else is not
+    # a data-change op. Last op per key wins under the total order
+    # (ts, event_id); a key whose last op is a delete has NO row in the
+    # reconstructed state — the Debezium/Delta "apply changes" contract.
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             event_type = 'purchase' AS is_upsert
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    last AS (
+      SELECT user_id, ts, event_id, value, is_upsert,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, value, ts AS applied_ts, n_ops
+    FROM last WHERE rn = 1 AND is_upsert
+    """,
+    tags=("cdc", "A2", "state-reconstruction"),
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES: collapse an ordered change log (upserts +
+    deletes per key) into the current state — the operator every
+    replication pipeline runs between the log and the serving table.
+    Purchases upsert the user's value, errors delete the key; the last
+    op under the total order (ts, event_id) decides, and keys ending
+    on a delete vanish.
+
+    Scale: exactly the argmax-dedup shape (A2 — the engine's core
+    flagship pattern): one shuffle on user_id, WindowGroupLimit prunes
+    to each key's tail before the full sort materializes. The op count
+    rides the same window. Idempotent under replay by construction
+    (same log → same state)."""
+    from pyspark.sql import Window
+
+    log = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            (F.col("event_type") == "purchase").alias("is_upsert"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    last = log.withColumn("n_ops", F.count("*").over(wc)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        last.filter((F.col("rn") == 1) & F.col("is_upsert"))
+        .select("user_id", "value", F.col("ts").alias("applied_ts"), "n_ops")
+    )
+
+
+# --------------------------------------------------------------------------
+# BI staple: top-N categories + 'Others' rollup
+# --------------------------------------------------------------------------
+BRAND_TOP_N = 5
+
+
+@register(
+    "brand_share_with_others",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM({sql_cents('li.l_extendedprice')}) AS BIGINT) AS revenue_cents
+      FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY p.p_brand
+    ),
+    ranked AS (
+      SELECT brand, revenue_cents,
+             row_number() OVER (ORDER BY revenue_cents DESC, brand ASC) AS rn
+      FROM rev
+    ),
+    rolled AS (
+      SELECT CASE WHEN rn <= {BRAND_TOP_N} THEN brand ELSE 'Others' END AS brand,
+             CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT brand, revenue_cents,
+           revenue_cents * 1.0 / (SELECT SUM(revenue_cents) FROM rolled) AS share
+    FROM rolled
+    """,
+    tags=("bi", "topn-others", "rollup"),
+)
+def brand_share_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI staple every dashboard needs and SQL makes awkward:
+    revenue by brand, top {BRAND_TOP_N} brands kept, the long tail
+    rolled into 'Others', each with its share of total.
+
+    Scale: the fact table aggregates FIRST (one shuffle, map-side
+    combine, output = |brands| rows); ranking, the Others rollup and
+    the share division all run on that bounded aggregate. Share is one
+    IEEE division of exact BIGINT cents (the total enters via a
+    broadcast 1-row aggregate, not a second scan)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents"))
+    )
+    win = Window.orderBy(F.col("revenue_cents").desc(), F.col("brand").asc())
+    rolled = (
+        rev.withColumn("rn", F.row_number().over(win))
+        .select(
+            F.when(F.col("rn") <= BRAND_TOP_N, F.col("brand"))
+            .otherwise(F.lit("Others"))
+            .alias("brand"),
+            "revenue_cents",
+        )
+        .groupBy("brand")
+        .agg(F.sum("revenue_cents").alias("revenue_cents"))
+    )
+    total = rolled.agg(F.sum("revenue_cents").alias("total"))
+    return (
+        rolled.crossJoin(F.broadcast(total))
+        .select(
+            "brand",
+            "revenue_cents",
+            (F.col("revenue_cents") * 1.0 / F.col("total")).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN classification over the embedding corpus
+# --------------------------------------------------------------------------
+KNN_K = 15
+KNN_HELDOUT_MOD = 25  # vec_id % 25 == 0 is the held-out evaluation set
+
+
+def _sql_knn() -> str:
+    from ..functions.vectors import sql_cosine
+    from .llm_queries import EMB_DIM
+
+    cos = sql_cosine("t.embedding", "q.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {KNN_HELDOUT_MOD} = 0
+    ),
+    t AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {KNN_HELDOUT_MOD} <> 0
+    ),
+    nn AS (
+      SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, t.label,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, t.vec_id ASC) AS rn
+        FROM t CROSS JOIN q
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM nn GROUP BY query_id, label
+    ),
+    pred AS (
+      SELECT query_id, label AS predicted, n_votes FROM (
+        SELECT query_id, label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.predicted, p.n_votes,
+           q.label AS actual, p.predicted = q.label AS correct
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    """
+
+
+@register(
+    "emb_knn_classify",
+    oracle=_sql_knn(),
+    tags=("embedding", "knn", "classification"),
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction over the embedding corpus: each held-out
+    vector (vec_id % {KNN_HELDOUT_MOD} = 0) gets the majority label of
+    its {KNN_K} nearest labeled neighbors (cosine; deterministic
+    (votes DESC, label ASC) tie-break), with the verdict against the
+    true label — the evaluation loop behind every embedding-space
+    classifier and auto-labeling pipeline.
+
+    Scale: the held-out side broadcasts (bounded evaluation batch);
+    one corpus scan scores all queries, the per-query top-k window
+    prunes via WindowGroupLimit, and voting runs on k×|queries| rows.
+    Production swaps the brute-force scan for the IVF-PQ lane —
+    exactly the emb_ann_ivfpq plan — leaving the vote unchanged."""
+    from ..functions.vectors import cosine
+    from ..operators.dedup import topk_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    heldout = F.col("vec_id") % KNN_HELDOUT_MOD == 0
+    q = emb.filter(heldout).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("actual"),
+    )
+    t = emb.filter(~heldout)
+    nn = topk_per_group(
+        t.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "label",
+            cosine(F.col("v"), F.col("qv")).alias("cos"),
+            "vec_id",
+        ),
+        ["query_id"],
+        [F.col("cos").desc(), F.col("vec_id").asc()],
+        k=KNN_K,
+    )
+    votes = nn.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    pred = topk_per_group(
+        votes,
+        ["query_id"],
+        [F.col("n_votes").desc(), F.col("label").asc()],
+        k=1,
+    ).select("query_id", F.col("label").alias("predicted"), "n_votes")
+    return pred.join(
+        q.select("query_id", "actual"), "query_id"
+    ).select(
+        "query_id",
+        "predicted",
+        "n_votes",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )
