@@ -295,6 +295,7 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name, year(o.o_orderdate)
     """,
     tags=("tpch-q9", "J5", "star-join"),
+    bench=True,
 )
 def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: profit on 'red' product lines by the supplier's nation

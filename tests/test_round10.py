@@ -131,3 +131,37 @@ def test_mannwhitney_rank_windows_are_bucketed(spark):
     plan = _plan(spark, "value_mannwhitney_u")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_uses_window_group_limit(spark):
+    """The last-op-wins collapse must prune each key's tail before the
+    full per-key sort materializes (the engine's core argmax shape)."""
+    plan = _plan(spark, "events_cdc_apply")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brand_share_aggregates_before_ranking(spark):
+    """Ranking and the Others rollup must run on the post-aggregate
+    (|brands| rows), never the fact table: the part dim broadcasts and
+    the only corpus-sized exchange is the brand aggregate's."""
+    import re
+
+    plan = _plan(spark, "brand_share_with_others")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_knn_no_cartesian(spark):
+    """The held-out side is a bounded broadcast; CartesianProduct would
+    be corpus x corpus."""
+    plan = _plan(spark, "emb_knn_classify")
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_join_is_cell_equi(spark):
+    """The quadratic search must be scoped to cells: an equi-join on
+    cell with the cosine as residual — never a nested loop over the
+    corpus."""
+    plan = _plan(spark, "emb_semdedup")
+    assert "CartesianProduct" not in plan
