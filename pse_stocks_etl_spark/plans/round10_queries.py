@@ -776,12 +776,15 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's centroid-distance tiebreak swaps in trivially).
 
     Scale: this is the SemDeDup design point — the quadratic pair
-    search runs per-CLUSTER, never per-corpus. Here the clusters are
-    the 16 frozen IVF cells (shared ivf_assign_frame); a production
-    corpus uses ~100k k-means cells so cluster populations stay
-    bounded and the within-cell self-join (one shuffle on cell,
-    cosine as the join residual) is O(Σ |cell|²) with small cells.
-    The anti-join emits every vector exactly once with its verdict."""
+    search runs per-CLUSTER, never per-corpus: O(Σ |cell|²) total.
+    The linear regime REQUIRES cluster count ∝ corpus size (constant
+    per-cell population); the 16 frozen IVF cells here are the
+    oracle-bounded fixture, and the ×8 stress (SCALE.md) shows the
+    12.7× wall you get when cell count is NOT scaled — the documented
+    SemDeDup misconfiguration mode. A production corpus uses ~100k
+    k-means cells with this identical plan shape (equi-join on cell,
+    cosine residual). The anti-join emits every vector exactly once
+    with its verdict."""
     from ..functions.vectors import cosine
     from .round9_queries import ivf_assign_frame
 

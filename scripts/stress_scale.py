@@ -94,9 +94,16 @@ def main() -> int:
                 t0 = time.perf_counter()
                 fn = (plans.REGISTRY[name].fn if name in plans.REGISTRY
                       else STAGING[name].fn)
-                rows = fn(spark, d).count()
+                # noop write = FORCED FULL EVALUATION. count() let
+                # Catalyst prune provably row-preserving subtrees (a
+                # left join against a unique-keyed side) and reported a
+                # flat wall for work that never ran — caught on
+                # emb_semdedup at x64 (2.05s "flat", 32M cosine pairs
+                # never evaluated).
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+            rows = fn(spark, d).count()
             print(f"{label:4s} {name:32s} {best:7.2f}s rows={rows}")
     return 0
 
