@@ -163,6 +163,8 @@ _DRIVER_FIRST = [
     "events_cdc_apply",
     "brand_share_with_others",
     "emb_knn_classify",
+    "brand_size_supplier_counts",
+    "multimodal_wav_downsample",
 ]
 
 

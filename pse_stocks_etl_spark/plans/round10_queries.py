@@ -1307,3 +1307,105 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         (F.col("predicted") == F.col("actual")).alias("correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 analog: supplier diversity per (brand, size), NOT IN exclusion
+# --------------------------------------------------------------------------
+@register(
+    "brand_size_supplier_counts",
+    # The Q16 shape: an anti-joined NOT IN subquery (suppliers with
+    # "complaints" — negative balances here) + COUNT(DISTINCT) per
+    # part attribute group. The NOT IN inner side (s_suppkey) is
+    # NOT NULL by schema, so anti-join semantics are identical on both
+    # engines (a nullable inner side is the classic NOT IN trap — it
+    # would make the whole predicate UNKNOWN).
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           CAST(COUNT(DISTINCT li.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem li
+    JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND li.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    tags=("tpch-q16", "anti-join", "count-distinct"),
+)
+def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers could supply each
+    (brand, size) combination, excluding non-PROMO types and suppliers
+    on the complaint list (negative balance — the testdata's analog of
+    Q16's LIKE '%Customer%Complaints%').
+
+    Scale: the complaint list is tiny and broadcasts as a LEFT ANTI
+    join; part broadcasts with the type filter pushed; the one real
+    exchange is the distinct aggregation, which Spark runs as a
+    two-phase partial-distinct (dedup (brand,size,suppkey) map-side,
+    then count) — never a giant row set on one reducer."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# WAV transcode round-trip: decode -> decimate -> re-encode -> decode
+# --------------------------------------------------------------------------
+WAV_DOWNSAMPLE_STRIDE = 4
+
+
+@register(
+    "multimodal_wav_downsample",
+    # Oracle replays the generation formula at the decimated indices:
+    # sample(i) = ((doc_id*2654435761 + i*40503) % 65536) - 32768 for
+    # i in range(0, n, stride), n = 64 + doc_id % 193. The re-encoded
+    # file's header must carry rate/stride — proving the ENCODER ran,
+    # not just the sample slice.
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 2654435761 + u.i * 40503) % 65536) - 32768 AS amp
+      FROM documents d,
+           UNNEST(range(0, 64 + d.doc_id % 193, {WAV_DOWNSAMPLE_STRIDE})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST({16000 // WAV_DOWNSAMPLE_STRIDE} AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(amp) AS BIGINT) AS sum_amp,
+           CAST(MIN(amp) AS BIGINT) AS min_amp,
+           CAST(MAX(amp) AS BIGINT) AS max_amp
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "transcode"),
+)
+def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio TRANSFORM with both codec directions real: decode the
+    RIFF/WAVE payload, naively decimate to every
+    {WAV_DOWNSAMPLE_STRIDE}th sample (anti-alias filtering needs
+    scipy — absent from this image; the naive decimation is labeled as
+    such, the transcode plumbing is what's under test), RE-ENCODE a
+    valid WAV at rate/{WAV_DOWNSAMPLE_STRIDE}, then decode THAT and
+    report its header + exact sample aggregates
+    (operators/multimodal.py::downsample_wav — the chunk walk is
+    shared with parse_wav so transform and decoder cannot diverge).
+
+    Scale: Arrow-batched mapInPandas; payload bytes never visit the
+    driver; per-row cost is the byte length. This is the shape every
+    bulk media-normalization pass (resample/transcode before feature
+    extraction) takes on a cluster."""
+    from ..operators.multimodal import attach_wav, downsample_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    return downsample_wav(attach_wav(docs), stride=WAV_DOWNSAMPLE_STRIDE)
