@@ -165,6 +165,7 @@ _DRIVER_FIRST = [
     "emb_knn_classify",
     "brand_size_supplier_counts",
     "multimodal_wav_downsample",
+    "streaming_cdc_merge",
 ]
 
 

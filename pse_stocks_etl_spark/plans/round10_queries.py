@@ -1409,3 +1409,110 @@ def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return downsample_wav(attach_wav(docs), stride=WAV_DOWNSAMPLE_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC merge: micro-batched change feed -> versioned store
+# --------------------------------------------------------------------------
+CDC_STREAM_SHARDS = 4
+
+
+@register(
+    "streaming_cdc_merge",
+    # Same expected state as events_cdc_apply (modulo the op counter):
+    # however the feed is sliced into micro-batches, per-batch dedup +
+    # the cross-batch freshness guard compose to argmax over the whole
+    # log — associativity of max is WHY streaming CDC replication can
+    # be micro-batched at all, and the hash oracle proves it held.
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             event_type = 'purchase' AS is_upsert
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    last AS (
+      SELECT user_id, ts, event_id, value, is_upsert,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, value, ts AS applied_ts
+    FROM last WHERE rn = 1 AND is_upsert
+    """,
+    tags=("streaming", "cdc", "store", "K2", "K3"),
+)
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC replication end-to-end: the change feed (purchase =
+    upsert, error = delete-tombstone) is sharded into
+    {CDC_STREAM_SHARDS} files, streamed ONE FILE PER MICRO-BATCH, and
+    each epoch K2-merges into a versioned ParquetTable keyed on
+    user_id — per-batch dedup keeps the batch's winning op, the K3
+    freshness guard (a composite (ts, event_id) op-sequence string)
+    arbitrates across batches, and deletes ride as tombstone rows
+    filtered at read. The final table must hash-match the batch CDC
+    collapse regardless of how ops landed in micro-batches.
+
+    Scale: this is the replication pipeline's actual shape — each
+    epoch's merge cost is O(batch + touched keys), the store versions
+    every epoch, and the tombstone read-filter is the standard
+    compaction-deferred delete. Event time crosses the boundary as
+    epoch micros (LONG) so no session timezone can shift it
+    (streaming/incremental.py::foreach_batch_merge)."""
+    import uuid
+
+    from .pipeline_queries import _stream_partitions
+    from ..streaming.incremental import foreach_batch_merge, stream_events
+
+    # Shard the change feed so the stream replays as multiple epochs.
+    src_dir = tempfile.mkdtemp(prefix="pse_cdc_feed_")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .repartition(CDC_STREAM_SHARDS)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    ev = stream_events(spark, src_dir, max_files_per_trigger=1)
+    log = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").alias("is_upsert"),
+        # composite op sequence: zero-padded so string order == numeric
+        # (ts, event_id) order; unique because event_id is unique.
+        # NULL ts coalesces to -1 ("-…" sorts before every zero-padded
+        # positive), making NULL-time ops the OLDEST with the event_id
+        # tiebreak intact — exactly the oracle's DESC NULLS LAST +
+        # event_id DESC order (format_string would otherwise return
+        # NULL and drop the tiebreak entirely on a NULL-ts feed).
+        F.format_string(
+            "%020d%010d",
+            F.coalesce(F.unix_micros("ts"), F.lit(-1)),
+            F.col("event_id"),
+        ).alias("op_seq"),
+    )
+    table = ParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="pse_cdc_tbl_"),
+        log.schema,
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"pse_cdc_ckpt_{uuid.uuid4().hex[:8]}_")
+    with _stream_partitions(spark):
+        q = foreach_batch_merge(
+            log,
+            table,
+            keys=["user_id"],
+            freshness_col="op_seq",
+            checkpoint=ckpt,
+            dedup_order=[F.col("op_seq").desc()],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # epoch micros -> NTZ wall clock, session-tz-free
+    applied = F.expr(
+        "timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias("applied_ts")
+    return table.read().filter(F.col("is_upsert")).select("user_id", "value", applied)

@@ -117,9 +117,12 @@ def events_ts_unit(path: str) -> str:
     return units.pop()
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of the events table (one file = one micro-batch
-    at most; `maxFilesPerTrigger` would shard real feeds).
+    at most; pass `max_files_per_trigger` to cap files per epoch — the
+    way a replayed directory becomes a genuine multi-batch feed).
 
     Event time comes out as a true TIMESTAMP instant (epoch-µs == the
     stored wall-clock µs, session-tz-free): Spark's watermark machinery
@@ -132,6 +135,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = EVENTS_RAW_SCHEMA if unit == "long_ns" else EVENTS_NTZ_SCHEMA
     reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(sf_dir):
         # File streams source requires a directory: stream the parent,
         # glob-filtered to the one file.
@@ -288,14 +293,21 @@ def foreach_batch_merge(
     keys: Sequence[str],
     freshness_col: str | None = None,
     checkpoint: str | None = None,
+    dedup_order: Sequence | None = None,
 ) -> StreamingQuery:
     """Micro-batch MERGE sink: each epoch upserts into `table` under the
-    K3 guard — the streaming form of the reference's sync loop."""
+    K3 guard — the streaming form of the reference's sync loop. Pass
+    `dedup_order` when a batch can carry several ops per key (a CDC
+    feed): the pre-merge dedup keeps the batch's winning op, and the
+    freshness guard then arbitrates across batches."""
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.merge(batch_df, keys=keys, freshness_col=freshness_col)
+        table.merge(
+            batch_df, keys=keys, freshness_col=freshness_col,
+            dedup_order=dedup_order,
+        )
 
     writer = stream_df.writeStream.outputMode("append").foreachBatch(merge_batch)
     if checkpoint:
