@@ -166,6 +166,8 @@ _DRIVER_FIRST = [
     "brand_size_supplier_counts",
     "multimodal_wav_downsample",
     "streaming_cdc_merge",
+    "emb_ann_recall_report",
+    "store_version_diff",
 ]
 
 

@@ -1516,3 +1516,183 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     ).alias("applied_ts")
     return table.read().filter(F.col("is_upsert")).select("user_id", "value", applied)
+
+
+# --------------------------------------------------------------------------
+# ANN quality report: recall@k of every ANN lane vs brute-force truth
+# --------------------------------------------------------------------------
+def _sql_ann_recall() -> str:
+    from .llm_queries import TOPK, _sql_ann_ivf, _sql_ann_lsh, _sql_cosine_topk
+    from .round9_queries import _ivfpq_sql
+
+    methods = {
+        "lsh": _sql_ann_lsh(),
+        "ivf": _sql_ann_ivf(),
+        "ivfpq": _ivfpq_sql(),
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS method, bf.query_id,
+           CAST(COUNT(m.vec_id) AS BIGINT) AS n_hits,
+           COUNT(m.vec_id) * 1.0 / {TOPK} AS recall_at_{TOPK}
+    FROM bf LEFT JOIN (SELECT query_id, vec_id FROM ({sql})) m
+      ON m.query_id = bf.query_id AND m.vec_id = bf.vec_id
+    GROUP BY bf.query_id
+    """
+        for name, sql in methods.items()
+    )
+    return f"""
+    WITH bf AS (SELECT query_id, vec_id FROM ({_sql_cosine_topk()}))
+    {arms}
+    """
+
+
+@register(
+    "emb_ann_recall_report",
+    # Every arm's oracle is the SAME oracle its standalone query hash-
+    # matches against (composed as subqueries), joined to the brute-
+    # force truth — so this report is oracle-checked end to end, not a
+    # Spark-vs-Spark comparison.
+    oracle=_sql_ann_recall(),
+    tags=("embedding", "ann", "evaluation", "recall"),
+)
+def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN lane's quality scoreboard: recall@k of each approximate
+    method (hyperplane LSH, IVF with nprobe=2, IVF-PQ with ADC
+    scoring) against the exact brute-force cosine top-k, per query —
+    the number that decides nprobe/bands/code-size tradeoffs before a
+    serving rollout, computed by the engine itself.
+
+    Scale: ground truth is the brute-force scan (evaluation runs on a
+    sampled query set — here the fixed ANN_QUERY_IDS); each method's
+    plan is its production plan, reused verbatim from the registry, so
+    the report measures exactly what serves. The joins and counts run
+    on k x |queries| rows."""
+    from .llm_queries import TOPK, emb_ann_ivf, emb_ann_lsh, emb_cosine_topk
+    from .round9_queries import emb_ann_ivfpq
+
+    bf = emb_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    out = None
+    for name, fn in (
+        ("lsh", emb_ann_lsh),
+        ("ivf", emb_ann_ivf),
+        ("ivfpq", emb_ann_ivfpq),
+    ):
+        m = fn(spark, sf_dir).select(
+            F.col("query_id").alias("m_qid"), F.col("vec_id").alias("m_vid")
+        )
+        arm = (
+            bf.join(
+                m,
+                (bf.query_id == m.m_qid) & (bf.vec_id == m.m_vid),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("m_vid").alias("n_hits"))
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                "n_hits",
+                (F.col("n_hits") * 1.0 / TOPK).alias(f"recall_at_{TOPK}"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Table diff between two versions (post-hoc, via time travel)
+# --------------------------------------------------------------------------
+DIFF_UPD_MOD, DIFF_INS_MOD, DIFF_DEL_MOD = 7, 11, 5
+DIFF_INS_OFFSET = 1_000_000
+DIFF_BUMP_CENTS = 50_000
+
+
+def _sql_version_diff() -> str:
+    upd, ins, dele = DIFF_UPD_MOD, DIFF_INS_MOD, DIFF_DEL_MOD
+    return f"""
+    WITH base AS (
+      SELECT c_custkey AS k, {sql_cents('c_acctbal')} AS bal FROM customer
+    ),
+    v1 AS (SELECT * FROM base),
+    v3 AS (
+      -- after merge (updates %{upd}, inserts re-keyed %{ins}) and
+      -- delete (%{dele} == 2 on the CURRENT key)
+      SELECT k, bal + CASE WHEN k % {upd} = 0 THEN {DIFF_BUMP_CENTS} ELSE 0 END AS bal
+      FROM base WHERE k % {dele} <> 2
+      UNION ALL
+      SELECT k + {DIFF_INS_OFFSET} AS k, bal FROM base
+      WHERE k % {ins} = 0 AND (k + {DIFF_INS_OFFSET}) % {dele} <> 2
+    )
+    SELECT COALESCE(v3.k, v1.k) AS c_custkey,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v3.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.bal AS old_acctbal_cents,
+           v3.bal AS new_acctbal_cents
+    FROM v1 FULL OUTER JOIN v3 ON v1.k = v3.k
+    WHERE v1.k IS NULL OR v3.k IS NULL OR v1.bal <> v3.bal
+    """
+
+
+@register(
+    "store_version_diff",
+    # Closed form: v1 = the base slice; v3 = base with %7 balances
+    # bumped, %11 customers re-keyed in, and %5==2 keys deleted. The
+    # diff must classify exactly the adds/removes/changes — including
+    # the subtle row that was UPDATED in v2 and then DELETED in v3
+    # (it must surface as 'removed' with its ORIGINAL v1 balance).
+    oracle=_sql_version_diff(),
+    tags=("store", "time-travel", "diff"),
+)
+def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc diff between two table VERSIONS via time travel — the
+    "what changed between yesterday's snapshot and now" query Delta
+    answers with table_changes() only if CDF was enabled BEFORE the
+    writes; the version store answers it after the fact: read(v1)
+    FULL OUTER JOIN read(v3) on the key, classify added / removed /
+    changed, drop unchanged.
+
+    Scale: both sides are the table's own versions — the join
+    shuffles on the key once (or prunes to changed partitions when
+    the table is partitioned); output is bounded by the churn, not
+    the table."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        cents(F.col("c_acctbal")).alias("bal"),
+    )
+    table = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="pse_diff_"), c.schema
+    )
+    table.overwrite(c)  # v1
+    upd = c.filter(F.col("k") % DIFF_UPD_MOD == 0).withColumn(
+        "bal", F.col("bal") + DIFF_BUMP_CENTS
+    )
+    ins = c.filter(F.col("k") % DIFF_INS_MOD == 0).withColumn(
+        "k", F.col("k") + DIFF_INS_OFFSET
+    )
+    table.merge(upd.unionByName(ins), keys=["k"])  # v2
+    table.delete(F.col("k") % DIFF_DEL_MOD == 2)  # v3
+    v1 = table.read(version=1).select(
+        F.col("k").alias("k1"), F.col("bal").alias("bal1")
+    )
+    v3 = table.read(version=3).select(
+        F.col("k").alias("k3"), F.col("bal").alias("bal3")
+    )
+    return (
+        v1.join(v3, v1.k1 == v3.k3, "full_outer")
+        .filter(
+            F.col("k1").isNull()
+            | F.col("k3").isNull()
+            | (F.col("bal1") != F.col("bal3"))
+        )
+        .select(
+            F.coalesce("k3", "k1").alias("c_custkey"),
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k3").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.col("bal1").alias("old_acctbal_cents"),
+            F.col("bal3").alias("new_acctbal_cents"),
+        )
+    )
