@@ -205,6 +205,7 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_wav_decode",       # mapInPandas REAL WAV codec
         "multimodal_bmp_decode",       # mapInPandas REAL BMP codec
         "multimodal_y4m_frames",       # mapInPandas REAL Y4M frame sampling
+        "multimodal_wav_downsample",   # mapInPandas WAV transcode round-trip
         "datasource_price_scan",       # Python DataSource scan
     }
     offenders = {}
