@@ -1,25 +1,34 @@
-"""Round-10 queries: the two store-path additions the r5 review asked
-for (VERDICT items 5 and 6).
+"""Round-10 queries (the round-6 driver round's additions).
 
-- `store_lifecycle_preview` — destructive-op interplay under the
-  driver: overwrite → keyed merge → delete → RESTORE → VACUUM in one
-  lifecycle, hash-checked against the closed-form expected table (the
-  `sync_end_to_end` technique). The subtle part is restore-then-vacuum:
-  the restore's SOURCE version is vacuumed away, and the restored data
-  must survive because restore re-commits data, never re-points.
-- `emb_ann_ivfpq_increment` — the ANN lane's crawl-increment story
-  (mirroring `docs_incremental_dedup`): new vectors are assigned to the
-  EXISTING frozen cells and K2-merged into the cell-partitioned index
-  table, so per-crawl cost scales with the shard, and untouched cells
-  are carried as hardlinks (zero data movement — the physical guard
-  tests/test_round10.py asserts inode identity). Equality with the
-  from-scratch full-index oracle proves increment == rebuild.
+Store / incremental lane: `store_lifecycle_preview` (overwrite → merge
+→ delete → RESTORE → VACUUM in one hash-checked lifecycle — restore
+must survive the vacuuming of its own source version),
+`emb_ann_ivfpq_increment` (crawl shard → frozen-centroid cells → K2
+merge into the cell-partitioned index; untouched cells hardlink-carried,
+inode-asserted), `scd2_customer_merge` (close + open in ONE
+composite-key merge), `streaming_cdc_merge` (micro-batched change feed
+→ per-epoch K2/K3 merge, tombstone deletes, batching-invariant),
+`events_cdc_apply` (batch last-op-wins collapse), `store_version_diff`
+(post-hoc added/removed/changed between versions via time travel),
+`bucketed_colocated_join` (shuffle-free fact-fact join through
+bucketed tables).
+
+Analytics lane: TPC-H Q6 / Q9 / Q16 analogs, the top-N + 'Others' BI
+rollup, exact tie-safe Mann-Whitney U / AUC (two-phase bucketed
+ranks).
+
+LLM-pipeline lane: BPE merge-pair induction, Heaps-law vocabulary
+growth, DSIR-style hashed-n-gram target affinity, trending-term drift
+detection, SemDeDup cluster-scoped semantic dedup, Matryoshka
+prefix-dim recall, kNN label classification, the ANN recall
+scoreboard (`emb_ann_recall_report`), and a WAV transcode round-trip
+(`multimodal_wav_downsample`).
 
 Reference parity: the reference's sync loop IS an incremental
 maintain-a-table-under-merges engine (src/etl/price_sync — overwrite
-dims, merge facts); these queries drive this engine's versioned-store
-analog of that lifecycle plus the ANN index as "just another
-incrementally-merged table".
+dims, merge facts); the store-lane queries drive this engine's
+versioned-store analog of that lifecycle, with the ANN index and the
+SCD2 dimension as "just another incrementally-merged table".
 """
 
 from __future__ import annotations
