@@ -1531,27 +1531,98 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN quality report: recall@k of every ANN lane vs brute-force truth
 # --------------------------------------------------------------------------
 def _sql_ann_recall() -> str:
-    from .llm_queries import TOPK, _sql_ann_ivf, _sql_ann_lsh, _sql_cosine_topk
-    from .round9_queries import _ivfpq_sql
+    from .llm_queries import (
+        _Q_IDS,
+        EMB_DIM,
+        IVF_CENTROID_IDS,
+        IVF_NPROBE,
+        TOPK,
+        _sql_bucket,
+    )
+    from ..functions.vectors import sql_cosine
+    from .round8_queries import ADC_TOPK, PQ_DSUB, PQ_M, _pq_cte
 
-    methods = {
-        "lsh": _sql_ann_lsh(),
-        "ivf": _sql_ann_ivf(),
-        "ivfpq": _ivfpq_sql(),
-    }
+    # COMPACT shared-CTE form, deliberately NOT a composition of the
+    # standalone oracles: embedding four full oracles as subqueries
+    # (~6 unrolled 64-dim cosine blocks) poisoned DuckDB 1.0's
+    # allocator — the composed SQL ran once, then ANY later heavy
+    # oracle on the same connection died with a spurious tiny-block
+    # OOM (reproduced without Spark in the process). This form shares
+    # ONE pairwise-cosine CTE and ONE centroid-cosine CTE across all
+    # arms; every arm's candidate/rank rule is token-equivalent to its
+    # standalone oracle (dot/norm argument order commutes exactly,
+    # term order unchanged), so the semantics — which each standalone
+    # query hash-verifies — are identical.
+    cos_eq = sql_cosine("e.embedding", "q.embedding", EMB_DIM)
+    cos_ec = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+
+    def dist(m: int) -> str:
+        lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
+        return (
+            f"list_sum(list_transform(qq.qarr[{lo}:{hi}], "
+            f"x -> (x - (32 + 64*cv.c{m})) * (x - (32 + 64*cv.c{m}))))"
+        )
+
+    adc = " + ".join(dist(m) for m in range(PQ_M))
+    rank_c = (
+        "row_number() OVER (PARTITION BY s.query_id "
+        "ORDER BY s.c DESC, s.vec_id ASC)"
+    )
     arms = "\nUNION ALL\n".join(
         f"""
     SELECT '{name}' AS method, bf.query_id,
            CAST(COUNT(m.vec_id) AS BIGINT) AS n_hits,
            COUNT(m.vec_id) * 1.0 / {TOPK} AS recall_at_{TOPK}
-    FROM bf LEFT JOIN (SELECT query_id, vec_id FROM ({sql})) m
+    FROM bf LEFT JOIN {cte} m
       ON m.query_id = bf.query_id AND m.vec_id = bf.vec_id
     GROUP BY bf.query_id
     """
-        for name, sql in methods.items()
+        for name, cte in (("lsh", "m_lsh"), ("ivf", "m_ivf"), ("ivfpq", "m_pq"))
     )
     return f"""
-    WITH bf AS (SELECT query_id, vec_id FROM ({_sql_cosine_topk()}))
+    WITH {_pq_cte()},
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({_Q_IDS})),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id, {cos_eq} AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    bf AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= {TOPK}),
+    bkt AS (SELECT vec_id, ({_sql_bucket('embedding')}) AS bucket FROM embeddings),
+    m_lsh AS (SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id, {rank_c} AS rn
+        FROM scored s
+        JOIN bkt e ON e.vec_id = s.vec_id
+        JOIN bkt qb ON qb.vec_id = s.query_id AND qb.bucket = e.bucket
+      ) WHERE rn <= {TOPK}),
+    cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id IN ({cids})),
+    cellscore AS (SELECT e.vec_id, c.cid, {cos_ec} AS cc
+                  FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cc DESC, cid ASC) AS rn FROM cellscore) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cc DESC, cid ASC) AS rn
+        FROM cellscore WHERE vec_id IN ({_Q_IDS})) WHERE rn <= {IVF_NPROBE}),
+    cand AS (SELECT p.query_id, a.vec_id FROM probes p
+             JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    m_ivf AS (SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id, {rank_c} AS rn
+        FROM scored s JOIN cand ON cand.query_id = s.query_id
+                               AND cand.vec_id = s.vec_id) WHERE rn <= {TOPK}),
+    qq AS (SELECT vec_id AS query_id, q AS qarr FROM qv WHERE vec_id IN ({_Q_IDS})),
+    m_pq AS (SELECT query_id, vec_id FROM (
+        SELECT cand.query_id, cand.vec_id,
+               row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY CAST({adc} AS BIGINT) ASC, cand.vec_id ASC) AS rn
+        FROM cand JOIN cv ON cv.vec_id = cand.vec_id
+                  JOIN qq ON qq.query_id = cand.query_id) WHERE rn <= {ADC_TOPK})
     {arms}
     """
 

@@ -165,3 +165,24 @@ def test_semdedup_pairs_join_is_cell_equi(spark):
     corpus."""
     plan = _plan(spark, "emb_semdedup")
     assert "CartesianProduct" not in plan
+
+
+def test_recall_oracle_does_not_poison_the_connection():
+    """DuckDB 1.0 regression: the first recall-report oracle (four full
+    oracles composed as subqueries, ~6 unrolled 64-dim cosine blocks)
+    executed fine ONCE but left the connection unable to run any later
+    heavy oracle (spurious tiny-block OOM). The compact shared-CTE form
+    must run, be followed by every other registry oracle, and run
+    again — all on ONE connection, like the driver does."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.testing import duck_connection
+
+    from conftest import SF_DIR as _SF  # noqa: F811
+
+    con = duck_connection("/root/testdata/sf0.001")
+    recall = plans.REGISTRY["emb_ann_recall_report"].oracle
+    con.sql(recall).fetchall()
+    for name in ("emb_ann_ivfpq", "emb_ann_ivf", "emb_ann_lsh", "emb_cosine_topk"):
+        con.sql(plans.REGISTRY[name].oracle).fetchall()
+    assert len(con.sql(recall).fetchall()) == 9
+    con.close()
