@@ -773,3 +773,25 @@ def _wav_chunk(payload: bytes, tag: bytes) -> bytes:
             return payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
     raise ValueError(f"chunk {tag!r} not found")
+
+
+def resize_decode_bmp(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image transform round-trip (the BMP sibling of
+    downsample_wav): decode each BMP, nearest-neighbor resize to
+    (out_w, out_h) via resize_bmp_nearest — which RE-ENCODES a valid
+    bottom-up BI_RGB BMP — then decode the re-encoded payload and
+    report its header + exact per-channel sums. Both codec directions
+    run for real on every payload, executor-side."""
+
+    def resize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                parse_bmp(resize_bmp_nearest(p, out_w, out_h))
+                for p in pdf["payload"]
+            ]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in BMP_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize_partition, schema=BMP_FEATURES_SCHEMA)

@@ -168,6 +168,7 @@ _DRIVER_FIRST = [
     "streaming_cdc_merge",
     "emb_ann_recall_report",
     "store_version_diff",
+    "multimodal_bmp_resize",
 ]
 
 

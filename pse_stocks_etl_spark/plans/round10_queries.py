@@ -1776,3 +1776,56 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal3").alias("new_acctbal_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BMP resize round-trip: decode -> nearest-neighbor resize -> re-encode -> decode
+# --------------------------------------------------------------------------
+BMP_OUT_W, BMP_OUT_H = 3, 2
+
+
+@register(
+    "multimodal_bmp_resize",
+    # Oracle replays the nearest-neighbor floor mapping on the
+    # generation lattice: output pixel (xo, yo) samples source
+    # (xo*w // OUT_W, yo*h // OUT_H) in top-down coordinates, the same
+    # index math resize_bmp_nearest performs after flipping the
+    # bottom-up rows — so equality proves decoder, resampler, encoder
+    # AND the second decode agree end to end.
+    oracle=f"""
+    WITH m AS (
+      SELECT d.doc_id,
+             (ux.x * (4 + d.doc_id % 5)) // {BMP_OUT_W} AS x,
+             (uy.y * (3 + d.doc_id % 4)) // {BMP_OUT_H} AS y
+      FROM documents d,
+           UNNEST(range(0, {BMP_OUT_W})) AS ux(x),
+           UNNEST(range(0, {BMP_OUT_H})) AS uy(y)
+    )
+    SELECT doc_id,
+           CAST({BMP_OUT_W} AS BIGINT) AS width,
+           CAST({BMP_OUT_H} AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((2*doc_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((3*doc_id + 13*x + 17*y) % 256) AS BIGINT) AS sum_r
+    FROM m GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "transform"),
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image TRANSFORM with both codec directions real (the BMP
+    sibling of multimodal_wav_downsample): decode each synthesized
+    BMP, nearest-neighbor resize to {BMP_OUT_W}x{BMP_OUT_H} —
+    RE-ENCODING a valid bottom-up BI_RGB 24-bit file, row padding and
+    all — then decode the re-encoded payload and report exact
+    per-channel sums (operators/multimodal.py::resize_decode_bmp).
+    This is the thumbnail/normalize pass every multimodal training
+    pipeline runs before feature extraction.
+
+    Scale: Arrow-batched mapInPandas; payloads never visit the
+    driver; per-row cost is the pixel count. JPEG swaps in behind the
+    same plumbing when PIL exists (documented stub)."""
+    from ..operators.multimodal import attach_bmp, resize_decode_bmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_decode_bmp(attach_bmp(docs), BMP_OUT_W, BMP_OUT_H)

@@ -206,6 +206,7 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_bmp_decode",       # mapInPandas REAL BMP codec
         "multimodal_y4m_frames",       # mapInPandas REAL Y4M frame sampling
         "multimodal_wav_downsample",   # mapInPandas WAV transcode round-trip
+        "multimodal_bmp_resize",       # mapInPandas BMP resize round-trip
         "datasource_price_scan",       # Python DataSource scan
     }
     offenders = {}
