@@ -169,6 +169,8 @@ _DRIVER_FIRST = [
     "emb_ann_recall_report",
     "store_version_diff",
     "multimodal_bmp_resize",
+    "value_winsorized_stats",
+    "cohort_ltv_matrix",
 ]
 
 

@@ -1829,3 +1829,169 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_decode_bmp(attach_bmp(docs), BMP_OUT_W, BMP_OUT_H)
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics: robust mean with dyadic-tail clamping
+# --------------------------------------------------------------------------
+WINSOR_LO, WINSOR_HI = 1 / 16, 15 / 16  # DYADIC tails — see docstring
+
+
+@register(
+    "value_winsorized_stats",
+    # Dyadic quantiles (1/16, 15/16) keep everything bit-exact: the
+    # interpolation weight is m/16, so both engines' quantile formulas
+    # produce the identical dyadic double on integer cents; clamped
+    # values are integers or those two quantiles (≤4 fractional bits,
+    # magnitude ≪ 2^53), so the double SUM is exact and therefore
+    # summation-order-free — no BIGINT re-quantization needed.
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(c, 0.0625) AS lo,
+             quantile_cont(c, 0.9375) AS hi
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, q.lo AS p_lo_cents, q.hi AS p_hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE v.c < q.lo) AS BIGINT) AS n_clamped_lo,
+           CAST(COUNT(*) FILTER (WHERE v.c > q.hi) AS BIGINT) AS n_clamped_hi,
+           SUM(LEAST(GREATEST(v.c * 1.0, q.lo), q.hi)) / COUNT(*)
+             AS winsorized_mean_cents
+    FROM v JOIN q USING (event_type)
+    GROUP BY v.event_type, q.lo, q.hi
+    """,
+    tags=("robust-stats", "winsorize", "percentile"),
+)
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust average every
+    metrics pipeline wants when a few outliers poison the plain mean:
+    values are CLAMPED (not dropped, unlike trimming) at the 1/16 and
+    15/16 quantiles before averaging.
+
+    Scale: one aggregate computes the two quantiles per group (sort-
+    based exact percentile on the grouped column), the tiny quantile
+    table broadcasts back, and the clamped re-aggregate is map-side
+    combinable. Exactness: integer cents + DYADIC quantiles make
+    every clamped value an exact ≤4-fractional-bit double, so the sum
+    never rounds and both engines agree bit-for-bit (the
+    median_price_per_flag rule, extended to the clamp-sum)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile(F.col("c"), WINSOR_LO).alias("lo"),
+        F.percentile(F.col("c"), WINSOR_HI).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c") * 1.0, F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_hi"),
+            (F.sum(clamped) / F.count("*")).alias("winsorized_mean_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("lo").alias("p_lo_cents"),
+            F.col("hi").alias("p_hi_cents"),
+            "n",
+            "n_clamped_lo",
+            "n_clamped_hi",
+            "winsorized_mean_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV matrix: revenue per signup cohort x age month, cumulative
+# --------------------------------------------------------------------------
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM p GROUP BY user_id),
+    sized AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY cohort_day),
+    cell AS (
+      SELECT c.cohort_day, p.d - c.cohort_day AS age_days,
+             CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+      FROM p JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_day, p.d - c.cohort_day
+    )
+    SELECT cell.cohort_day, cell.age_days, sized.n_users,
+           cell.revenue_cents,
+           CAST(SUM(cell.revenue_cents) OVER (
+                PARTITION BY cell.cohort_day ORDER BY cell.age_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_revenue_cents
+    FROM cell JOIN sized USING (cohort_day)
+    """,
+    tags=("growth-analytics", "cohort", "ltv"),
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-analytics staple next to retention_cohorts: revenue
+    per acquisition cohort (DAY of first purchase — the testdata spans
+    one month, so daily cohorts give the real matrix a monthly scheme
+    would degenerate out of) by age-in-days, with the running
+    cumulative — the LTV curve per cohort that payback-period
+    decisions read off.
+
+    Scale: one purchase scan, a per-user MIN (the only corpus-keyed
+    shuffle, map-side combined), a (cohort, age) aggregate that
+    shrinks to days², and a cumulative window over that tiny matrix
+    partitioned by cohort. Days ride as exact epoch-day integers via
+    DATE extraction from the NTZ timestamp — no timezone function
+    touches event time."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cohort = p.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sized = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    cell = (
+        p.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(sized), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_users",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+        )
+    )
