@@ -53,6 +53,11 @@ try:  # round-10 queries (store lifecycle, incremental IVF-PQ)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-11 queries (TPC-H sweep completion: Q2/Q12/Q20 analogs)
+    from . import round11_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -176,6 +181,9 @@ _DRIVER_FIRST = [
     "multimodal_bmp_resize",
     "value_winsorized_stats",
     "cohort_ltv_matrix",
+    "min_cost_regional_supplier",
+    "delay_band_priority_counts",
+    "dominant_part_suppliers",
 ]
 
 

@@ -33,6 +33,28 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
+STAGED_NAMES = sorted(__import__(
+    "pse_stocks_etl_spark.plans.staging", fromlist=["STAGING"]
+).STAGING)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
+    """Staged queries (awaiting a driver slot) get the exact same
+    strict parity gate as registered ones — the round-9 staging module
+    carried its own copy of this loop; this generic one survives the
+    queue emptying and refilling."""
+    from pse_stocks_etl_spark.plans.staging import STAGING
+
+    q = STAGING[name]
+    sdf = q.fn(spark, sf_dir)
+    if q.oracle is None:
+        assert sdf.count() >= 0
+        return
+    problems = strict_compare(sdf.toArrow(), duck.sql(q.oracle).fetch_arrow_table())
+    assert not problems, f"{name}: {problems}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
