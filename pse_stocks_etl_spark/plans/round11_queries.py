@@ -209,7 +209,7 @@ def delay_band_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q20 analog: suppliers dominating a part's shipped volume (staged)
+# TPC-H Q20 analog: suppliers dominating a part's shipped volume
 # --------------------------------------------------------------------------
 Q20_LO, Q20_HI = "1997-01-01", "1998-01-01"
 Q20_NAME_PREFIX = "small"
