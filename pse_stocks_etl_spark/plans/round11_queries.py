@@ -24,6 +24,13 @@ promo_revenue_share, top_revenue_suppliers, brand_size_supplier_counts,
 small_quantity_revenue, large_order_customers, brand_bracket_revenue,
 dominant_part_suppliers, sole_late_supplier_orders, idle_rich_customers).
 
+Plus one staged addition (the driver backlog is at its 25-query
+bound): `streaming_click_full_join`, the FULL OUTER member of the
+watermarked stream-stream interval-join matrix (inner r5-green, LEFT
+OUTER round-9) — its oracle spells both asymmetric NULL-emission
+horizons, so hash equality proves the runtime's two-sided state
+eviction.
+
 Reference parity: the reference's analytics surface is the sync +
 query loop over its price tables (src/etl/price_sync, src/db/); these
 shapes extend SURVEY.md §2's J5/A1-A5/O1-O3 operator families to the
@@ -39,6 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, sql_cents
 from ..sources.catalog import load_table
 from .registry import register
+from .staging import stage
 
 # --------------------------------------------------------------------------
 # TPC-H Q2 analog: minimum-cost supplier per part within a region
@@ -305,4 +313,104 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming FULL OUTER interval join (staged: backlog is at its bound)
+# --------------------------------------------------------------------------
+@stage(
+    "streaming_click_full_join",
+    # Hash-checked against the batch equivalent with BOTH watermark
+    # emission rules explicit: matched pairs are the plain interval
+    # join; unmatched clicks emit NULL purchase columns once the final
+    # watermark passes click_ts + 6h (no future purchase can match);
+    # unmatched purchases emit NULL click columns once the watermark
+    # passes purchase_ts (any matching click must have click_ts <=
+    # purchase_ts, so the click side can no longer produce one). Both
+    # rules verified empirically against the runtime at sf0.01
+    # (221 matched / 1780 NULL-purchase / 1769 NULL-click) before the
+    # oracle was pinned; strict `<` matches the click-side convention.
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL, c.ts, NULL
+    FROM c, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    )
+    AND c.ts + INTERVAL 6 HOUR < wm.w
+    UNION ALL
+    SELECT p.user_id, NULL, p.event_id, NULL, p.ts
+    FROM p, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    )
+    AND p.ts < wm.w
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def streaming_click_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream interval join — the last
+    member of the streaming join matrix (inner r5-green, LEFT OUTER
+    r9): attribution pairs, clicks that provably converted to nothing,
+    AND purchases that provably arrived with no preceding click. The
+    two NULL sides expire on DIFFERENT horizons (click at
+    click_ts + window, purchase at purchase_ts, because the interval
+    is one-sided) — the oracle spells both rules, so hash equality
+    proves the runtime's asymmetric state eviction, not just the
+    matched pairs.
+
+    Scale: identical state bounds to the inner/left twins — both sides
+    watermarked, the time predicate bounded in both directions, state
+    hash-partitioned by user_id. The full-outer emission changes only
+    what eviction produces, never what it buffers."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import interval_join_clicks, stream_events
+    from .pipeline_queries import _stream_partitions
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = interval_join_clicks(events, join_type="full_outer")
+    name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+
+    def ntz(col: str):
+        return F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({col}), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias(col)
+
+    return out.select(
+        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
     )

@@ -267,7 +267,17 @@ def interval_join_clicks(
             f"AND purchase_ts <= click_ts + interval {attribution_window}"
         ),
         join_type,
-    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    ).select(
+        # coalesce: under full_outer the click side's key is NULL on
+        # unmatched-purchase rows; for inner/left_outer the two keys are
+        # equal (or p_user_id is NULL), so this is value-identical to
+        # the plain click-side key the hash-green twins were checked on.
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
 
 
 def streaming_dedup(
