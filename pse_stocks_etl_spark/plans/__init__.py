@@ -84,20 +84,22 @@ except ImportError:  # pragma: no cover - partial checkouts
 #      the window, the r4 failure mode).
 #
 # NEXT-ROUND ROTATION RECIPE: once CORRECTNESS_r06 records this window
-# green, the never-checked backlog is the 23-query block-6 queue below
-# (positions 51+ — the round-6 second batch, from discount_band_revenue
-# through cohort_ltv_matrix). Promote ALL of block 6 into window
-# positions 1-23, then fill the remaining 27 slots from the
-# stale-green refresh queue, oldest driver round first (the r1/r2
-# block: flagship_latest_price, pricing_summary, watermark_per_key,
-# dedup_argmax, docs_exact_dedup, docs_fingerprint, emb_ann_lsh,
-# emb_ann_ivf, emb_near_dup_pairs, docs_near_dup_clusters,
-# sessionization, docs_top_terms, docs_bpe_token_stats,
-# docs_quality_score, ..., then r3/r4). New round-7 additions go
-# straight to REGISTRY + _DRIVER_FIRST (window first if refresh slots
-# can yield, else overflow positions 51+ up to the 25-query bound —
-# currently 2 slots of headroom); staging stays empty unless the
-# bound is hit.
+# green, the never-checked backlog is the 25-query block-6 queue below
+# (positions 51+ — the round-6 second batch plus the TPC-H sweep
+# completion, from discount_band_revenue through
+# dominant_part_suppliers — the bound is FULL) plus the staged
+# streaming_click_full_join. Promote ALL of block 6 into window
+# positions 1-25 and register the staged query into position 26, then
+# fill the remaining ~24 slots from the stale-green refresh queue,
+# oldest driver round first (the r1/r2 block: flagship_latest_price,
+# pricing_summary, watermark_per_key, dedup_argmax, docs_exact_dedup,
+# docs_fingerprint, emb_ann_lsh, emb_ann_ivf, emb_near_dup_pairs,
+# docs_near_dup_clusters, sessionization, docs_top_terms,
+# docs_bpe_token_stats, docs_quality_score, ..., then r3/r4). New
+# round-7 additions go straight to REGISTRY + _DRIVER_FIRST (window
+# first if refresh slots can yield, else overflow positions 51+ up to
+# the 25-query bound); staging drains first and stays empty unless
+# the bound is hit again.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
     # -- block 1: round-7 second batch (never driver-checked) --
