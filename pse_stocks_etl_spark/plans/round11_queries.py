@@ -24,12 +24,14 @@ promo_revenue_share, top_revenue_suppliers, brand_size_supplier_counts,
 small_quantity_revenue, large_order_customers, brand_bracket_revenue,
 dominant_part_suppliers, sole_late_supplier_orders, idle_rich_customers).
 
-Plus one staged addition (the driver backlog is at its 25-query
-bound): `streaming_click_full_join`, the FULL OUTER member of the
-watermarked stream-stream interval-join matrix (inner r5-green, LEFT
-OUTER round-9) — its oracle spells both asymmetric NULL-emission
-horizons, so hash equality proves the runtime's two-sided state
-eviction.
+Plus staged additions (the driver backlog is at its 25-query bound):
+`streaming_click_full_join`, the FULL OUTER member of the watermarked
+stream-stream interval-join matrix (inner r5-green, LEFT OUTER
+round-9) — its oracle spells both asymmetric NULL-emission horizons,
+so hash equality proves the runtime's two-sided state eviction; and
+`docs_incremental_simhash`, the crawl-increment member of the
+Hamming dedup family (completing the increment trio with
+docs_incremental_dedup and emb_ann_ivfpq_increment).
 
 Reference parity: the reference's analytics surface is the sync +
 query loop over its price tables (src/etl/price_sync, src/db/); these
@@ -413,4 +415,156 @@ def streaming_click_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return out.select(
         "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental SimHash dedup: new crawl shard vs the standing fingerprints
+# --------------------------------------------------------------------------
+def _sql_incremental_simhash() -> str:
+    from .round9_queries import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCK_CAP,
+        SIMHASH_HAM_BLOCKS,
+        SIMHASH_HAM_T,
+        _sql_simhash60,
+    )
+
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS blk,"
+        f" (simhash // {1 << (SIMHASH_BLOCK_BITS * b)}) % {mask + 1} AS bv"
+        " FROM sim"
+        for b in range(SIMHASH_HAM_BLOCKS)
+    )
+    return f"""{_sql_simhash60()},
+    blocks AS ({blocks}),
+    nb AS (SELECT doc_id, blk, bv FROM blocks WHERE doc_id % 2 = 1),
+    eb AS (
+      SELECT doc_id, blk, bv FROM blocks WHERE doc_id % 2 = 0
+      QUALIFY COUNT(*) OVER (PARTITION BY blk, bv) <= {SIMHASH_BLOCK_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_n, e.doc_id AS doc_e
+      FROM nb n JOIN eb e ON n.blk = e.blk AND n.bv = e.bv
+    ),
+    ver AS (
+      SELECT c.doc_n, c.doc_e,
+             bit_count(xor(sn.simhash, se.simhash)) AS hamming
+      FROM cand c
+      JOIN sim sn ON sn.doc_id = c.doc_n
+      JOIN sim se ON se.doc_id = c.doc_e
+      WHERE bit_count(xor(sn.simhash, se.simhash)) <= {SIMHASH_HAM_T}
+    ),
+    best AS (
+      SELECT doc_n, hamming, doc_e,
+             CAST(COUNT(*) OVER (PARTITION BY doc_n) AS BIGINT) AS n_near,
+             row_number() OVER (PARTITION BY doc_n
+                                ORDER BY hamming, doc_e) AS rn
+      FROM ver
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(b.n_near, 0) AS BIGINT) AS n_near_dups,
+           b.hamming AS min_hamming,
+           b.doc_e AS nearest_doc,
+           (b.doc_n IS NOT NULL) AS is_near_dup
+    FROM sim s
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_n = s.doc_id
+    WHERE s.doc_id % 2 = 1
+    """
+
+
+@stage(
+    "docs_incremental_simhash",
+    oracle=_sql_incremental_simhash(),
+    tags=("llm", "dedup-near", "simhash", "incremental"),
+)
+def docs_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup screening: a new crawl shard (odd
+    doc_ids, the docs_incremental_dedup split convention) checked
+    against the STANDING corpus's 60-bit fingerprint table (even
+    doc_ids) — the crawl-increment story for the Hamming family,
+    completing the trio with docs_incremental_dedup (MinHash/Jaccard)
+    and emb_ann_ivfpq_increment (cosine). Per new doc: how many
+    standing near-dups (Hamming <= 3), the closest one (ties to the
+    smallest doc_id), and the keep/drop verdict.
+
+    Scale: the standing side is ONE BIGINT fingerprint per doc — the
+    table a production dedup service maintains under K2 merges; the
+    shard never self-joins and the standing corpus never re-pairs with
+    itself, so per-crawl cost is new-blocks x bucket occupancy, with
+    overloaded standing buckets (> SIMHASH_BLOCK_CAP) skipped the same
+    way the pairs query drops them. Candidates come from the Manku
+    pigeonhole block equi-join; the exact popcount verify touches
+    candidates only; the per-doc verdict is one window over the
+    verified matches."""
+    from pyspark.sql import Window
+
+    from .round9_queries import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCK_CAP,
+        SIMHASH_HAM_BLOCKS,
+        SIMHASH_HAM_T,
+        _simhash60,
+    )
+
+    sim = _simhash60(spark, sf_dir)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = sim.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(SIMHASH_HAM_BLOCKS)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    nb = blocks.filter(F.col("doc_id") % 2 == 1)
+    eb = blocks.filter(F.col("doc_id") % 2 == 0)
+    wide = (
+        eb.groupBy("blk", "bv")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > SIMHASH_BLOCK_CAP)
+        .select("blk", "bv")
+    )
+    eb = eb.join(F.broadcast(wide), ["blk", "bv"], "left_anti")
+    cand = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.blk") == F.col("e.blk")) & (F.col("n.bv") == F.col("e.bv")),
+        )
+        .select(F.col("n.doc_id").alias("doc_n"), F.col("e.doc_id").alias("doc_e"))
+        .distinct()
+    )
+    sn = sim.select(F.col("doc_id").alias("doc_n"), F.col("simhash").alias("hn"))
+    se = sim.select(F.col("doc_id").alias("doc_e"), F.col("simhash").alias("he"))
+    ver = (
+        cand.join(sn, "doc_n")
+        .join(se, "doc_e")
+        .select("doc_n", "doc_e", F.expr("bit_count(hn ^ he)").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+    )
+    w = Window.partitionBy("doc_n")
+    best = (
+        ver.withColumn("n_near", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy("hamming", "doc_e")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    new_docs = sim.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return new_docs.join(
+        best, new_docs.doc_id == best.doc_n, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near_dups"),
+        F.col("hamming").alias("min_hamming"),
+        F.col("doc_e").alias("nearest_doc"),
+        F.col("doc_n").isNotNull().alias("is_near_dup"),
     )
