@@ -445,3 +445,86 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     }
     assert out.get(0) == 1, f"late row reopened W0: {out}"  # e3 dropped
     assert out.get(2) == 1, f"within-watermark row lost: {out}"  # e4 kept
+
+
+def test_full_outer_join_emits_both_null_sides_on_watermark(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: a never-converting click
+    and a click-less purchase stay BUFFERED while a future match is
+    still possible, and both NULL rows emit only once the watermark
+    proves no match can come — the click at click_ts + window, the
+    purchase at purchase_ts (the interval is one-sided). Matched pairs
+    emit as they are processed."""
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import interval_join_clicks
+
+    HOUR = 3_600 * 10**6
+    T0 = 1_700_000_000 * 10**6
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + int(h * HOUR), uid, etype, 1.0, "{}")
+                for eid, h, uid, etype in specs
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+
+    batches = [
+        # c1 never converts; p2 has no preceding click; (c3, p4) match
+        # in-batch. The watermark is computed AFTER the click/purchase
+        # filters, so only click/purchase event times advance it —
+        # batch 0 leaves it at 23:00 the previous day (max 0.5h - 1h
+        # delay): NOTHING is provably unmatched yet.
+        rows((1, 0.0, 1, "click"), (2, 0.5, 2, "purchase"),
+             (3, 0.2, 3, "click"), (4, 0.3, 3, "purchase")),
+        # a 9:00 click and purchase for unrelated users push BOTH
+        # sides' watermarks to 08:00 — past c1's horizon (00:00 + 6h)
+        # AND past p2's own timestamp: both NULL rows must flush. The
+        # 9:00 rows themselves stay buffered (their own horizons are
+        # still open) and never emit.
+        rows((6, 9.0, 8, "click"), (7, 9.0, 9, "purchase")),
+    ]
+
+    src = str(tmp_path / "fjoin_src")
+    os.makedirs(src)
+    q = None
+    name = f"fsjoin_out_{uuid.uuid4().hex[:8]}"
+    counts = []
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"batch_{i}")
+            )
+            if q is None:
+                joined = interval_join_clicks(
+                    stream_events(spark, src + "/*"), join_type="full_outer"
+                )
+                q = (
+                    joined.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(tmp_path / "ck_fsj"))
+                    .start()
+                )
+            q.processAllAvailable()
+            counts.append(spark.table(name).count())
+    finally:
+        if q is not None:
+            q.stop()
+
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table(name).collect()
+    }
+    assert got == {(3, 3, 4), (1, 1, None), (2, None, 2)}
+    # only the matched pair before the watermark advanced; both NULL
+    # sides flushed once batch 1 moved the watermark; the 9:00 rows
+    # stay buffered (no row for users 8/9)
+    assert counts == [1, 3]
