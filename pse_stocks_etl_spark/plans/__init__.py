@@ -87,10 +87,11 @@ except ImportError:  # pragma: no cover - partial checkouts
 # green, the never-checked backlog is the 25-query block-6 queue below
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
-# dominant_part_suppliers — the bound is FULL) plus the staged
-# streaming_click_full_join. Promote ALL of block 6 into window
-# positions 1-25 and register the staged query into position 26, then
-# fill the remaining ~24 slots from the stale-green refresh queue,
+# dominant_part_suppliers — the bound is FULL) plus the TWO staged
+# queries (streaming_click_full_join, docs_incremental_simhash).
+# Promote ALL of block 6 into window positions 1-25, register both
+# staged queries into positions 26-27, then fill the remaining ~23
+# slots from the stale-green refresh queue,
 # oldest driver round first (the r1/r2 block: flagship_latest_price,
 # pricing_summary, watermark_per_key, dedup_argmax, docs_exact_dedup,
 # docs_fingerprint, emb_ann_lsh, emb_ann_ivf, emb_near_dup_pairs,

@@ -47,6 +47,51 @@ def _stream_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def run_click_join_stream(
+    spark: SparkSession, sf_dir: str, join_type: str = "inner",
+    prefix: str = "stream_join",
+) -> DataFrame:
+    """Drive the watermarked click/purchase interval join to completion
+    on the Structured Streaming runtime and hand back the result as a
+    batch frame with NTZ event-time columns — the shared runner behind
+    all three join-matrix queries (inner here, LEFT OUTER in
+    round9_queries, FULL OUTER in round11_queries), so sink/stop
+    ordering and the session-tz-free timestamp conversion live in
+    exactly one place."""
+    import os
+    import uuid
+
+    from ..streaming.incremental import interval_join_clicks, stream_events
+
+    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = interval_join_clicks(events, join_type=join_type)
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+
+    def ntz(col: str):
+        # Instant → NTZ with pure epoch arithmetic (session-tz-free);
+        # the instants' epoch micros are the stored wall-clock micros.
+        return F.expr(
+            f"timestampadd(MICROSECOND, unix_micros({col}), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias(col)
+
+    return out.select(
+        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    )
+
+
 @register(
     "multimodal_decode",
     # Full hash oracle (upgraded from rows-only in r2): the REAL codec
@@ -298,38 +343,7 @@ def streaming_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution pairs) on the Structured Streaming runtime, driven to
     completion synchronously and hash-checked against the equivalent
     batch join."""
-    import os
-    import uuid
-
-    from ..streaming.incremental import interval_join_clicks, stream_events
-
-    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
-    joined = interval_join_clicks(events)
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    out = spark.table(name)
-
-    def ntz(col: str):
-        # Instant → NTZ with pure epoch arithmetic (session-tz-free);
-        # the instants' epoch micros are the stored wall-clock micros.
-        return F.expr(
-            f"timestampadd(MICROSECOND, unix_micros({col}), "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ).alias(col)
-
-    return out.select(
-        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
-    )
+    return run_click_join_stream(spark, sf_dir)
 
 
 def _sql_fake_h(seed_expr: str) -> str:

@@ -341,8 +341,15 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     wm AS (
-      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
-             - INTERVAL 1 HOUR AS w
+      -- NULL when either side is empty (DuckDB's least() ignores NULL
+      -- args): the runtime's global watermark never advances off epoch
+      -- then, so NO outer rows emit — NULL w nullifies both emission
+      -- predicates, matching exactly (same guard as the LEFT OUTER
+      -- twin's oracle).
+      SELECT CASE WHEN (SELECT MAX(ts) FROM c) IS NULL
+                    OR (SELECT MAX(ts) FROM p) IS NULL THEN NULL
+             ELSE least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                  - INTERVAL 1 HOUR END AS w
     )
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            c.ts AS click_ts, p.ts AS purchase_ts
@@ -385,36 +392,10 @@ def streaming_click_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked, the time predicate bounded in both directions, state
     hash-partitioned by user_id. The full-outer emission changes only
     what eviction produces, never what it buffers."""
-    import os
-    import uuid
+    from .pipeline_queries import run_click_join_stream
 
-    from ..streaming.incremental import interval_join_clicks, stream_events
-    from .pipeline_queries import _stream_partitions
-
-    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
-    joined = interval_join_clicks(events, join_type="full_outer")
-    name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    out = spark.table(name)
-
-    def ntz(col: str):
-        return F.expr(
-            f"timestampadd(MICROSECOND, unix_micros({col}), "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ).alias(col)
-
-    return out.select(
-        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    return run_click_join_stream(
+        spark, sf_dir, join_type="full_outer", prefix="stream_fjoin"
     )
 
 

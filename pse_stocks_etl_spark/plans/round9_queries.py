@@ -918,8 +918,15 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     wm AS (
-      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
-             - INTERVAL 1 HOUR AS w
+      -- NULL (not the surviving side's max) when either side is empty:
+      -- DuckDB's least() ignores NULL args, but a stream with no rows
+      -- on one side never advances that side's watermark, so the
+      -- runtime emits NO outer rows — a NULL w makes both emission
+      -- predicates NULL and matches that exactly.
+      SELECT CASE WHEN (SELECT MAX(ts) FROM c) IS NULL
+                    OR (SELECT MAX(ts) FROM p) IS NULL THEN NULL
+             ELSE least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                  - INTERVAL 1 HOUR END AS w
     )
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            c.ts AS click_ts, p.ts AS purchase_ts
@@ -958,36 +965,10 @@ def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked, both directions of the time predicate bounded, state
     keyed and partitioned by user_id. The outer emission adds no state;
     it changes only what eviction produces."""
-    import os
-    import uuid
+    from .pipeline_queries import run_click_join_stream
 
-    from ..streaming.incremental import interval_join_clicks, stream_events
-    from .pipeline_queries import _stream_partitions
-
-    events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
-    joined = interval_join_clicks(events, join_type="left_outer")
-    name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    out = spark.table(name)
-
-    def ntz(col: str):
-        return F.expr(
-            f"timestampadd(MICROSECOND, unix_micros({col}), "
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ).alias(col)
-
-    return out.select(
-        "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
+    return run_click_join_stream(
+        spark, sf_dir, join_type="left_outer", prefix="stream_ojoin"
     )
 
 

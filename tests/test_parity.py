@@ -33,19 +33,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
-STAGED_NAMES = sorted(__import__(
-    "pse_stocks_etl_spark.plans.staging", fromlist=["STAGING"]
-).STAGING)
+from pse_stocks_etl_spark.plans.staging import STAGING
 
 
-@pytest.mark.parametrize("name", STAGED_NAMES)
+@pytest.mark.parametrize("name", sorted(STAGING))
 def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
     """Staged queries (awaiting a driver slot) get the exact same
     strict parity gate as registered ones — the round-9 staging module
     carried its own copy of this loop; this generic one survives the
     queue emptying and refilling."""
-    from pse_stocks_etl_spark.plans.staging import STAGING
-
     q = STAGING[name]
     sdf = q.fn(spark, sf_dir)
     if q.oracle is None:

@@ -39,7 +39,8 @@ def test_q2_single_corpus_shuffle_and_broadcast_dims(spark):
     # after the agg) — a third means a join started shuffling
     shuffles = re.findall(r"\(\d+\) Exchange", plan)
     assert len(shuffles) <= 2, f"unexpected exchanges: {len(shuffles)}"
-    assert "p_size" in plan.split("Window")[0] or "p_size" in plan
+    # the size band must prune at the part scan, not post-join
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(p_size,10\)", plan)
 
 
 def test_q12_filter_reaches_lineitem_scan(spark):

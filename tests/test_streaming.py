@@ -528,3 +528,45 @@ def test_full_outer_join_emits_both_null_sides_on_watermark(spark, tmp_path):
     # sides flushed once batch 1 moved the watermark; the 9:00 rows
     # stay buffered (no row for users 8/9)
     assert counts == [1, 3]
+
+
+def test_outer_join_one_sided_stream_emits_nothing(spark, tmp_path):
+    """A stream with clicks but ZERO purchases: the purchase-side
+    watermark never advances, so no click is ever provably unmatched
+    and the outer join emits nothing — and the oracle's wm guard
+    (NULL when either side is empty) agrees by construction. Pins the
+    one-sided divergence the r6 review found latent in the least()
+    watermark."""
+    import uuid
+
+    from pse_stocks_etl_spark.streaming.incremental import interval_join_clicks
+
+    HOUR = 3_600 * 10**6
+    T0 = 1_700_000_000 * 10**6
+    rows = spark.createDataFrame(
+        [(1, T0, 1, "click", 1.0, "{}"), (2, T0 + 20 * HOUR, 8, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+    src = str(tmp_path / "oneside_src")
+    os.makedirs(src)
+    rows.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    name = f"oneside_{uuid.uuid4().hex[:8]}"
+    joined = interval_join_clicks(
+        stream_events(spark, src + "/*"), join_type="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck_oneside"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(name).count() == 0
