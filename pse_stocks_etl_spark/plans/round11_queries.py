@@ -31,7 +31,9 @@ round-9) — its oracle spells both asymmetric NULL-emission horizons,
 so hash equality proves the runtime's two-sided state eviction; and
 `docs_incremental_simhash`, the crawl-increment member of the
 Hamming dedup family (completing the increment trio with
-docs_incremental_dedup and emb_ann_ivfpq_increment).
+docs_incremental_dedup and emb_ann_ivfpq_increment); and
+`docs_source_dup_matrix`, crawl-ops BI rolling the verified LSH
+near-dup pairs into a source x source overlap matrix.
 
 Reference parity: the reference's analytics surface is the sync +
 query loop over its price tables (src/etl/price_sync, src/db/); these
@@ -548,4 +550,68 @@ def docs_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").alias("min_hamming"),
         F.col("doc_e").alias("nearest_doc"),
         F.col("doc_n").isNotNull().alias("is_near_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources duplicate each other
+# --------------------------------------------------------------------------
+def _sql_source_dup_matrix() -> str:
+    from .llm_queries import _sql_minhash_pairs
+
+    return f"""
+    WITH pairs AS ({_sql_minhash_pairs()})
+    SELECT least(coalesce(da.source, '<null>'), coalesce(db.source, '<null>'))
+             AS src_a,
+           greatest(coalesce(da.source, '<null>'), coalesce(db.source, '<null>'))
+             AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY src_a, src_b
+    """
+
+
+@stage(
+    "docs_source_dup_matrix",
+    oracle=_sql_source_dup_matrix(),
+    tags=("llm", "dedup-near", "crawl-ops"),
+)
+def docs_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ops BI over the dedup lane: the verified MinHash-LSH
+    near-dup pairs rolled up into a source x source overlap matrix —
+    which crawls/feeds duplicate each other (off-diagonal cells) and
+    which re-crawl themselves (diagonal). Source pairs are canonicalized
+    (least/greatest) so the matrix is upper-triangular; NULL sources
+    map to an explicit '<null>' bucket on BOTH engines rather than
+    riding engine-specific least() NULL semantics (the ADVICE r5
+    NULL-routing hazard class).
+
+    Scale: the expensive part IS the pairs plan (bucketed LSH +
+    verify-on-candidates, already audited); this adds two broadcast
+    joins against the documents dim projected to (doc_id, source) and
+    a tiny (sources²)-bounded aggregate. max_jaccard aggregates values
+    that are already bit-exact across engines (single IEEE division),
+    so MAX is too."""
+    from .llm_queries import docs_minhash_lsh_pairs
+
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("<null>")).alias("src")
+    )
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("src").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("src").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
     )
