@@ -58,6 +58,11 @@ try:  # round-11 queries (TPC-H sweep completion: Q2/Q12/Q20 analogs)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-12 queries (C4 line dedup w/ reassembly, semi stream join)
+    from . import round12_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #

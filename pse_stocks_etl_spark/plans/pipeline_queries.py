@@ -54,10 +54,10 @@ def run_click_join_stream(
     """Drive the watermarked click/purchase interval join to completion
     on the Structured Streaming runtime and hand back the result as a
     batch frame with NTZ event-time columns — the shared runner behind
-    all three join-matrix queries (inner here, LEFT OUTER in
-    round9_queries, FULL OUTER in round11_queries), so sink/stop
-    ordering and the session-tz-free timestamp conversion live in
-    exactly one place."""
+    all four join-matrix queries (inner here, LEFT OUTER in
+    round9_queries, FULL OUTER in round11_queries, LEFT SEMI in
+    round12_queries), so sink/stop ordering and the session-tz-free
+    timestamp conversion live in exactly one place."""
     import os
     import uuid
 
@@ -87,6 +87,8 @@ def run_click_join_stream(
             "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         ).alias(col)
 
+    if join_type == "left_semi":
+        return out.select("click_id", "user_id", ntz("click_ts"))
     return out.select(
         "user_id", "click_id", "purchase_id", ntz("click_ts"), ntz("purchase_ts")
     )

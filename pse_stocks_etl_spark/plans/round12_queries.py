@@ -1,0 +1,214 @@
+"""Round-12 queries (the round-6 fourth batch): the APPLY side of
+line-level dedup, and the LEFT SEMI member of the streaming join
+matrix.
+
+- `docs_line_dedup`: C4-style repeated-line removal WITH corpus
+  reassembly (Raffel et al. 2020 discard lines occurring >= 3 times;
+  CCNet dedups at paragraph granularity the same way). Every prior
+  dedup query in the registry MEASURES duplication (`docs_span_dedup`
+  counts duplicated windows, `docs_exact_dedup` picks survivors);
+  this one EMITS the transformed corpus — per doc the cleaned text
+  with over-represented segments excised, plus removal accounting.
+  The synthetic documents are single-line word-bag strings (no
+  newline characters anywhere in the corpus), so "lines" are
+  synthesized as fixed-K-word segments; the operator — global
+  segment frequency, threshold, excise, reassemble in order — is
+  exactly the C4 transformation.
+- `streaming_click_semi_join`: watermarked LEFT SEMI stream-stream
+  interval join — "which clicks converted" as a stream, without
+  materializing the (click, purchase) pairs. Completes the streaming
+  join matrix: inner (r5 driver-green), LEFT OUTER (round-9), FULL
+  OUTER (round-11 staged), and now semi — every join type Structured
+  Streaming supports for stream-stream equi+range predicates.
+
+Both staged: the never-driver-checked registry backlog sits at its
+25-query bound (plans/__init__.py), so round-6 additions queue in
+plans/staging.py and get the same strict Arrow-level parity via
+tests/test_parity.py::test_staged_query_matches_oracle.
+
+Reference parity: the reference's dedup surface is argmax row dedup in
+its sync loop (src/utils/pse_edge.py:259); these queries extend
+SURVEY.md §2's A2/U1 families to corpus-transformation scale, all
+Spark-first (one hashed-key corpus shuffle, higher-order-function
+reassembly, watermark-bounded stream state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64
+from ..sources.catalog import load_table
+from .staging import stage
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# C4-style line dedup with reassembly
+# --------------------------------------------------------------------------
+LINE_K = 3  # words per synthetic "line" (the corpus has no newlines)
+LINE_DF_T = 3  # a segment present in >= this many DISTINCT docs is removed
+
+
+def _sql_line_dedup() -> str:
+    k, t = LINE_K, LINE_DF_T
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id, CAST(g.i AS INT) AS seg_pos,
+             array_to_string(list_slice(ws, g.i*{k} + 1, g.i*{k} + {k}), ' ') AS seg
+      FROM d, UNNEST(range(CAST(ceil(len(ws) / {k}.0) AS BIGINT))) AS g(i)
+    ),
+    freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ),
+    j AS (
+      SELECT s.doc_id, s.seg_pos, s.seg, f.df
+      FROM segs s JOIN freq f ON f.seg = s.seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE df >= {t}) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(length(seg)) FILTER (WHERE df >= {t}), 0)
+                AS BIGINT) AS removed_chars,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos)
+                    FILTER (WHERE df < {t}), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """
+
+
+@stage(
+    "docs_line_dedup",
+    oracle=_sql_line_dedup(),
+    tags=("llm", "dedup-line", "corpus", "transform"),
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line dedup with reassembly: split each doc into
+    {LINE_K}-word segments, remove every segment that appears in
+    >= {LINE_DF_T} distinct docs corpus-wide, and emit the CLEANED
+    text (remaining segments re-joined in original order) plus
+    removal accounting. This is the transformation C4 applies before
+    training ("discard any line appearing three or more times"),
+    distinct from docs_span_dedup which only measures duplication.
+
+    Scale: the only corpus-sized exchange carries (doc_id, seg_pos,
+    60-bit segment hash, seg_chars) — ~20 bytes/segment, never the
+    segment text. Distinct-doc frequency is TWO window functions over
+    ONE hash-partitioned sort (lag marks the first row per (segment,
+    doc), an unbounded sum counts the marks) — the aggregate-and-
+    rebroadcast formulation would ship a corpus-sized frequency table
+    back past every executor and cannot survive 100 TB. The removal
+    list that joins back to the docs is proportional to the DUPLICATED
+    mass only (empty for a clean corpus), and reassembly is a
+    JVM-side higher-order index filter over the original segment
+    array — no UDF, no text re-shuffle, no second corpus scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.split(F.col("text"), " ")
+    n_segs = (F.ceil(F.size(ws) / float(LINE_K))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(ws, i * LINE_K + 1, LINE_K), " "),
+    )
+    base = d.select("doc_id", segs.alias("segs"))
+
+    ex = base.select(
+        "doc_id", F.posexplode("segs").alias("seg_pos", "seg")
+    ).select(
+        "doc_id",
+        "seg_pos",
+        portable_hash64(F.col("seg")).alias("h"),
+        F.length("seg").alias("seg_chars"),
+    )
+    # Distinct-doc frequency without COUNT(DISTINCT) and without a
+    # second scan: one exchange on the segment hash serves both the
+    # first-row-per-doc marker (lag over the sorted partition) and the
+    # partition-wide sum of those markers.
+    wseq = Window.partitionBy("h").orderBy("doc_id", "seg_pos")
+    wall = Window.partitionBy("h")
+    prev = F.lag("doc_id").over(wseq)
+    flagged = ex.withColumn(
+        "first_in_doc",
+        (prev.isNull() | (prev != F.col("doc_id"))).cast("long"),
+    ).withColumn("df", F.sum("first_in_doc").over(wall))
+
+    rem = (
+        flagged.filter(F.col("df") >= LINE_DF_T)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("seg_chars").alias("removed_chars"),
+            F.collect_list("seg_pos").alias("rem_pos"),
+        )
+    )
+
+    out = base.join(rem, "doc_id", "left")
+    no_removals = F.array().cast("array<int>")
+    kept = F.filter(
+        F.col("segs"),
+        lambda _x, i: ~F.array_contains(
+            F.coalesce(F.col("rem_pos"), no_removals), i
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("removed_chars"), F.lit(0))
+        .cast("long")
+        .alias("removed_chars"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming LEFT SEMI interval join: which clicks converted, as a stream
+# --------------------------------------------------------------------------
+@stage(
+    "streaming_click_semi_join",
+    # Semi-join emission needs NO watermark scoping in the oracle: a
+    # click emits exactly once, as soon as SOME matching purchase has
+    # arrived, and unmatched clicks never emit — so after
+    # processAllAvailable the emitted set is exactly the batch EXISTS.
+    # (Contrast the outer twins, whose NULL rows emit only once the
+    # final watermark proves no match can come; nothing here waits on
+    # a watermark, the watermark only bounds state.)
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+      )
+    """,
+    tags=("streaming", "stream-stream-join", "semi"),
+)
+def streaming_click_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT SEMI stream-stream interval join — the
+    membership form of click attribution ("did this click convert
+    within 6 hours?") that never materializes the pair fan-out. With
+    inner (r5 driver-green), LEFT OUTER (round-9) and FULL OUTER
+    (round-11) this completes every stream-stream join type the
+    Structured Streaming runtime supports for equi+range predicates.
+
+    Scale: identical state bounds to the other three twins (both
+    sides watermarked, purchase_ts bounded relative to click_ts in
+    both directions, state hash-partitioned by user_id) — but the
+    OUTPUT is strictly smaller than the inner join's (at most one row
+    per click, no per-pair fan-out), which is what an attribution
+    filter feeding a downstream aggregate wants at 100 TB/day click
+    volume."""
+    from .pipeline_queries import run_click_join_stream
+
+    return run_click_join_stream(
+        spark, sf_dir, join_type="left_semi", prefix="stream_sjoin"
+    )

@@ -260,14 +260,20 @@ def interval_join_clicks(
         )
         .withWatermark("purchase_ts", watermark_delay)
     )
-    return clicks.join(
+    joined = clicks.join(
         purchases,
         F.expr(
             "user_id = p_user_id AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + interval {attribution_window}"
         ),
         join_type,
-    ).select(
+    )
+    if join_type == "left_semi":
+        # Semi output carries only the click side: one row per click
+        # that (ever) matched, emitted when the first match arrives —
+        # no watermark wait, the watermark only bounds join state.
+        return joined.select("user_id", "click_id", "click_ts")
+    return joined.select(
         # coalesce: under full_outer the click side's key is NULL on
         # unmatched-purchase rows; for inner/left_outer the two keys are
         # equal (or p_user_id is NULL), so this is value-identical to

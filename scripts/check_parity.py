@@ -36,7 +36,10 @@ from pse_stocks_etl_spark.testing import arrow_summary  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # Query names are positional; tolerate an explicit `--only` separator
+    # (the name ADVICE r5 and COVERAGE use for this mode) so it is not
+    # itself reported as an unknown query name.
+    only = {a for a in sys.argv[2:] if a != "--only"}
     spark = get_spark("parity-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

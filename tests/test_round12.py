@@ -1,0 +1,143 @@
+"""Round-12 guards: the C4 line-dedup transform must keep the plan
+shape its docstring claims (one hash-only corpus exchange, broadcast
+join-back, zero Python), and the LEFT SEMI stream-stream join must
+emit each matched click exactly once — including when the match
+arrives in a later microbatch, and when MULTIPLE purchases match.
+Value parity runs through tests/test_parity.py like every staged
+query; this file pins what the oracle cannot see."""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from pyspark.sql import functions as F
+
+from pse_stocks_etl_spark.plans import round12_queries
+from pse_stocks_etl_spark.plans.staging import STAGING
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = STAGING[name].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_line_dedup_plan_shape(spark):
+    """docs_line_dedup: text-null filter pushed to the scan; the ONLY
+    corpus-sized exchange carries the 60-bit segment hash (both window
+    functions share it); the removal aggregate partial-combines before
+    its (much smaller) exchange; the join-back broadcasts; no Python,
+    no cartesian anything."""
+    plan = _plan(spark, "docs_line_dedup")
+    assert "PushedFilters: [IsNotNull(text)]" in plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, f"expected 2 data exchanges, saw {len(exchanges)}"
+    # the corpus exchange must partition on the segment hash, not text
+    assert re.search(r"hashpartitioning\(h#\d+L", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "partial_collect_list" in plan, "removal agg must map-side combine"
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_line_dedup_untouched_docs_round_trip(spark):
+    """Docs with zero removed segments must reassemble to EXACTLY the
+    original text — the reassembly path (split → segment → index
+    filter → re-join) is lossless when nothing is excised."""
+    out = STAGING["docs_line_dedup"].fn(spark, SF_DIR)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    joined = (
+        out.filter(F.col("n_removed") == 0)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select((F.col("clean_text") == F.col("text")).alias("same"))
+    )
+    rows = joined.collect()
+    assert rows, "fixture should contain untouched docs"
+    assert all(r.same for r in rows)
+    # and accounting stays consistent on every row
+    bad = out.filter(
+        (F.col("n_removed") > F.col("n_segs"))
+        | ((F.col("n_removed") == 0) & (F.col("removed_chars") != 0))
+    ).count()
+    assert bad == 0
+
+
+def test_semi_join_emits_each_click_once_across_batches(spark, tmp_path):
+    """LEFT SEMI stream-stream interval join: a click with TWO matching
+    purchases in one batch emits ONCE; a click whose first match
+    arrives in a LATER microbatch emits then (once); a never-matched
+    click never emits. No watermark wait for emission — membership is
+    provable the moment a match arrives."""
+    from pse_stocks_etl_spark.streaming.incremental import (
+        interval_join_clicks,
+        stream_events,
+    )
+
+    HOUR = 3_600 * 10**6
+    T0 = 1_700_000_000 * 10**6
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + int(h * HOUR), uid, etype, 1.0, "{}")
+                for eid, h, uid, etype in specs
+            ],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+
+    batches = [
+        # c1 (user 1): TWO in-window purchases → one emission.
+        # c4 (user 2): no purchase yet → nothing.
+        # c5 (user 3): never matches → nothing, ever.
+        rows((1, 0.0, 1, "click"), (2, 0.5, 1, "purchase"),
+             (3, 0.6, 1, "purchase"), (4, 0.2, 2, "click"),
+             (5, 0.1, 3, "click")),
+        # user-2 purchase arrives one batch later, still in-window
+        # (0.2h click + 6h horizon) → c4 emits now.
+        rows((6, 1.0, 2, "purchase")),
+    ]
+
+    src = str(tmp_path / "sjoin_src")
+    os.makedirs(src)
+    q = None
+    name = f"sjoin_out_{uuid.uuid4().hex[:8]}"
+    counts = []
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"batch_{i}")
+            )
+            if q is None:
+                joined = interval_join_clicks(
+                    stream_events(spark, src + "/*"), join_type="left_semi"
+                )
+                q = (
+                    joined.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .option("checkpointLocation", str(tmp_path / "ck_sj"))
+                    .start()
+                )
+            q.processAllAvailable()
+            counts.append(spark.table(name).count())
+    finally:
+        if q is not None:
+            q.stop()
+
+    got = sorted(
+        (r.user_id, r.click_id) for r in spark.table(name).collect()
+    )
+    assert got == [(1, 1), (2, 4)]
+    assert counts == [1, 2], "c1 once in batch 0; c4 exactly once in batch 1"
