@@ -92,10 +92,13 @@ except ImportError:  # pragma: no cover - partial checkouts
 # green, the never-checked backlog is the 25-query block-6 queue below
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
-# dominant_part_suppliers — the bound is FULL) plus the TWO staged
-# queries (streaming_click_full_join, docs_incremental_simhash).
-# Promote ALL of block 6 into window positions 1-25, register both
-# staged queries into positions 26-27, then fill the remaining ~23
+# dominant_part_suppliers — the bound is FULL) plus the staged
+# queries in plans/staging consumers (see COVERAGE.md "Staged
+# queries" for the authoritative, test-guarded list — round-11/12
+# modules: streaming_click_full_join, docs_incremental_simhash,
+# docs_source_dup_matrix, docs_line_dedup, streaming_click_semi_join).
+# Promote ALL of block 6 into window positions 1-25, register the
+# staged queries into the positions after it, then fill the remaining
 # slots from the stale-green refresh queue,
 # oldest driver round first (the r1/r2 block: flagship_latest_price,
 # pricing_summary, watermark_per_key, dedup_argmax, docs_exact_dedup,
