@@ -141,3 +141,88 @@ def test_semi_join_emits_each_click_once_across_batches(spark, tmp_path):
     )
     assert got == [(1, 1), (2, 4)]
     assert counts == [1, 2], "c1 once in batch 0; c4 exactly once in batch 1"
+
+
+# ------------------------------------------------- line-dedup model --
+from collections import defaultdict  # noqa: E402
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from pse_stocks_etl_spark.plans.round12_queries import LINE_DF_T, LINE_K  # noqa: E402
+
+_HYP = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _line_dedup_model(texts: dict[int, str]):
+    """Pure-python re-derivation with a different algorithm than both
+    the Spark plan (hash window) and the oracle (text group-join)."""
+    segs = {
+        d: [
+            " ".join(ws[i * LINE_K:(i + 1) * LINE_K])
+            for ws in [t.split(" ")]
+            for i in range((len(ws) + LINE_K - 1) // LINE_K)
+        ]
+        for d, t in texts.items()
+        if t is not None
+    }
+    docs_of = defaultdict(set)
+    for d, ss in segs.items():
+        for s in ss:
+            docs_of[s].add(d)
+    return {
+        d: (
+            len(ss),
+            sum(1 for s in ss if len(docs_of[s]) >= LINE_DF_T),
+            sum(len(s) for s in ss if len(docs_of[s]) >= LINE_DF_T),
+            " ".join(s for s in ss if len(docs_of[s]) < LINE_DF_T),
+        )
+        for d, ss in segs.items()
+    }
+
+
+@given(
+    corpora=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "cc", ""]), min_size=0, max_size=11
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=9,
+    )
+)
+@settings(**_HYP)
+def test_line_dedup_matches_python_model(spark, tmp_path_factory, corpora):
+    """Tiny 3-word alphabet forces heavy cross-doc segment collisions
+    (the regime the sf fixtures barely reach); empty words exercise the
+    multi-space round-trip; NULL texts must drop out entirely."""
+    texts = dict(enumerate(corpora))
+    path = tmp_path_factory.mktemp("linededup")
+    n = len(corpora)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(corpora, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in corpora], pa.int64()
+                ),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    out = {
+        r.doc_id: (r.n_segs, r.n_removed, r.removed_chars, r.clean_text)
+        for r in STAGING["docs_line_dedup"].fn(spark, str(path)).collect()
+    }
+    assert out == _line_dedup_model(texts)
