@@ -93,10 +93,8 @@ except ImportError:  # pragma: no cover - partial checkouts
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
 # dominant_part_suppliers — the bound is FULL) plus the staged
-# queries in plans/staging consumers (see COVERAGE.md "Staged
-# queries" for the authoritative, test-guarded list — round-11/12
-# modules: streaming_click_full_join, docs_incremental_simhash,
-# docs_source_dup_matrix, docs_line_dedup, streaming_click_semi_join).
+# queries in the round-11/12 modules (see COVERAGE.md "Staged
+# queries" for the authoritative, test-guarded list).
 # Promote ALL of block 6 into window positions 1-25, register the
 # staged queries into the positions after it, then fill the remaining
 # slots from the stale-green refresh queue,

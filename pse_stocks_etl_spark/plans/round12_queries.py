@@ -212,3 +212,86 @@ def streaming_click_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_click_join_stream(
         spark, sf_dir, join_type="left_semi", prefix="stream_sjoin"
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-lane recall scoreboard: LSH vs the exact-Jaccard baseline
+# --------------------------------------------------------------------------
+def _sql_lsh_recall_report() -> str:
+    from .llm_queries import _SQL_JACCARD_PAIRS, _sql_minhash_pairs
+
+    return f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({_SQL_JACCARD_PAIRS})),
+    lsh AS (SELECT doc_a, doc_b FROM ({_sql_minhash_pairs()})),
+    m AS (
+      SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
+             (e.doc_a IS NOT NULL) AS in_exact,
+             (l.doc_a IS NOT NULL) AS in_lsh
+      FROM exact e
+      FULL OUTER JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE in_exact) AS BIGINT) AS n_exact,
+      CAST(COUNT(*) FILTER (WHERE in_lsh) AS BIGINT) AS n_lsh,
+      CAST(COUNT(*) FILTER (WHERE in_exact AND in_lsh) AS BIGINT) AS n_both,
+      CAST(COUNT(*) FILTER (WHERE in_exact AND NOT in_lsh) AS BIGINT)
+        AS n_only_exact,
+      CAST(COUNT(*) FILTER (WHERE in_lsh AND NOT in_exact) AS BIGINT)
+        AS n_only_lsh,
+      CASE WHEN COUNT(*) FILTER (WHERE in_exact) = 0 THEN NULL
+           ELSE COUNT(*) FILTER (WHERE in_exact AND in_lsh) * 100.0
+                / COUNT(*) FILTER (WHERE in_exact) END AS recall_vs_exact_pct
+    FROM m
+    """
+
+
+@stage(
+    "docs_lsh_recall_report",
+    oracle=_sql_lsh_recall_report(),
+    tags=("llm", "dedup-near", "evaluation"),
+)
+def docs_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-lane recall scoreboard — the text twin of
+    emb_ann_recall_report: the MinHash-LSH near-dup pairs measured
+    against the exact df-capped Jaccard baseline as a one-row pair-set
+    confusion summary. `n_only_exact` counts pairs LSH banding/bucket
+    caps missed (the recall price of the 100 TB shape);
+    `n_only_lsh` counts true pairs the exact baseline's NGRAM_DF_CAP
+    dropped but LSH recovered (both methods verify with the SAME
+    Jaccard threshold, so neither side's extras are false positives —
+    the two columns expose each approximation's blind spot against the
+    other). This is the evaluation a crawl-ops team runs before
+    trusting LSH parameters on a new corpus.
+
+    Scale: the cost IS the two audited constituent plans — they share
+    the persisted shingle working set (_PersistedLRU), the pair-set
+    full-outer join is bounded by the pair outputs (not the corpus),
+    and the rollup is a single-row aggregate. The division guards the
+    empty-truth corpus with NULL on both engines."""
+    from .llm_queries import docs_minhash_lsh_pairs, docs_ngram_jaccard_pairs
+
+    exact = docs_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = docs_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = exact.withColumn("in_exact", F.lit(True))
+    l = lsh.withColumn("in_lsh", F.lit(True))
+    m = e.join(l, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    n_exact = cnt(F.col("in_exact"))
+    n_both = cnt(F.col("in_exact") & F.col("in_lsh"))
+    return m.agg(
+        F.coalesce(n_exact, F.lit(0)).alias("n_exact"),
+        F.coalesce(cnt(F.col("in_lsh")), F.lit(0)).alias("n_lsh"),
+        F.coalesce(n_both, F.lit(0)).alias("n_both"),
+        F.coalesce(cnt(F.col("in_exact") & ~F.col("in_lsh")), F.lit(0)).alias(
+            "n_only_exact"
+        ),
+        F.coalesce(cnt(F.col("in_lsh") & ~F.col("in_exact")), F.lit(0)).alias(
+            "n_only_lsh"
+        ),
+        F.when(F.coalesce(n_exact, F.lit(0)) == 0, F.lit(None).cast("double"))
+        .otherwise(n_both * F.lit(100.0) / n_exact)
+        .alias("recall_vs_exact_pct"),
+    )
