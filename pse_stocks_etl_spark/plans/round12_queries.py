@@ -295,3 +295,116 @@ def docs_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_both * F.lit(100.0) / n_exact)
         .alias("recall_vs_exact_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAG ingestion: chunk -> hash-embed -> IVF cell assignment -> index stats
+# --------------------------------------------------------------------------
+RAG_DIM = 8  # embedding dims (3 hex chars of the chunk md5 each)
+RAG_CELLS = 16  # coarse IVF cells
+
+
+def _rag_centroids() -> list[tuple[int, ...]]:
+    """Frozen coarse centroids as PYTHON-computed md5 literals (the
+    trained-index-broadcast pattern: a real system trains centroids
+    offline and re-enters them as literals — cf. the 16-row centroid
+    literal re-entry in round9_queries.ivf_assign_frame). Deterministic
+    and engine-independent: both the Spark plan and the DuckDB oracle
+    embed the same integer constants."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:3], 16)
+
+    return [
+        tuple(h(f"cent:{c}:{j}") for j in range(RAG_DIM))
+        for c in range(RAG_CELLS)
+    ]
+
+
+def _sql_rag_chunk_ivf_index() -> str:
+    from .registry import REGISTRY
+
+    chunk_sql = REGISTRY["docs_overlap_chunks"].oracle
+    dims = ", ".join(
+        f"('0x' || substr(chunk_md5, {1 + 3 * j}, 3))::BIGINT AS e{j}"
+        for j in range(RAG_DIM)
+    )
+    cent_rows = ", ".join(
+        "(" + ", ".join(map(str, (c,) + row)) + ")"
+        for c, row in enumerate(_rag_centroids())
+    )
+    cent_cols = ", ".join(f"c{j}" for j in range(RAG_DIM))
+    dist = " + ".join(f"(e{j} - c{j}) * (e{j} - c{j})" for j in range(RAG_DIM))
+    return f"""
+    WITH chunks AS (SELECT doc_id, chunk_idx, chunk_md5 FROM ({chunk_sql})),
+    emb AS (SELECT doc_id, chunk_idx, {dims} FROM chunks),
+    cent(cell, {cent_cols}) AS (VALUES {cent_rows}),
+    assigned AS (
+      SELECT e.doc_id, e.chunk_idx, c.cell, {dist} AS sqdist
+      FROM emb e CROSS JOIN cent c
+      QUALIFY row_number() OVER (PARTITION BY e.doc_id, e.chunk_idx
+                                 ORDER BY {dist}, c.cell) = 1
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(sqdist) AS BIGINT) AS sum_sqdist
+    FROM assigned GROUP BY cell
+    """
+
+
+@stage(
+    "rag_chunk_ivf_index",
+    oracle=_sql_rag_chunk_ivf_index(),
+    tags=("llm", "rag", "ann-index", "pipeline"),
+)
+def rag_chunk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion pipeline end-to-end: overlapping chunks
+    (docs_overlap_chunks' audited plan) -> deterministic integer
+    embedding (3 hex chars of the chunk md5 per dim — milli-unit ints,
+    so every downstream aggregate is exact on both engines; a real
+    deployment swaps ONE projection for an Arrow-batched model UDF) ->
+    nearest-centroid IVF cell against the frozen literal centroids ->
+    per-cell index statistics (chunk count, distinct source docs,
+    total within-cell squared distance = the quantization-error mass
+    an index maintainer watches for cell splits).
+
+    Scale: chunking and embedding are per-row maps; the cell argmin is
+    a JVM-side array_min over {RAG_CELLS} (sqdist, cell) structs —
+    zero fanout, NO 16x cross-join row blowup (the oracle's CROSS JOIN
+    is the readable spec; the plan never materializes it); the only
+    exchange is the final groupBy on {RAG_CELLS} cells with map-side
+    combine + the distinct-doc expansion. Integer squared-L2 with a
+    smallest-cell tiebreak keeps the argmin total-order exact — no
+    float comparisons anywhere."""
+    from .round9_queries import docs_overlap_chunks
+
+    chunks = docs_overlap_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_md5"
+    )
+    emb = [
+        F.conv(F.substring("chunk_md5", 1 + 3 * j, 3), 16, 10).cast("long")
+        for j in range(RAG_DIM)
+    ]
+    choices = F.array(
+        *[
+            F.struct(
+                sum(
+                    (emb[j] - F.lit(row[j])) * (emb[j] - F.lit(row[j]))
+                    for j in range(RAG_DIM)
+                ).alias("sqdist"),
+                F.lit(c).cast("long").alias("cell"),
+            )
+            for c, row in enumerate(_rag_centroids())
+        ]
+    )
+    assigned = chunks.select(
+        "doc_id",
+        F.array_min(choices).alias("best"),
+    ).select("doc_id", F.col("best.cell").alias("cell"), F.col("best.sqdist").alias("sqdist"))
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("sqdist").alias("sum_sqdist"),
+    )

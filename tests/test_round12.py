@@ -143,6 +143,20 @@ def test_semi_join_emits_each_click_once_across_batches(spark, tmp_path):
     assert counts == [1, 2], "c1 once in batch 0; c4 exactly once in batch 1"
 
 
+def test_rag_index_plan_has_no_centroid_fanout(spark):
+    """rag_chunk_ivf_index: the oracle's CROSS JOIN against the 16
+    centroids is the readable spec ONLY — the plan must do a per-row
+    JVM argmin (no join of any kind, no Generate beyond the chunker's
+    own explode) with exactly the two aggregate exchanges of the
+    16-cell distinct-doc rollup."""
+    plan = _plan(spark, "rag_chunk_ivf_index")
+    for bad in ("Join", "CartesianProduct", "BatchEvalPython",
+                "ArrowEvalPython"):
+        assert bad not in plan, bad
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, "only the chunk explode"
+
+
 # ------------------------------------------------- line-dedup model --
 from collections import defaultdict  # noqa: E402
 
