@@ -408,3 +408,131 @@ def rag_chunk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("sqdist").alias("sum_sqdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental line dedup: clean a new crawl shard vs standing frequencies
+# --------------------------------------------------------------------------
+def _sql_incremental_line_dedup() -> str:
+    k, t = LINE_K, LINE_DF_T
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id, CAST(g.i AS INT) AS seg_pos,
+             array_to_string(list_slice(ws, g.i*{k} + 1, g.i*{k} + {k}), ' ') AS seg
+      FROM d, UNNEST(range(CAST(ceil(len(ws) / {k}.0) AS BIGINT))) AS g(i)
+    ),
+    standing AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df_standing
+      FROM segs WHERE doc_id % 2 = 0 GROUP BY seg
+    ),
+    fresh AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df_new
+      FROM segs WHERE doc_id % 2 = 1 GROUP BY seg
+    ),
+    j AS (
+      SELECT s.doc_id, s.seg_pos, s.seg,
+             f.df_new + COALESCE(st.df_standing, 0) AS df
+      FROM segs s
+      JOIN fresh f ON f.seg = s.seg
+      LEFT JOIN standing st ON st.seg = s.seg
+      WHERE s.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE df >= {t}) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(length(seg)) FILTER (WHERE df >= {t}), 0)
+                AS BIGINT) AS removed_chars,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos)
+                    FILTER (WHERE df < {t}), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """
+
+
+@stage(
+    "docs_incremental_line_dedup",
+    oracle=_sql_incremental_line_dedup(),
+    tags=("llm", "dedup-line", "corpus", "incremental"),
+)
+def docs_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental C4 line dedup — the crawl-increment member of the
+    line-dedup family, completing the increment QUARTET with
+    docs_incremental_dedup (MinHash/Jaccard), docs_incremental_simhash
+    (Hamming) and emb_ann_ivfpq_increment (cosine): a new crawl shard
+    (odd doc_ids, the established split convention) is cleaned against
+    the STANDING corpus's segment-frequency table (even doc_ids) plus
+    its own within-shard frequencies — a segment is excised when the
+    cumulative distinct-doc count (standing + shard) crosses the same
+    >= {LINE_DF_T} threshold as the batch query, so re-crawling text
+    the corpus already saturates removes it immediately.
+
+    Scale: the standing side is the MAINTAINED state — (segment hash,
+    df) pairs, 12 bytes/segment, the same table an incremental ingest
+    keeps updated; per-crawl cost is the SHARD's segments probing it
+    through one equi-join on the hash (bucket-partition the standing
+    table by hash and the probe co-locates — no standing re-shuffle),
+    plus the shard-local window df. The batch twin re-scans the whole
+    corpus every run; this form's cost scales with the crawl
+    increment, which is the only shape that survives a daily 100 TB
+    feed."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.split(F.col("text"), " ")
+    n_segs = (F.ceil(F.size(ws) / float(LINE_K))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(ws, i * LINE_K + 1, LINE_K), " "),
+    )
+    base = d.select("doc_id", segs.alias("segs"))
+    ex = base.select(
+        "doc_id", F.posexplode("segs").alias("seg_pos", "seg")
+    ).select(
+        "doc_id",
+        "seg_pos",
+        portable_hash64(F.col("seg")).alias("h"),
+        F.length("seg").alias("seg_chars"),
+    )
+    standing = (
+        ex.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df_standing"))
+    )
+    new = ex.filter(F.col("doc_id") % 2 == 1)
+    wseq = Window.partitionBy("h").orderBy("doc_id", "seg_pos")
+    wall = Window.partitionBy("h")
+    prev = F.lag("doc_id").over(wseq)
+    new_df = new.withColumn(
+        "first_in_doc",
+        (prev.isNull() | (prev != F.col("doc_id"))).cast("long"),
+    ).withColumn("df_new", F.sum("first_in_doc").over(wall))
+    joined = new_df.join(standing, "h", "left").withColumn(
+        "df", F.col("df_new") + F.coalesce(F.col("df_standing"), F.lit(0))
+    )
+    rem = (
+        joined.filter(F.col("df") >= LINE_DF_T)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("seg_chars").alias("removed_chars"),
+            F.collect_list("seg_pos").alias("rem_pos"),
+        )
+    )
+    out = base.filter(F.col("doc_id") % 2 == 1).join(rem, "doc_id", "left")
+    no_removals = F.array().cast("array<int>")
+    kept = F.filter(
+        F.col("segs"),
+        lambda _x, i: ~F.array_contains(
+            F.coalesce(F.col("rem_pos"), no_removals), i
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("removed_chars"), F.lit(0))
+        .cast("long")
+        .alias("removed_chars"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -239,4 +239,14 @@ def test_line_dedup_matches_python_model(spark, tmp_path_factory, corpora):
         r.doc_id: (r.n_segs, r.n_removed, r.removed_chars, r.clean_text)
         for r in STAGING["docs_line_dedup"].fn(spark, str(path)).collect()
     }
-    assert out == _line_dedup_model(texts)
+    expected = _line_dedup_model(texts)
+    assert out == expected
+    # Incremental invariant: standing-df + shard-df = total distinct-doc
+    # df, so the crawl-increment form must agree with the batch model
+    # restricted to the shard (odd doc_ids) — same threshold, same
+    # reassembly, cost scoped to the increment.
+    inc = {
+        r.doc_id: (r.n_segs, r.n_removed, r.removed_chars, r.clean_text)
+        for r in STAGING["docs_incremental_line_dedup"].fn(spark, str(path)).collect()
+    }
+    assert inc == {d: v for d, v in expected.items() if d % 2 == 1}
