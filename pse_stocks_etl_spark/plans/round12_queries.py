@@ -54,8 +54,15 @@ LINE_K = 3  # words per synthetic "line" (the corpus has no newlines)
 LINE_DF_T = 3  # a segment present in >= this many DISTINCT docs is removed
 
 
-def _sql_line_dedup() -> str:
-    k, t = LINE_K, LINE_DF_T
+def _sql_seg_ctes() -> str:
+    """Shared oracle prefix: docs → {LINE_K}-word segments with the
+    SAME 60-bit portable hash the Spark plans shuffle on — frequency
+    keys are hashed on BOTH engines (the _SQL_SHINGLE_H convention),
+    so a hash collision yields the same pooled df on both sides
+    instead of a non-deterministic parity break."""
+    from ..functions.text import sql_portable_hash64
+
+    k = LINE_K
     return f"""
     WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS ws
@@ -66,21 +73,33 @@ def _sql_line_dedup() -> str:
              array_to_string(list_slice(ws, g.i*{k} + 1, g.i*{k} + {k}), ' ') AS seg
       FROM d, UNNEST(range(CAST(ceil(len(ws) / {k}.0) AS BIGINT))) AS g(i)
     ),
+    segsh AS (
+      SELECT doc_id, seg_pos, seg, {sql_portable_hash64('seg')} AS h FROM segs
+    )"""
+
+
+_SQL_LINE_ROLLUP = f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE df >= {LINE_DF_T}) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(length(seg)) FILTER (WHERE df >= {LINE_DF_T}), 0)
+                AS BIGINT) AS removed_chars,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos)
+                    FILTER (WHERE df < {LINE_DF_T}), '') AS clean_text
+    FROM j GROUP BY doc_id
+"""
+
+
+def _sql_line_dedup() -> str:
+    return f"""{_sql_seg_ctes()},
     freq AS (
-      SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM segsh GROUP BY h
     ),
     j AS (
       SELECT s.doc_id, s.seg_pos, s.seg, f.df
-      FROM segs s JOIN freq f ON f.seg = s.seg
+      FROM segsh s JOIN freq f ON f.h = s.h
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_segs,
-           CAST(COUNT(*) FILTER (WHERE df >= {t}) AS BIGINT) AS n_removed,
-           CAST(COALESCE(SUM(length(seg)) FILTER (WHERE df >= {t}), 0)
-                AS BIGINT) AS removed_chars,
-           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos)
-                    FILTER (WHERE df < {t}), '') AS clean_text
-    FROM j GROUP BY doc_id
+    {_SQL_LINE_ROLLUP}
     """
 
 
@@ -109,6 +128,14 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass only (empty for a clean corpus), and reassembly is a
     JVM-side higher-order index filter over the original segment
     array — no UDF, no text re-shuffle, no second corpus scan."""
+    base = _doc_segments(spark, sf_dir)
+    flagged = _window_df(_exploded_segments(base), "df")
+    rem = _removal_agg(flagged.filter(F.col("df") >= LINE_DF_T))
+    return _reassemble(base.join(rem, "doc_id", "left"))
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, segs array) — the shared segmentation projection."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = F.split(F.col("text"), " ")
     n_segs = (F.ceil(F.size(ws) / float(LINE_K))).cast("int")
@@ -116,9 +143,13 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_segs - F.lit(1)),
         lambda i: F.array_join(F.slice(ws, i * LINE_K + 1, LINE_K), " "),
     )
-    base = d.select("doc_id", segs.alias("segs"))
+    return d.select("doc_id", segs.alias("segs"))
 
-    ex = base.select(
+
+def _exploded_segments(base: DataFrame) -> DataFrame:
+    """(doc_id, seg_pos, 60-bit hash, seg_chars) — the corpus shuffle
+    working set; segment TEXT never leaves this projection."""
+    return base.select(
         "doc_id", F.posexplode("segs").alias("seg_pos", "seg")
     ).select(
         "doc_id",
@@ -126,29 +157,34 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash64(F.col("seg")).alias("h"),
         F.length("seg").alias("seg_chars"),
     )
-    # Distinct-doc frequency without COUNT(DISTINCT) and without a
-    # second scan: one exchange on the segment hash serves both the
-    # first-row-per-doc marker (lag over the sorted partition) and the
-    # partition-wide sum of those markers.
+
+
+def _window_df(ex: DataFrame, out_col: str) -> DataFrame:
+    """Distinct-doc frequency without COUNT(DISTINCT) and without a
+    second scan: one exchange on the segment hash serves both the
+    first-row-per-doc marker (lag over the sorted partition) and the
+    partition-wide sum of those markers."""
     wseq = Window.partitionBy("h").orderBy("doc_id", "seg_pos")
     wall = Window.partitionBy("h")
     prev = F.lag("doc_id").over(wseq)
-    flagged = ex.withColumn(
+    return ex.withColumn(
         "first_in_doc",
         (prev.isNull() | (prev != F.col("doc_id"))).cast("long"),
-    ).withColumn("df", F.sum("first_in_doc").over(wall))
+    ).withColumn(out_col, F.sum("first_in_doc").over(wall))
 
-    rem = (
-        flagged.filter(F.col("df") >= LINE_DF_T)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_removed"),
-            F.sum("seg_chars").alias("removed_chars"),
-            F.collect_list("seg_pos").alias("rem_pos"),
-        )
+
+def _removal_agg(removed: DataFrame) -> DataFrame:
+    """Per-doc removal accounting + the excised positions list."""
+    return removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum("seg_chars").alias("removed_chars"),
+        F.collect_list("seg_pos").alias("rem_pos"),
     )
 
-    out = base.join(rem, "doc_id", "left")
+
+def _reassemble(out: DataFrame) -> DataFrame:
+    """Excise rem_pos from the segs array (JVM index filter), re-join
+    the survivors, and default the accounting for untouched docs."""
     no_removals = F.array().cast("array<int>")
     kept = F.filter(
         F.col("segs"),
@@ -218,11 +254,76 @@ def streaming_click_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup-lane recall scoreboard: LSH vs the exact-Jaccard baseline
 # --------------------------------------------------------------------------
 def _sql_lsh_recall_report() -> str:
-    from .llm_queries import _SQL_JACCARD_PAIRS, _sql_minhash_pairs
+    """Compact shared-CTE form (the emb_ann_recall_report convention
+    from the round-10 DuckDB allocator incident): ONE hoisted shingle
+    working set feeds both the exact-baseline and LSH arms, instead of
+    composing the two full oracles as subqueries and re-deriving the
+    tokenize/shingle/hash set three times on one connection."""
+    from .llm_queries import (
+        JACCARD_THRESHOLD,
+        LSH_BUCKET_CAP,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+        NGRAM_DF_CAP,
+        _SQL_SHINGLE_H,
+        _sql_band_key,
+    )
 
+    mins = ", ".join(
+        f"MIN(({MINHASH_A[i]} * (sh % {MINHASH_P}) + {MINHASH_B[i]})"
+        f" % {MINHASH_P}) AS sig{i}"
+        for i in range(MINHASH_K)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {_sql_band_key(b)} AS bk FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    jac = "(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common))"
     return f"""
-    WITH exact AS (SELECT doc_a, doc_b FROM ({_SQL_JACCARD_PAIRS})),
-    lsh AS (SELECT doc_a, doc_b FROM ({_sql_minhash_pairs()})),
+    WITH sh0 AS ({_SQL_SHINGLE_H}),
+    shc AS (
+      SELECT doc_id, sh FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {NGRAM_DF_CAP}
+    ),
+    csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+    ccommon AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT c.doc_a, c.doc_b FROM ccommon c
+      JOIN csizes sa ON c.doc_a = sa.doc_id
+      JOIN csizes sb ON c.doc_b = sb.doc_id
+      WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id),
+    bk AS ({bands}),
+    bkc AS (
+      SELECT doc_id, bk FROM bk
+      QUALIFY COUNT(*) OVER (PARTITION BY bk) <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bkc x JOIN bkc y ON x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+    lcommon AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh0 a ON a.doc_id = c.doc_a
+      JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    lsh AS (
+      SELECT c.doc_a, c.doc_b FROM lcommon c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
     m AS (
       SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
              (e.doc_a IS NOT NULL) AS in_exact,
@@ -414,41 +515,24 @@ def rag_chunk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental line dedup: clean a new crawl shard vs standing frequencies
 # --------------------------------------------------------------------------
 def _sql_incremental_line_dedup() -> str:
-    k, t = LINE_K, LINE_DF_T
-    return f"""
-    WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS ws
-      FROM documents WHERE text IS NOT NULL
-    ),
-    segs AS (
-      SELECT doc_id, CAST(g.i AS INT) AS seg_pos,
-             array_to_string(list_slice(ws, g.i*{k} + 1, g.i*{k} + {k}), ' ') AS seg
-      FROM d, UNNEST(range(CAST(ceil(len(ws) / {k}.0) AS BIGINT))) AS g(i)
-    ),
+    return f"""{_sql_seg_ctes()},
     standing AS (
-      SELECT seg, COUNT(DISTINCT doc_id) AS df_standing
-      FROM segs WHERE doc_id % 2 = 0 GROUP BY seg
+      SELECT h, COUNT(DISTINCT doc_id) AS df_standing
+      FROM segsh WHERE doc_id % 2 = 0 GROUP BY h
     ),
     fresh AS (
-      SELECT seg, COUNT(DISTINCT doc_id) AS df_new
-      FROM segs WHERE doc_id % 2 = 1 GROUP BY seg
+      SELECT h, COUNT(DISTINCT doc_id) AS df_new
+      FROM segsh WHERE doc_id % 2 = 1 GROUP BY h
     ),
     j AS (
       SELECT s.doc_id, s.seg_pos, s.seg,
              f.df_new + COALESCE(st.df_standing, 0) AS df
-      FROM segs s
-      JOIN fresh f ON f.seg = s.seg
-      LEFT JOIN standing st ON st.seg = s.seg
+      FROM segsh s
+      JOIN fresh f ON f.h = s.h
+      LEFT JOIN standing st ON st.h = s.h
       WHERE s.doc_id % 2 = 1
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_segs,
-           CAST(COUNT(*) FILTER (WHERE df >= {t}) AS BIGINT) AS n_removed,
-           CAST(COALESCE(SUM(length(seg)) FILTER (WHERE df >= {t}), 0)
-                AS BIGINT) AS removed_chars,
-           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos)
-                    FILTER (WHERE df < {t}), '') AS clean_text
-    FROM j GROUP BY doc_id
+    {_SQL_LINE_ROLLUP}
     """
 
 
@@ -478,61 +562,18 @@ def docs_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every run; this form's cost scales with the crawl
     increment, which is the only shape that survives a daily 100 TB
     feed."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    ws = F.split(F.col("text"), " ")
-    n_segs = (F.ceil(F.size(ws) / float(LINE_K))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - F.lit(1)),
-        lambda i: F.array_join(F.slice(ws, i * LINE_K + 1, LINE_K), " "),
-    )
-    base = d.select("doc_id", segs.alias("segs"))
-    ex = base.select(
-        "doc_id", F.posexplode("segs").alias("seg_pos", "seg")
-    ).select(
-        "doc_id",
-        "seg_pos",
-        portable_hash64(F.col("seg")).alias("h"),
-        F.length("seg").alias("seg_chars"),
-    )
+    base = _doc_segments(spark, sf_dir)
+    ex = _exploded_segments(base)
     standing = (
         ex.filter(F.col("doc_id") % 2 == 0)
         .groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df_standing"))
     )
-    new = ex.filter(F.col("doc_id") % 2 == 1)
-    wseq = Window.partitionBy("h").orderBy("doc_id", "seg_pos")
-    wall = Window.partitionBy("h")
-    prev = F.lag("doc_id").over(wseq)
-    new_df = new.withColumn(
-        "first_in_doc",
-        (prev.isNull() | (prev != F.col("doc_id"))).cast("long"),
-    ).withColumn("df_new", F.sum("first_in_doc").over(wall))
+    new_df = _window_df(ex.filter(F.col("doc_id") % 2 == 1), "df_new")
     joined = new_df.join(standing, "h", "left").withColumn(
         "df", F.col("df_new") + F.coalesce(F.col("df_standing"), F.lit(0))
     )
-    rem = (
-        joined.filter(F.col("df") >= LINE_DF_T)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_removed"),
-            F.sum("seg_chars").alias("removed_chars"),
-            F.collect_list("seg_pos").alias("rem_pos"),
-        )
-    )
-    out = base.filter(F.col("doc_id") % 2 == 1).join(rem, "doc_id", "left")
-    no_removals = F.array().cast("array<int>")
-    kept = F.filter(
-        F.col("segs"),
-        lambda _x, i: ~F.array_contains(
-            F.coalesce(F.col("rem_pos"), no_removals), i
-        ),
-    )
-    return out.select(
-        "doc_id",
-        F.size("segs").cast("long").alias("n_segs"),
-        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce(F.col("removed_chars"), F.lit(0))
-        .cast("long")
-        .alias("removed_chars"),
-        F.array_join(kept, " ").alias("clean_text"),
+    rem = _removal_agg(joined.filter(F.col("df") >= LINE_DF_T))
+    return _reassemble(
+        base.filter(F.col("doc_id") % 2 == 1).join(rem, "doc_id", "left")
     )
