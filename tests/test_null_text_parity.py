@@ -50,9 +50,15 @@ TEXTS = [
     # also NULL lang
     "six quick brown foxes jump over the lazy dog",
     "pack my box with five dozen liquor jugs",
+    # row 8: multibyte text — accents, CJK, an astral-plane emoji, and
+    # an uppercase accent for the lower() path. Pins UTF-8 md5 hashing,
+    # code-point length() semantics, and unicode case folding as
+    # engine-identical across the whole docs surface (neither engine's
+    # behavior is exercised by the ASCII testdata).
+    "héllo wörld Héllo 漢字 漢字 🚀 héllo wörld",
 ]
-LANGS = ["en", "de", "en", "es", "fr", "en", None]
-SOURCES = ["s1", "s1", "s2", "s2", "s3", None, None]
+LANGS = ["en", "de", "en", "es", "fr", "en", None, "de"]
+SOURCES = ["s1", "s1", "s2", "s2", "s3", None, None, "s3"]
 
 
 @pytest.fixture(scope="module")
