@@ -336,13 +336,26 @@ def moving_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_props",
+    # json_valid + TRY_CAST mirror the plan's NULL-on-bad-input
+    # contract: DuckDB's json_extract_string ERRORS on malformed JSON
+    # and a plain CAST errors on non-numeric values, where Spark's
+    # get_json_object returns NULL and try_cast absorbs the rest — a
+    # regenerated feed with one bad props row must degrade identically
+    # on both engines, not crash either (tests/test_null_events_parity
+    # carries the hostile rows).
     oracle="""
+    WITH k AS (
+      SELECT event_type,
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS kv
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_sum,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events GROUP BY event_type
+           CAST(SUM(kv) AS BIGINT) AS k_sum,
+           MAX(kv) AS k_max
+    FROM k GROUP BY event_type
     """,
     tags=("json",),
 )
@@ -350,9 +363,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from a string column (get_json_object —
     JVM-side Jackson parse, no UDF) + integer aggregation. At scale,
     prefer from_json with an explicit schema once per pipeline stage;
-    get_json_object re-parses per call but needs no schema."""
+    get_json_object re-parses per call but needs no schema. Bad input
+    degrades to NULL, never an error: get_json_object NULLs malformed
+    JSON and missing keys, try_cast NULLs non-integer values (a plain
+    cast THROWS under ANSI mode, Spark 4's default — one junk props
+    row would kill the whole scan)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum(k).alias("k_sum"), F.max(k).alias("k_max")
     )

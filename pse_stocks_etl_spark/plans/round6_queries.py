@@ -1260,9 +1260,14 @@ def csv_malformed_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "variant_props_histogram",
+    # json_valid + TRY_CAST: see json_extract_props — the oracle must
+    # degrade to NULL on malformed/non-integer props exactly like
+    # try_parse_json + try_variant_get, not error.
     oracle="""
     WITH k AS (
-      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      SELECT TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS kv
       FROM events
     )
     SELECT kv // 10 AS bucket, COUNT(*) AS n,
@@ -1274,7 +1279,7 @@ def csv_malformed_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction through Spark 4's VARIANT type: the
-    JSON column is parsed ONCE into a binary variant (`parse_json`) and
+    JSON column is parsed ONCE into a binary variant (`try_parse_json`) and
     fields come out with `try_variant_get` — the encoded form is
     O(fields) to probe, versus `get_json_object` re-running a full
     Jackson parse per extraction (the `json_extract_props` twin shows
@@ -1282,7 +1287,10 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is also the shredding-friendly storage form. Aggregation:
     decade histogram of k with exact integer sums."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: plain parse_json THROWS on malformed JSON — one
+    # junk props row in a regenerated feed would kill the scan;
+    # try_variant_get already NULLs missing keys and uncastable values.
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "long")
     return (
         ev.select(k.alias("kv"))

@@ -63,6 +63,16 @@ def _rows():
     add(3, "view", 2.0, None, 10)           # NULL props
     add(None, "click", 3.0, '{"a": 5}', 11) # NULL user_id
     add(None, None, None, None, 12)         # everything NULL at once
+    # hostile props: the JSON lane must degrade to NULL identically on
+    # both engines for every bad-input class a regenerated feed can
+    # contain (malformed JSON kills DuckDB's json_extract_string; a
+    # non-integer $.k kills a plain CAST under Spark's default ANSI
+    # mode — both were latent until these rows)
+    add(1, "click", 1.0, '{"k": 7}', 13)          # present integer k
+    add(2, "view", 1.0, '{"k": "x"}', 14)         # non-numeric k
+    add(3, "click", 1.0, "not json", 15)          # malformed JSON
+    add(1, "view", 1.0, '{"k": null}', 16)        # JSON null k
+    add(2, "click", 1.0, '{"k": {"n": 1}}', 17)   # nested object k
     return rows
 
 
