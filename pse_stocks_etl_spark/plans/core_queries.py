@@ -545,10 +545,14 @@ def top_n_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle=f"""
     WITH g AS (
+      -- ts IS NOT NULL on BOTH engines: sessions are defined over rows
+      -- WITH event time (a NULL ts would sort NULLS FIRST in Spark but
+      -- NULLS LAST here, silently reshaping sessions on a regenerated
+      -- feed — tests/test_null_events_parity.py pins the class)
       SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -570,7 +574,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common-OLAP pattern the engine exposes beyond reference parity."""
     from ..functions.datetime import epoch_micros
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = epoch_micros("ts") - F.lag(epoch_micros("ts")).over(w)
     is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
@@ -620,11 +624,15 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minutes divides the distance between their bucket origins.
     oracle="""
     WITH w AS (
+      -- ts IS NOT NULL: Spark's window() DROPS NULL-event-time rows,
+      -- while time_bucket(NULL) would emit a NULL window here — pin
+      -- the dropped semantics on both engines
       SELECT time_bucket(INTERVAL '15 minutes', ts)
                - (u.k * INTERVAL '15 minutes') AS window_start,
              event_type,
              CAST(round(value * 100) AS BIGINT) AS vc
       FROM events, UNNEST(range(0, 4)) AS u(k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type, COUNT(*) AS n,
            (SUM(vc) / 100.0) AS sum_value
@@ -641,7 +649,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep slide a small divisor of length), and the aggregation itself
     stays map-side combinable on (window, key). NTZ event time keeps
     window boundaries wall-clock-pure under any session timezone."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"

@@ -515,7 +515,7 @@ def pandas_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new,
              {sql_cents('value')} AS vc
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, ts, vc,
@@ -537,7 +537,9 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_start == min(ts) of the gap-connected component."""
     from ..functions.money import cents
 
-    ev = _t(spark, sf_dir, "events")
+    # ts IS NOT NULL on both engines: sessions are defined over rows
+    # WITH event time (tests/test_null_events_parity.py pins the class)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
         .agg(
@@ -739,6 +741,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS delta_prev,
            lead(event_id) OVER w_seq AS next_event_id
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW
       w_range AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW),
@@ -756,7 +759,10 @@ def range_interval_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.datetime import epoch_micros
     from ..functions.money import cents
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL event time is excluded from time-ordered frames on both
+    # engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST — the frame
+    # contents would silently differ on a regenerated feed)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     vc = cents(F.col("value"))
     w_range = (
         Window.partitionBy("user_id")
@@ -1385,7 +1391,7 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_type AS state, ts AS valid_from,
            lead(ts) OVER (
@@ -1405,8 +1411,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both windows partition by user_id — ONE shuffle; the
     change-filter runs on the first sorted pass and the interval pass
     re-sorts the (much smaller) change set within unchanged partitions.
-    Deterministic total order via (ts, event_id)."""
-    ev = _t(spark, sf_dir, "events")
+    Deterministic total order via (ts, event_id); NULL event time is
+    excluded on both engines (a versioned state needs a timestamp)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = (
         ev.withColumn("prev", F.lag("event_type").over(w))

@@ -276,11 +276,15 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents inside the streaming agg, and the window start converts
     # back to TIMESTAMP_NTZ with tz-free epoch arithmetic so the
     # driver's unknown session timezone cannot shift it.
+    # ts IS NOT NULL: the streaming runtime's window operator DROPS
+    # NULL-event-time rows, where the batch twin hourly_event_rollup
+    # groups them into a NULL bucket on both engines — each oracle is
+    # faithful to its own runtime (tests/test_null_events_parity.py).
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n,
            (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     tags=("streaming",),
     # benched (r4 verdict item 6) so micro-batch overhead is tracked
@@ -514,7 +518,7 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new,
              CAST(round(value * 100) AS BIGINT) AS vc
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, ts, vc,
@@ -577,6 +581,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type,
              CAST(round(value * 100) AS BIGINT) AS vc
       FROM events, UNNEST(range(0, 4)) AS u(k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type, COUNT(*) AS n,
            (SUM(vc) / 100.0) AS sum_value

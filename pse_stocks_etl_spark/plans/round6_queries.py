@@ -126,7 +126,7 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (
       SELECT event_type AS src,
              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), c AS (
       SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
     )
@@ -143,8 +143,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable count after), then a tiny window over the
     |types|² matrix. The probability is BIGINT/BIGINT division — IEEE
     binary64, bit-identical across engines. Order within a user is total
-    ((ts, event_id) — event_id is unique), so lead() is deterministic."""
-    ev = _t(spark, sf_dir, "events")
+    ((ts, event_id) — event_id is unique), so lead() is deterministic.
+    NULL event time is excluded on both engines (Spark sorts NULLS
+    FIRST, DuckDB NULLS LAST — the sequence would differ)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -847,7 +849,7 @@ EWMA_WINDOW = 8  # weights 1/2^j, j = 0..7 — all dyadic, all exact
     WITH seq AS (
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     )
     SELECT t.user_id, t.rn, COUNT(*) AS n_window,
            SUM(s.y / CAST((1 << (t.rn - s.rn)) AS DOUBLE))
@@ -873,8 +875,11 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-value event contributes nothing and occupies no window slot
     (collect_list would silently skip it on Spark while the oracle
     counted its weight — filter both sides instead); a NULL user_id is
-    a real series (the oracle joins null-safely)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a real series (the oracle joins null-safely); NULL event time is
+    excluded (frame order would differ across engines)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(EWMA_WINDOW - 1), 0)
     seq = ev.select(
@@ -1011,7 +1016,7 @@ MEDIAN_WINDOW = 7
     WITH seq AS (
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     )
     SELECT user_id, rn,
            median(y) OVER (PARTITION BY user_id ORDER BY rn
@@ -1034,8 +1039,11 @@ def user_value_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL policy (same as user_value_ewma, pinned by
     tests/test_null_events_parity.py): NULL-value events occupy no
     window slot — collect_list would silently skip them while
-    row_number counted them, shifting every later frame."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    row_number counted them, shifting every later frame; NULL event
+    time is excluded (frame order would differ across engines)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(MEDIAN_WINDOW - 1), 0)
     seq = ev.select(
@@ -1066,7 +1074,7 @@ def user_value_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS e1,
              lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
              lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT e1, e2, e3, COUNT(*) AS n
     FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
@@ -1080,8 +1088,8 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id computes both leads in a single Window operator; the
     output is at most |types|³ rows, so the count agg is map-side
     trivial. (ts, event_id) is a total order, so the paths are
-    deterministic."""
-    ev = _t(spark, sf_dir, "events")
+    deterministic; NULL event time is excluded on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.select(
         F.col("event_type").alias("e1"),

@@ -73,6 +73,9 @@ def _rows():
     add(3, "click", 1.0, "not json", 15)          # malformed JSON
     add(1, "view", 1.0, '{"k": null}', 16)        # JSON null k
     add(2, "click", 1.0, '{"k": {"n": 1}}', 17)   # nested object k
+    # NULL event-time: windowing/ordering/watermark paths must bucket
+    # or drop it identically on both engines
+    rows.append((eid + 1, None, 1, "click", 1.0, '{"a": 6}'))
     return rows
 
 
