@@ -577,3 +577,81 @@ def docs_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reassemble(
         base.filter(F.col("doc_id") % 2 == 1).join(rem, "doc_id", "left")
     )
+
+
+# --------------------------------------------------------------------------
+# Embeddings ingest-contract audit: the gate in front of the ANN lane
+# --------------------------------------------------------------------------
+def _sql_emb_vector_audit() -> str:
+    from .llm_queries import EMB_DIM
+
+    return f"""
+    WITH c AS (
+      SELECT
+        (embedding IS NULL) AS is_null,
+        (embedding IS NOT NULL AND len(embedding) = 0) AS is_empty,
+        (embedding IS NOT NULL AND len(embedding) NOT IN (0, {EMB_DIM}))
+          AS is_wrong_dim,
+        (embedding IS NOT NULL
+         AND len(list_filter(embedding, x -> isnan(x))) > 0) AS has_nan,
+        (embedding IS NOT NULL
+         AND len(list_filter(embedding, x -> isinf(x))) > 0) AS has_inf
+      FROM embeddings
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(COUNT(*) FILTER (WHERE is_null) AS BIGINT) AS n_null_vec,
+      CAST(COUNT(*) FILTER (WHERE is_empty) AS BIGINT) AS n_empty,
+      CAST(COUNT(*) FILTER (WHERE is_wrong_dim) AS BIGINT) AS n_wrong_dim,
+      CAST(COUNT(*) FILTER (WHERE has_nan) AS BIGINT) AS n_nan,
+      CAST(COUNT(*) FILTER (WHERE has_inf) AS BIGINT) AS n_inf,
+      CAST(COUNT(*) FILTER (WHERE NOT is_null AND NOT is_empty
+                              AND NOT is_wrong_dim AND NOT has_nan
+                              AND NOT has_inf) AS BIGINT) AS n_valid
+    FROM c
+    """
+
+
+@stage(
+    "emb_vector_audit",
+    oracle=_sql_emb_vector_audit(),
+    tags=("llm", "ann", "data-quality", "ingest-contract"),
+)
+def emb_vector_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ingest-contract audit — the gate that makes the ANN
+    lane's assumption enforceable instead of implicit: every emb_*
+    query is defined over NON-NULL, EMB_DIM-length, finite vectors
+    (the same division of labor as TPC-H's NOT NULL key declarations,
+    which the NULL-tpch matrix respects rather than violates). A 100 TB
+    embedding feed validates ONCE here at ingest — NULL, empty,
+    wrong-dimension, NaN and Inf rows are counted (and in a real
+    deployment quarantined) — rather than paying a defensive filter in
+    all ~17 downstream ANN/PQ/IVF/kNN plans. One scan, one single-row
+    aggregate; every classifier is a JVM higher-order `exists`, no
+    UDF, no shuffle beyond the final 1-row combine.
+
+    Hostile-input parity (NULL / empty / short / NaN / Inf vectors) is
+    pinned by tests/test_round12.py on a synthetic corrupt fixture;
+    real testdata audits clean (n_valid = n_vecs)."""
+    from .llm_queries import EMB_DIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    is_null = e.isNull()
+    is_empty = e.isNotNull() & (F.size(e) == 0)
+    is_wrong = e.isNotNull() & (F.size(e) != 0) & (F.size(e) != EMB_DIM)
+    has_nan = e.isNotNull() & F.exists(e, lambda x: F.isnan(x))
+    has_inf = e.isNotNull() & F.exists(
+        e, lambda x: (x == float("inf")) | (x == float("-inf"))
+    )
+    valid = ~is_null & ~is_empty & ~is_wrong & ~has_nan & ~has_inf
+    cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0))  # noqa: E731
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        cnt(is_null).alias("n_null_vec"),
+        cnt(is_empty).alias("n_empty"),
+        cnt(is_wrong).alias("n_wrong_dim"),
+        cnt(has_nan).alias("n_nan"),
+        cnt(has_inf).alias("n_inf"),
+        cnt(valid).alias("n_valid"),
+    )

@@ -157,6 +157,56 @@ def test_rag_index_plan_has_no_centroid_fanout(spark):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, "only the chunk explode"
 
 
+def test_emb_vector_audit_on_corrupt_fixture(spark, tmp_path):
+    """The embeddings ingest-contract audit must classify every
+    corruption class a 100 TB feed can contain — NULL, empty,
+    wrong-dimension, NaN, Inf (and a NaN+Inf row counted in BOTH
+    classes) — identically on Spark and DuckDB. Real testdata audits
+    clean; this fixture is where the contract is actually exercised."""
+    import duckdb
+
+    from pse_stocks_etl_spark.plans.llm_queries import EMB_DIM
+    from pse_stocks_etl_spark.testing import compare
+
+    good = [0.5] * EMB_DIM
+    vecs = [
+        good,                                   # valid
+        good,                                   # valid
+        None,                                   # NULL vector
+        [],                                     # empty
+        [0.5] * 8,                              # wrong dim
+        good[:-1] + [float("nan")],             # NaN
+        good[:-1] + [float("inf")],             # +Inf
+        [float("-inf")] + good[1:-1] + [float("nan")],  # NaN AND Inf
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([1] * len(vecs), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    q = STAGING["emb_vector_audit"]
+    sdf = q.fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(q.oracle)
+    problems = compare(
+        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
+    )
+    assert not problems, problems
+    row = sdf.collect()[0]
+    assert (
+        row.n_vecs, row.n_null_vec, row.n_empty, row.n_wrong_dim,
+        row.n_nan, row.n_inf, row.n_valid,
+    ) == (8, 1, 1, 1, 2, 2, 2)
+
+
 # ------------------------------------------------- line-dedup model --
 from collections import defaultdict  # noqa: E402
 
