@@ -14,14 +14,27 @@ matrix.
   synthesized as fixed-K-word segments; the operator — global
   segment frequency, threshold, excise, reassemble in order — is
   exactly the C4 transformation.
+- `docs_incremental_line_dedup`: the crawl-increment form — a new
+  shard cleaned against the standing segment-frequency table,
+  completing the increment quartet (MinHash / SimHash / IVF-PQ /
+  exact-segment).
 - `streaming_click_semi_join`: watermarked LEFT SEMI stream-stream
   interval join — "which clicks converted" as a stream, without
   materializing the (click, purchase) pairs. Completes the streaming
   join matrix: inner (r5 driver-green), LEFT OUTER (round-9), FULL
   OUTER (round-11 staged), and now semi — every join type Structured
   Streaming supports for stream-stream equi+range predicates.
+- `docs_lsh_recall_report`: the dedup-lane recall scoreboard — LSH
+  pairs vs the exact df-capped Jaccard baseline as a one-row pair-set
+  confusion summary (text twin of emb_ann_recall_report).
+- `rag_chunk_ivf_index`: RAG ingestion end-to-end — chunk →
+  deterministic integer md5-embedding → nearest-centroid IVF cell
+  (per-row JVM array_min, no join fanout) → per-cell index stats.
+- `emb_vector_audit`: the embeddings ingest-contract gate — NULL /
+  empty / wrong-dim / NaN / Inf vector counts in one scan, making the
+  ANN lane's valid-vector assumption enforceable at ingest.
 
-Both staged: the never-driver-checked registry backlog sits at its
+All staged: the never-driver-checked registry backlog sits at its
 25-query bound (plans/__init__.py), so round-6 additions queue in
 plans/staging.py and get the same strict Arrow-level parity via
 tests/test_parity.py::test_staged_query_matches_oracle.

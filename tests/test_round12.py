@@ -207,6 +207,69 @@ def test_emb_vector_audit_on_corrupt_fixture(spark, tmp_path):
     ) == (8, 1, 1, 1, 2, 2, 2)
 
 
+def test_rag_index_matches_python_model(spark, tmp_path):
+    """Independent re-derivation of the full chunk→embed→assign→rollup
+    pipeline with hashlib + pure python (different algorithm than both
+    the Spark array_min plan and the oracle's CROSS JOIN + QUALIFY):
+    chunking arithmetic, md5-dim extraction, integer squared-L2 argmin
+    with smallest-cell tiebreak, and the per-cell distinct-doc rollup
+    must all agree."""
+    import hashlib
+    from collections import defaultdict
+
+    from pse_stocks_etl_spark.plans.round12_queries import (
+        RAG_DIM,
+        _rag_centroids,
+    )
+    from pse_stocks_etl_spark.plans.round9_queries import CHUNK_S, CHUNK_W
+
+    texts = {
+        0: "alpha beta gamma " * 30,          # multi-chunk doc
+        1: "alpha beta gamma " * 30,          # exact twin → same cells
+        2: "one two",                         # single short chunk
+        3: "delta " * 200,                    # long repetitive doc
+    }
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([texts[i] for i in range(n)], pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in range(n)], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    cents = _rag_centroids()
+    agg = defaultdict(lambda: [0, set(), 0])  # cell -> [n_chunks, docs, sumd]
+    for d, t in texts.items():
+        toks = t.strip().lower().split()
+        n_chunks = -(-max(len(toks) - (CHUNK_W - CHUNK_S), 1) // CHUNK_S)
+        for i in range(n_chunks):
+            chunk = " ".join(toks[i * CHUNK_S : i * CHUNK_S + CHUNK_W])
+            md5 = hashlib.md5(chunk.encode()).hexdigest()
+            emb = [int(md5[3 * j : 3 * j + 3], 16) for j in range(RAG_DIM)]
+            best = min(
+                (sum((e - c) ** 2 for e, c in zip(emb, row)), cell)
+                for cell, row in enumerate(cents)
+            )
+            a = agg[best[1]]
+            a[0] += 1
+            a[1].add(d)
+            a[2] += best[0]
+    expected = {
+        cell: (v[0], len(v[1]), v[2]) for cell, v in agg.items()
+    }
+    got = {
+        r.cell: (r.n_chunks, r.n_docs, r.sum_sqdist)
+        for r in STAGING["rag_chunk_ivf_index"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
 # ------------------------------------------------- line-dedup model --
 from collections import defaultdict  # noqa: E402
 
