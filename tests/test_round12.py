@@ -207,6 +207,56 @@ def test_emb_vector_audit_on_corrupt_fixture(spark, tmp_path):
     ) == (8, 1, 1, 1, 2, 2, 2)
 
 
+def test_recall_report_detects_exact_baseline_blindspot(spark, tmp_path):
+    """120 identical docs push every shingle's df past NGRAM_DF_CAP, so
+    the exact baseline drops its whole working set and reports ZERO
+    pairs — while LSH (whose verify stage uses the uncapped sets)
+    still finds all C(120,2). The report must expose that asymmetry
+    (n_only_lsh = 7140, n_exact = 0) and the recall division must
+    guard the empty-truth corpus with NULL — on BOTH engines."""
+    import duckdb
+
+    from pse_stocks_etl_spark.testing import compare
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [text] * 120 + ["one two three four five six", "seven eight nine ten"]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+
+    clear_working_set_caches()  # shingle caches key on sf_dir, but stay tidy
+    try:
+        q = STAGING["docs_lsh_recall_report"]
+        sdf = q.fn(spark, str(tmp_path))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        rel = con.sql(q.oracle)
+        problems = compare(
+            sdf.columns, [tuple(r) for r in sdf.collect()],
+            rel.columns, rel.fetchall(),
+        )
+        assert not problems, problems
+        row = sdf.collect()[0]
+        assert row.n_exact == 0
+        assert row.n_lsh == row.n_only_lsh == 120 * 119 // 2
+        assert row.recall_vs_exact_pct is None
+    finally:
+        clear_working_set_caches()
+
+
 def test_rag_index_matches_python_model(spark, tmp_path):
     """Independent re-derivation of the full chunk→embed→assign→rollup
     pipeline with hashlib + pure python (different algorithm than both
