@@ -472,8 +472,13 @@ EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
            COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
     FROM lineitem
     UNION ALL
-    SELECT 'events_value_nonneg', 'events', COUNT(*),
-           COUNT(*) FILTER (WHERE value IS NULL OR value < 0)
+    SELECT 'events_value_finite_nonneg', 'events', COUNT(*),
+           COUNT(*) FILTER (WHERE value IS NULL OR value < 0
+                            OR isnan(value) OR isinf(value))
+    FROM events
+    UNION ALL
+    SELECT 'events_ts_present', 'events', COUNT(*),
+           COUNT(*) FILTER (WHERE ts IS NULL)
     FROM events
     UNION ALL
     SELECT 'events_type_domain', 'events', COUNT(*),
@@ -534,11 +539,27 @@ def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_violations"),
     )
+    # NaN/Inf join the value rule: a NaN value would THROW in the money
+    # lane's cents() cast under ANSI mode — the expectation makes the
+    # finiteness contract auditable at ingest (same division of labor
+    # as emb_vector_audit for the ANN lane). ts presence likewise gates
+    # the time-ordered operators, which exclude NULL event time.
     val = ev.agg(
         F.count("*").alias("n_checked"),
         F.count(
-            F.when(F.col("value").isNull() | (F.col("value") < 0), 1)
+            F.when(
+                F.col("value").isNull()
+                | (F.col("value") < 0)
+                | F.isnan(F.col("value"))
+                | (F.col("value") == float("inf"))
+                | (F.col("value") == float("-inf")),
+                1,
+            )
         ).alias("n_violations"),
+    )
+    ts_present = ev.agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("n_violations"),
     )
     dom = ev.agg(
         F.count("*").alias("n_checked"),
@@ -565,7 +586,8 @@ def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rule("orders_fk_customer", "orders", fk)
         .unionAll(rule("lineitem_qty_range", "lineitem", qty))
-        .unionAll(rule("events_value_nonneg", "events", val))
+        .unionAll(rule("events_value_finite_nonneg", "events", val))
+        .unionAll(rule("events_ts_present", "events", ts_present))
         .unionAll(rule("events_type_domain", "events", dom))
         .unionAll(rule("customer_key_unique", "customer", uniq))
         .unionAll(rule("documents_nonempty", "documents", nonempty))
