@@ -207,6 +207,25 @@ def test_emb_vector_audit_on_corrupt_fixture(spark, tmp_path):
     ) == (8, 1, 1, 1, 2, 2, 2)
 
 
+def test_lsh_recall_oracle_does_not_poison_the_connection():
+    """Same DuckDB-1.0 regression class as the emb recall oracle
+    (tests/test_round10.py): a composed oracle must run, be followed
+    by the heaviest dedup oracles, and run again — all on ONE
+    connection, like the driver does. The compact shared-CTE rewrite
+    exists exactly for this."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.testing import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.001")
+    recall = STAGING["docs_lsh_recall_report"].oracle
+    con.sql(recall).fetchall()
+    for name in ("docs_minhash_lsh_pairs", "docs_ngram_jaccard_pairs",
+                 "docs_near_dup_clusters", "docs_simhash"):
+        con.sql(plans.REGISTRY[name].oracle).fetchall()
+    assert len(con.sql(recall).fetchall()) == 1
+    con.close()
+
+
 def test_recall_report_detects_exact_baseline_blindspot(spark, tmp_path):
     """120 identical docs push every shingle's df past NGRAM_DF_CAP, so
     the exact baseline drops its whole working set and reports ZERO
