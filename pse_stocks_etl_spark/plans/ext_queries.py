@@ -1243,7 +1243,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
     bounds AS (
@@ -1278,7 +1278,7 @@ def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import topk_per_group
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     daily = topk_per_group(
         ev.select("user_id", F.to_date("ts").alias("day"), "value", "ts", "event_id"),
@@ -1436,7 +1436,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, COUNT(*) AS n_events,
            MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
@@ -1458,7 +1458,10 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lag-window and groupBy share the user_id shuffle key."""
     from ..functions.datetime import epoch_micros
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL event time excluded on both engines: its position in the
+    # (ts, event_id) order differs (Spark NULLS FIRST, DuckDB default
+    # varies), shifting every neighbouring gap.
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = epoch_micros("ts")
     g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
@@ -1879,7 +1882,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('microsecond', ts,
                       LEAD(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id)) AS gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, COUNT(*) AS n_events,
            CAST(SUM(gap) AS BIGINT) AS micros_observed,
@@ -1899,8 +1902,9 @@ def user_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window pass partitioned by user_id (10k+ keys — no
     5-key event_type skew), then a groupBy on the SAME key: AQE plans
     one shuffle for both. Tie-broken by event_id so replays are
-    deterministic."""
-    ev = _t(spark, sf_dir, "events")
+    deterministic. NULL event time is excluded on both engines (a
+    holding duration from an unknown instant is undefined)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = ev.select(
         "user_id",

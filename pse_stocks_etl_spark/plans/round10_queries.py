@@ -1085,7 +1085,8 @@ def docs_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH log AS (
       SELECT user_id, ts, event_id, value,
              event_type = 'purchase' AS is_upsert
-      FROM events WHERE event_type IN ('purchase', 'error')
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND ts IS NOT NULL
     ),
     last AS (
       SELECT user_id, ts, event_id, value, is_upsert,
@@ -1116,7 +1117,10 @@ def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "error"))
+        # an op without a timestamp cannot be ordered — excluded on
+        # both engines (the CDC total order is (ts, event_id))
+        .filter(F.col("event_type").isin("purchase", "error")
+                & F.col("ts").isNotNull())
         .select(
             "user_id",
             "ts",
@@ -1437,7 +1441,8 @@ CDC_STREAM_SHARDS = 4
     WITH log AS (
       SELECT user_id, ts, event_id, value,
              event_type = 'purchase' AS is_upsert
-      FROM events WHERE event_type IN ('purchase', 'error')
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND ts IS NOT NULL
     ),
     last AS (
       SELECT user_id, ts, event_id, value, is_upsert,
@@ -1476,7 +1481,10 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="pse_cdc_feed_")
     (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "error"))
+        # an op without a timestamp cannot be ordered — excluded on
+        # both engines (the CDC total order is (ts, event_id))
+        .filter(F.col("event_type").isin("purchase", "error")
+                & F.col("ts").isNotNull())
         .repartition(CDC_STREAM_SHARDS)
         .write.mode("overwrite")
         .parquet(src_dir)

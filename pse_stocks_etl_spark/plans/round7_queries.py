@@ -47,7 +47,7 @@ def _cents(col: str) -> F.Column:
     oracle="""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     anchored AS (
       SELECT user_id,
@@ -76,8 +76,10 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one distinct on (user, day) — map-side combinable — then a
     user-partitioned window (row_number streams, O(1) state) and two
     same-key groupBys that AQE stacks on one exchange. No joins, no
-    skew risk beyond a single user's day count (bounded by calendar)."""
-    ev = _t(spark, sf_dir, "events")
+    skew risk beyond a single user's day count (bounded by calendar).
+    NULL event time is excluded on both engines (its island anchor
+    would shift every later streak's row_number)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     anchored = days.select(
@@ -462,7 +464,7 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM({sql_cents("value")}) AS d_cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT event_type, day,
@@ -493,8 +495,12 @@ def daily_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one daily pre-aggregation (map-side combinable), then
     event-type-partitioned windows whose running state is O(1) per
     row; series length per type is bounded by the calendar, so the
-    per-partition sort is tiny regardless of raw event volume."""
-    ev = _t(spark, sf_dir, "events")
+    per-partition sort is tiny regardless of raw event volume.
+    NULL event time is excluded on both engines — a NULL day's
+    position in the cumulative ORDER BY differs between Spark's
+    NULLS FIRST and DuckDB's default, reshaping every running sum
+    (caught as an intermittent matrix failure)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         ev.select("event_type", F.to_date("ts").alias("day"), _cents("value").alias("c"))
         .groupBy("event_type", "day")
@@ -946,6 +952,7 @@ _set_prefix_jaccard_oracle()
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
     FROM events
+    WHERE ts IS NOT NULL
     QUALIFY event_type = 'purchase'
     """,
     tags=("scd2", "asof-join", "point-in-time"),
@@ -965,8 +972,9 @@ def purchase_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id, O(1) running state per row — the
     shape that beats an interval join whenever both sides share a
     partition key; on a 100 TB feed the window streams each user's
-    timeline once."""
-    ev = _t(spark, sf_dir, "events")
+    timeline once. NULL event time is excluded on both engines (an
+    as-of state at an unknown instant is undefined)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1251,7 +1259,7 @@ _DEBOUNCE_US = 5_000_000  # 5 seconds
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY user_id, event_type
                ORDER BY ts, event_id) AS gap_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {_DEBOUNCE_US}
@@ -1274,8 +1282,10 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the suppression window.
 
     Scale: one (user, type)-partitioned window, O(1) lag state per
-    row, then a map-side-combinable count — one shuffle each."""
-    ev = _t(spark, sf_dir, "events")
+    row, then a map-side-combinable count — one shuffle each. NULL
+    event time is excluded on both engines (a gap from an unknown
+    instant is undefined)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap = F.expr(
         f"timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id, "

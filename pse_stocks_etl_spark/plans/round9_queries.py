@@ -1161,7 +1161,7 @@ REGISTRY["docs_cluster_canonical"].oracle = _cluster_canonical_sql()
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(round(value * 100) AS BIGINT)) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
       SELECT event_type, day, cents,
@@ -1202,8 +1202,9 @@ def daily_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, then lag windows PARTITIONED BY event_type over the
     calendar-bounded daily rollup (years of days fit one partition),
     then a per-type fold. Same shape as weekly_revenue_wow/cusum —
-    the window never sees raw events."""
-    e = _t(spark, sf_dir, "events")
+    the window never sees raw events. NULL event time is excluded on
+    both engines (a NULL day would shift the lag-7/lag-1 alignment)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         e.groupBy(
             "event_type",
