@@ -92,6 +92,18 @@ _NULL_ROWS = {
         "s_nationkey": 0,
         "s_acctbal": None,
     },
+    # events was previously cloned UNMODIFIED here, so multi-table
+    # queries reading it (attribution, funnels, concurrency, as-of)
+    # never saw a hostile events row in ANY matrix — the same
+    # NULL-event-time luck class the events matrix caught intermittently
+    "events": {
+        "event_id": 9_900_001,
+        "ts": None,
+        "user_id": 1,
+        "event_type": None,
+        "value": None,
+        "props": None,
+    },
 }
 
 
