@@ -68,6 +68,33 @@ def test_line_dedup_untouched_docs_round_trip(spark):
     assert bad == 0
 
 
+def test_incremental_line_dedup_plan_shape(spark):
+    """Incremental form: the shard's window df shares one hash
+    exchange; the standing distinct-doc aggregate two-phases (its
+    (h, doc) + h exchanges are the maintained-state build, amortized
+    at ingest in production); both join-backs broadcast; no Python,
+    no cartesian anything."""
+    plan = _plan(spark, "docs_incremental_line_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BatchEvalPython",
+                "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_emb_vector_audit_plan_is_one_scan_one_combine(spark):
+    """The ingest gate must cost one scan: partial aggregate at the
+    scan, a single 1-row combine exchange, zero joins, zero Python —
+    every corruption classifier is a JVM higher-order expression."""
+    plan = _plan(spark, "emb_vector_audit")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    assert "Generate" not in plan, "classifiers must not explode the vectors"
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
 def test_semi_join_emits_each_click_once_across_batches(spark, tmp_path):
     """LEFT SEMI stream-stream interval join: a click with TWO matching
     purchases in one batch emits ONCE; a click whose first match
