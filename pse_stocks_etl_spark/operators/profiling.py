@@ -49,7 +49,10 @@ def profile_table(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.isnull(c).cast("long")).alias(f"__nn_{c}"),
+            # count(when(...)) not sum(cast): SUM over an EMPTY table is
+            # NULL where the oracle's COUNT(*) - COUNT(col) is 0 — the
+            # empty-input matrix pins the zero on both engines
+            F.count(F.when(F.isnull(c), 1)).alias(f"__nn_{c}"),
             distinct(c).alias(f"__nd_{c}"),
             F.min(c).alias(f"__mn_{c}"),
             F.max(c).alias(f"__mx_{c}"),

@@ -673,6 +673,10 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
            COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS sum_total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    -- no-op on any non-empty group; on an EMPTY table it drops the
+    -- SQL-standard grand-total row Spark's Expand-based rollup never
+    -- produces (empty-input matrix)
+    HAVING COUNT(*) > 0
     """,
     tags=("rollup",),
 )

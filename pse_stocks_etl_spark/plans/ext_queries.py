@@ -616,6 +616,7 @@ def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
            COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS sum_total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- see rollup_orders: Spark emits no grand row on empty input
     """,
     tags=("cube",),
 )
@@ -706,6 +707,7 @@ def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n, {sql_sum_money('o_totalprice')} AS sum_total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0  -- see rollup_orders: Spark emits no grand row on empty input
     """,
     tags=("grouping-sets",),
 )

@@ -1764,7 +1764,10 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = table.read(version=1).select(
         F.col("k").alias("k1"), F.col("bal").alias("bal1")
     )
-    v3 = table.read(version=3).select(
+    # latest from history(), not a hard-coded 3: on an EMPTY input the
+    # merge is a P6 no-op that burns no version, so the delete commits
+    # v2 and "version 3" never exists (empty-input matrix)
+    v3 = table.read(version=table.history()[-1]).select(
         F.col("k").alias("k3"), F.col("bal").alias("bal3")
     )
     return (

@@ -606,6 +606,13 @@ def ivf_assign_frame(vectors: DataFrame, centroid_src: DataFrame) -> DataFrame:
         centroid_src.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).collect(),
         key=lambda r: r.vec_id,
     )
+    if not cent_rows:
+        # Empty corpus → no centroid rows → F.array() below would be
+        # untyped (NULL_TYPE analysis error). No centroids means no
+        # cells: every (nonexistent) vector maps to a NULL cell, and
+        # the typed empty frame keeps the output schema stable
+        # (tests/test_empty_input_parity.py).
+        return vectors.select("vec_id", F.lit(None).cast("long").alias("cell"))
 
     def py_norm(vec: list[float]) -> float:
         # Python floats ARE C doubles: this left-to-right accumulate is
