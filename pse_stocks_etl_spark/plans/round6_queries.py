@@ -490,6 +490,18 @@ EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
            COUNT(*) - COUNT(DISTINCT c_custkey)
     FROM customer
     UNION ALL
+    SELECT 'events_key_unique', 'events', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT event_id)
+    FROM events
+    UNION ALL
+    SELECT 'documents_key_unique', 'documents', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT doc_id)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings_key_unique', 'embeddings', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT vec_id)
+    FROM embeddings
+    UNION ALL
     SELECT 'documents_nonempty', 'documents', COUNT(*),
            COUNT(*) FILTER (WHERE text IS NULL OR length(trim(text)) = 0)
     FROM documents
@@ -571,10 +583,16 @@ def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_violations"),
     )
-    uniq = cust.agg(
-        F.count("*").alias("n_checked"),
-        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
-    )
+    def key_unique(df: DataFrame, key: str) -> DataFrame:
+        # PK uniqueness per fact/dim table: the total orders the
+        # time-ordered operators rely on ((ts, event_id) etc.) assume
+        # it; an at-least-once feed violates exactly this.
+        return df.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.countDistinct(key)).alias("n_violations"),
+        )
+
+    uniq = key_unique(cust, "c_custkey")
     nonempty = docs.agg(
         F.count("*").alias("n_checked"),
         F.count(
@@ -590,6 +608,12 @@ def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(rule("events_ts_present", "events", ts_present))
         .unionAll(rule("events_type_domain", "events", dom))
         .unionAll(rule("customer_key_unique", "customer", uniq))
+        .unionAll(rule("events_key_unique", "events",
+                       key_unique(_t(spark, sf_dir, "events"), "event_id")))
+        .unionAll(rule("documents_key_unique", "documents",
+                       key_unique(docs, "doc_id")))
+        .unionAll(rule("embeddings_key_unique", "embeddings",
+                       key_unique(_t(spark, sf_dir, "embeddings"), "vec_id")))
         .unionAll(rule("documents_nonempty", "documents", nonempty))
     )
 

@@ -137,9 +137,14 @@ def test_quantize_codes_bounded(spark):
 
 def test_expectations_clean_testdata_has_zero_violations(spark):
     rows = {r.rule: r for r in data_expectations_check(spark, SF_DIR).collect()}
-    assert len(rows) == 7
+    assert len(rows) == 10
     assert "events_value_finite_nonneg" in rows  # NaN/Inf join the rule
     assert "events_ts_present" in rows  # time-ordered operators' contract
+    # PK uniqueness across every fact/dim table with a surrogate key —
+    # the (ts, event_id)-style total orders assume it
+    for r in ("events_key_unique", "documents_key_unique",
+              "embeddings_key_unique"):
+        assert r in rows
     for r in rows.values():
         assert r.n_checked > 0
         assert r.n_violations == 0, f"{r.rule}: {r.n_violations}"
