@@ -17,6 +17,16 @@ from .schemas import TESTDATA_TABLES
 
 def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    # DuckDB's default memory_limit is ~80% of PHYSICAL RAM, which
+    # over-commits when a Spark JVM holds tens of GB alongside it —
+    # under full-suite pressure that surfaced as a spurious
+    # "Failed to allocate block of 32768 bytes" on oracles that pass
+    # in isolation. A modest cap + a spill directory makes heavy
+    # oracles degrade to disk instead of bad-alloc.
+    import tempfile
+
+    con.sql("SET memory_limit = '4GB'")
+    con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
