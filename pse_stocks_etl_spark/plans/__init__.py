@@ -63,6 +63,11 @@ try:  # round-12 queries (C4 line dedup w/ reassembly, semi stream join)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-13 queries (MV incremental refresh, k-hop BFS, k-anonymity)
+    from . import round13_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #

@@ -1,0 +1,284 @@
+"""Round-13 semantics beyond oracle parity: the MV incremental refresh
+must equal a recompute on RANDOM change batches (the closed-form oracle
+only pins one batch shape), the k-hop BFS must agree with a pure-python
+BFS on random graphs and a hand-built path graph, and the k-anonymity
+banding must handle NULL quasi-identifiers and negative balances the
+way the docstring claims. Plan guards pin what the oracle cannot see:
+single parquet scan for the MV refresh, zero Python anywhere."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pse_stocks_etl_spark.plans.round13_queries import (
+    _K_ANON,
+    _KHOP_K,
+    _KHOP_SEED_MOD,
+    _MV_PRICE_BUMP_CENTS,
+    _MV_QTY_BUMP,
+)
+from pse_stocks_etl_spark.plans.staging import STAGING
+
+from conftest import SF_DIR
+
+_HYP = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _plan(spark, name: str, sf_dir: str = SF_DIR) -> str:
+    df = STAGING[name].fn(spark, sf_dir)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _write_lineitem(path, rows):
+    """rows: [(orderkey, partkey, qty_int, price_cents_int)] — price is
+    written as an exact 2-dp double so cents() round-trips bit-exactly."""
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array(range(1, n + 1), pa.int32()),
+                "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [r[3] / 100.0 for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([None] * n, pa.timestamp("us")),
+            }
+        ),
+        str(path / "lineitem.parquet"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MV incremental refresh
+# --------------------------------------------------------------------------
+def test_mv_refresh_plan_single_scan_no_python(spark):
+    """The persisted fact rollup means lineitem's parquet is scanned
+    exactly once per session; every branch (stale MV, CDF classify,
+    delta) reads the cache. No Python, no cartesian anything."""
+    from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+
+    clear_working_set_caches()
+    plan = _plan(spark, "store_mv_refresh_increment")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, bad
+    clear_working_set_caches()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # orderkey
+            st.integers(min_value=1, max_value=6),  # partkey
+            st.integers(min_value=1, max_value=50),  # qty
+            st.integers(min_value=0, max_value=10_000_00),  # price cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_HYP)
+def test_mv_refresh_equals_recompute_model(spark, tmp_path_factory, rows):
+    """Incremental refresh == full recompute on RANDOM data: the python
+    model applies the same closed-form batch (update orderkey%9==0,
+    insert orderkey%3==1) directly to per-(order, part) rollups and
+    recomputes the MV from scratch — if the CDF delta algebra dropped a
+    preimage or double-counted an insert, sums would diverge."""
+    from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
+
+    path = tmp_path_factory.mktemp("mv")
+    _write_lineitem(path, rows)
+
+    fact = defaultdict(lambda: [0, 0])  # (ok, pk) -> [qty, price_cents]
+    for ok, pk, qty, pc in rows:
+        fact[(ok, pk)][0] += qty
+        fact[(ok, pk)][1] += pc
+    expect = defaultdict(lambda: [0, 0, 0])  # pk -> [n, qty, price]
+    for (ok, pk), (qty, pc) in fact.items():
+        if ok % 3 == 0:
+            if ok % 9 == 0:
+                qty, pc = qty + _MV_QTY_BUMP, pc + _MV_PRICE_BUMP_CENTS
+        elif ok % 3 != 1:
+            continue
+        g = expect[pk]
+        g[0] += 1
+        g[1] += qty
+        g[2] += pc
+
+    clear_working_set_caches()
+    got = {
+        r["l_partkey"]: (r["n_facts"], r["sum_qty"], r["sum_price_cents"])
+        for r in STAGING["store_mv_refresh_increment"].fn(spark, str(path)).collect()
+    }
+    clear_working_set_caches()
+    assert got == {pk: tuple(v) for pk, v in expect.items()}
+
+
+# --------------------------------------------------------------------------
+# k-hop BFS
+# --------------------------------------------------------------------------
+def test_khop_hand_path_graph(spark, tmp_path_factory):
+    """Two seeds on a hand-built path: 97-1-2-3-4 plus a 194-3 shortcut.
+    BFS(<=3) gives 97:0 194:0 1:1 3:1 2:2 4:2 — the shortcut must win
+    over the longer path (min, not first-visit) and nothing exceeds k."""
+    path = tmp_path_factory.mktemp("khop")
+    edges = [(97, 1), (1, 2), (2, 3), (3, 4), (194, 3)]
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        rows.append((100 + i, a, 1, 100))
+        rows.append((100 + i, b, 1, 100))
+    _write_lineitem(path, rows)
+    got = {
+        r["l_partkey"]: r["dist"]
+        for r in STAGING["copurchase_khop_distance"].fn(spark, str(path)).collect()
+    }
+    assert got == {97: 0, 194: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+@given(
+    baskets=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=300), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_HYP)
+def test_khop_equals_python_bfs_model(spark, tmp_path_factory, baskets):
+    """Random basket graphs vs a pure-python multi-source BFS capped at
+    k hops. Seeds are partkeys ≡ 0 (mod seed-mod); parts never reaching
+    a seed within k hops must be ABSENT, not infinite."""
+    path = tmp_path_factory.mktemp("khopr")
+    rows = []
+    for i, parts in enumerate(baskets):
+        for p in parts:
+            rows.append((i, p, 1, 100))
+    _write_lineitem(path, rows)
+
+    adj = defaultdict(set)
+    verts = set()
+    for parts in baskets:
+        ps = sorted(set(parts))
+        verts.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    dist = {v: 0 for v in verts if v % _KHOP_SEED_MOD == 0}
+    frontier = set(dist)
+    for d in range(1, _KHOP_K + 1):
+        frontier = {
+            n for v in frontier for n in adj[v] if n not in dist
+        }
+        for n in frontier:
+            dist[n] = d
+
+    got = {
+        r["l_partkey"]: r["dist"]
+        for r in STAGING["copurchase_khop_distance"].fn(spark, str(path)).collect()
+    }
+    assert got == dist
+
+
+def test_khop_plan_no_python_no_cartesian(spark):
+    plan = _plan(spark, "copurchase_khop_distance")
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, bad
+
+
+# --------------------------------------------------------------------------
+# k-anonymity
+# --------------------------------------------------------------------------
+def test_k_anonymity_null_qids_and_negative_bands(spark, tmp_path_factory):
+    """NULL QIDs form their own (auditable) group; negative balances
+    band by FLOOR (-1000.01 → band -2, -1000.00 → band -1, -0.01 →
+    band -1), and the k flag flips exactly at n == K."""
+    path = tmp_path_factory.mktemp("kanon")
+    nat = [None] + [7] * (_K_ANON + 2)
+    seg = [None] + ["AUTO"] * (_K_ANON + 2)
+    bal = [-1000.01, -1000.00, -0.01] + [500.0] * (_K_ANON - 1) + [1500.0]
+    n = len(nat)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+                "c_name": pa.array([f"C{i}" for i in range(n)], pa.string()),
+                "c_nationkey": pa.array(nat, pa.int32()),
+                "c_acctbal": pa.array(bal, pa.float64()),
+                "c_mktsegment": pa.array(seg, pa.string()),
+            }
+        ),
+        str(path / "customer.parquet"),
+    )
+    out = STAGING["customer_k_anonymity"].fn(spark, str(path)).collect()
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]): (
+            r["n_rows"],
+            r["k_anonymous"],
+        )
+        for r in out
+    }
+    assert got == {
+        (None, None, -2): (1, False),  # -1000.01
+        (7, "AUTO", -1): (2, False),  # -1000.00 and -0.01 share band -1
+        (7, "AUTO", 0): (_K_ANON - 1, False),  # 4 rows: below k
+        (7, "AUTO", 1): (1, False),
+    }
+    # and a group AT k is anonymous: add one more 500.0 row
+    bal2 = bal + [500.0]
+    nat2 = nat + [7]
+    seg2 = seg + ["AUTO"]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, n + 2), pa.int64()),
+                "c_name": pa.array([f"C{i}" for i in range(n + 1)], pa.string()),
+                "c_nationkey": pa.array(nat2, pa.int32()),
+                "c_acctbal": pa.array(bal2, pa.float64()),
+                "c_mktsegment": pa.array(seg2, pa.string()),
+            }
+        ),
+        str(path / "customer.parquet"),
+    )
+    out2 = STAGING["customer_k_anonymity"].fn(spark, str(path)).collect()
+    at_k = [r for r in out2 if r["bal_band"] == 0 and r["c_nationkey"] == 7]
+    assert len(at_k) == 1
+    assert at_k[0]["n_rows"] == _K_ANON and at_k[0]["k_anonymous"] is True
+
+
+def test_k_anonymity_single_exchange(spark):
+    """One map-side-combinable aggregate: exactly one data exchange,
+    partitioned on the QID tuple."""
+    plan = _plan(spark, "customer_k_anonymity")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan
