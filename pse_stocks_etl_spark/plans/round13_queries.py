@@ -350,3 +350,227 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 customer_k_anonymity.__doc__ = customer_k_anonymity.__doc__.format(K=_K_ANON)
+
+
+# --------------------------------------------------------------------------
+# Re-aggregable rollup cascade (hourly -> daily -> weekly)
+# --------------------------------------------------------------------------
+# Sufficient statistics (n, sum, sum of squares, min, max) over exact
+# integer cents merge associatively, so each tier aggregates the tier
+# below it — never the raw events. The oracle computes the weekly tier
+# STRAIGHT from raw rows with token-identical float expressions, so
+# hash equality proves the cascade is lossless (the hypertable /
+# continuous-aggregate invariant).
+
+
+def _sql_rollup_cascade() -> str:
+    vc = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+    WITH w AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             CAST(COUNT(value) AS BIGINT) AS n,
+             CAST(SUM({vc}) AS BIGINT) AS sum_c,
+             CAST(SUM({vc} * {vc}) AS BIGINT) AS sum_sq,
+             MIN({vc}) AS min_c, MAX({vc}) AS max_c
+      FROM events GROUP BY 1
+    )
+    SELECT week_start, n,
+           CASE WHEN n > 0
+                THEN CAST(sum_c AS DOUBLE) / n / 100.0 END AS mean_value,
+           CASE WHEN n > 1
+                THEN SQRT(GREATEST(
+                       (CAST(sum_sq AS DOUBLE)
+                        - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+                       / (n - 1), 0.0)) / 100.0 END AS stddev_value,
+           min_c / 100.0 AS min_value,
+           max_c / 100.0 AS max_value
+    FROM w
+    """
+
+
+@stage(
+    "events_rollup_cascade",
+    oracle=_sql_rollup_cascade(),
+    tags=("window-agg", "rollup-cascade", "hypertable", "A5"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup cascade: hourly sufficient statistics from
+    raw events, daily merged FROM HOURLY, weekly merged FROM DAILY —
+    raw rows are touched exactly once. The emitted weekly mean/stddev
+    derive from the cascaded moments with float expressions token-
+    identical to the oracle's direct-from-raw computation, so the hash
+    proves re-aggregability (count/sum/sum-of-squares/min/max merge
+    associatively; stddev does not, which is why the cascade carries
+    moments and only materializes stddev at the edge).
+
+    Scale: this is how 100 TB of telemetry serves dashboards — each
+    tier is ~3 orders of magnitude smaller than the one below, the
+    hourly aggregate is the only exchange proportional to the data,
+    and every tier is map-side combinable. Buckets are built from NTZ
+    components (make_timestamp_ntz / to_date / dayofweek), wall-clock-
+    pure under any session timezone. ISO weeks start Monday on both
+    engines (date_trunc('week') in DuckDB; the dayofweek offset here)."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    hour = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
+    hourly = ev.groupBy(hour.alias("hour_ts")).agg(
+        F.count("value").alias("n"),
+        F.sum(vc).alias("sum_c"),
+        F.sum(vc * vc).alias("sum_sq"),
+        F.min(vc).alias("min_c"),
+        F.max(vc).alias("max_c"),
+    )
+    daily = hourly.groupBy(F.to_date("hour_ts").alias("day")).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_c").alias("sum_c"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_c").alias("min_c"),
+        F.max("max_c").alias("max_c"),
+    )
+    week = F.date_sub(F.col("day"), (F.dayofweek(F.col("day")) + 5) % 7)
+    weekly = daily.groupBy(week.alias("week_start")).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_c").alias("sum_c"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_c").alias("min_c"),
+        F.max("max_c").alias("max_c"),
+    )
+    n = F.col("n")
+    sum_c = F.col("sum_c").cast("double")
+    sum_sq = F.col("sum_sq").cast("double")
+    var_c2 = (sum_sq - sum_c * sum_c / n) / (n - 1)
+    return weekly.select(
+        "week_start",
+        "n",
+        F.when(n > 0, sum_c / n / F.lit(100.0)).alias("mean_value"),
+        F.when(n > 1, F.sqrt(F.greatest(var_c2, F.lit(0.0))) / F.lit(100.0)).alias(
+            "stddev_value"
+        ),
+        (F.col("min_c") / F.lit(100.0)).alias("min_value"),
+        (F.col("max_c") / F.lit(100.0)).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+# Pre-period split: the first half of the events window. Variant = user
+# parity (a deterministic stand-in for the assignment column a real
+# experiment logs). All moments are exact integer cents; theta and the
+# adjusted means materialize as doubles through expressions spelled
+# token-identically in both engines.
+_CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+def _sql_cuped() -> str:
+    vc = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}'
+                                    THEN {vc} END), 0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                                    THEN {vc} END), 0) AS BIGINT) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS th
+      FROM mom
+    ),
+    var_agg AS (
+      SELECT user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sx_v, CAST(SUM(y) AS BIGINT) AS sy_v
+      FROM per_user GROUP BY 1
+    )
+    SELECT v.variant, v.n_users,
+           CAST(v.sy_v AS DOUBLE) / v.n_users / 100.0 AS mean_post,
+           (CAST(v.sy_v AS DOUBLE)
+            - t.th * (CAST(v.sx_v AS DOUBLE) - v.n_users * t.xbar))
+             / v.n_users / 100.0 AS mean_adjusted
+    FROM var_agg v CROSS JOIN theta t
+    """
+
+
+@stage(
+    "variant_cuped_adjusted",
+    oracle=_sql_cuped(),
+    tags=("experiment", "cuped", "variance-reduction", "A5"),
+)
+def variant_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (Deng et al., WSDM'13): per-variant
+    post-period means adjusted by the pre-period covariate —
+    adj_i = y_i - θ·(x_i - x̄) with θ = cov(x,y)/var(x) pooled across
+    variants — the standard variance-reduction step before an A/B
+    verdict. Per-user pre/post sums are exact integer cents; θ, x̄ and
+    the adjusted means materialize as doubles through expressions
+    token-identical to the oracle's, so the hash is bit-exact.
+
+    Scale: one conditional aggregate per user (single shuffle on
+    user_id, map-side combinable), a 5-long-column global moment
+    reduce (one row), a per-variant aggregate over the per-user frame
+    (reused subtree), and a broadcast of the scalar θ row. Nothing is
+    ever quadratic, nothing collects to the driver; at 1000 executors
+    the per-user frame partitions on user_id and everything downstream
+    is a rounding error next to the scan."""
+    split = F.expr(f"TIMESTAMP_NTZ '{_CUPED_SPLIT}'")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, vc)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, vc)), F.lit(0)).alias("y"),
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sx, sy = F.col("sx").cast("double"), F.col("sy")
+    theta = mom.select(
+        "n",
+        (sx / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy").cast("double") - sx * sy / F.col("n"))
+            / (F.col("sxx").cast("double") - sx * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    var_agg = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    out = var_agg.crossJoin(F.broadcast(theta))
+    return out.select(
+        "variant",
+        "n_users",
+        (F.col("sy_v").cast("double") / F.col("n_users") / F.lit(100.0)).alias(
+            "mean_post"
+        ),
+        (
+            (
+                F.col("sy_v").cast("double")
+                - F.col("th")
+                * (F.col("sx_v").cast("double") - F.col("n_users") * F.col("xbar"))
+            )
+            / F.col("n_users")
+            / F.lit(100.0)
+        ).alias("mean_adjusted"),
+    )

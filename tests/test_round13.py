@@ -282,3 +282,168 @@ def test_k_anonymity_single_exchange(spark):
     plan = _plan(spark, "customer_k_anonymity")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_count" in plan
+
+
+# --------------------------------------------------------------------------
+# Rollup cascade + CUPED
+# --------------------------------------------------------------------------
+def _write_events(path, rows):
+    """rows: [(user_id, ts_or_None, value_cents_or_None)] — value is
+    written as an exact 2-dp double."""
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(
+                    [None if r[2] is None else r[2] / 100.0 for r in rows],
+                    pa.float64(),
+                ),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # user
+            st.integers(min_value=0, max_value=40),  # day offset
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50_000)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_HYP)
+def test_rollup_cascade_equals_python_model(spark, tmp_path_factory, rows):
+    """Cascaded weekly moments == a python recompute straight from raw
+    rows, using the same IEEE expression order — if any tier lost or
+    double-merged a bucket, counts and sums (exact ints) would diverge
+    before the floats even matter."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    path = tmp_path_factory.mktemp("cascade")
+    ev = [(u, base + dt.timedelta(days=d, hours=u), c) for u, d, c in rows]
+    _write_events(path, ev)
+
+    agg = defaultdict(lambda: [0, 0, 0, None, None])
+    for _, ts, c in ev:
+        wk = (ts - dt.timedelta(days=ts.weekday())).date()
+        g = agg[wk]
+        if c is not None:
+            g[0] += 1
+            g[1] += c
+            g[2] += c * c
+            g[3] = c if g[3] is None else min(g[3], c)
+            g[4] = c if g[4] is None else max(g[4], c)
+
+    expect = {}
+    for wk, (n, sc, ssq, mn, mx) in agg.items():
+        mean = float(sc) / n / 100.0 if n > 0 else None
+        std = (
+            math.sqrt(max((float(ssq) - float(sc) * float(sc) / n) / (n - 1), 0.0))
+            / 100.0
+            if n > 1
+            else None
+        )
+        expect[wk] = (
+            n,
+            mean,
+            std,
+            None if mn is None else mn / 100.0,
+            None if mx is None else mx / 100.0,
+        )
+
+    got = {
+        r["week_start"]: (
+            r["n"],
+            r["mean_value"],
+            r["stddev_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in STAGING["events_rollup_cascade"].fn(spark, str(path)).collect()
+    }
+    assert got == expect
+
+
+def test_rollup_cascade_actually_cascades(spark):
+    """The plan must aggregate three times off ONE scan — weekly from
+    daily from hourly — not three independent scans of events."""
+    plan = _plan(spark, "events_rollup_cascade")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 6  # 3 tiers x partial+final
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # user
+            st.booleans(),  # pre/post period
+            st.integers(min_value=0, max_value=20_000),  # cents
+        ),
+        min_size=4,
+        max_size=60,
+    ).filter(lambda rs: len({u for u, pre, _ in rs if pre}) >= 2)
+)
+@settings(**_HYP)
+def test_cuped_equals_python_model(spark, tmp_path_factory, rows):
+    """CUPED readout == a python model applying Deng et al.'s formulas
+    with the same expression order. Guard: var(x) must be nonzero, so
+    the filter keeps at least two distinct pre-period users (they get
+    different hour offsets → different x sums almost surely; a zero
+    denominator would make BOTH sides NaN and still compare equal,
+    but the test is about the finite path)."""
+    import datetime as dt
+
+    path = tmp_path_factory.mktemp("cuped")
+    split = dt.datetime(2024, 1, 16)
+    ev = []
+    for i, (u, pre, c) in enumerate(rows):
+        ts = split + dt.timedelta(hours=-u * 3 - 1 if pre else u * 3 + 1)
+        ev.append((u, ts, c))
+    _write_events(path, ev)
+
+    xs = defaultdict(int)
+    ys = defaultdict(int)
+    users = set()
+    for u, ts, c in ev:
+        users.add(u)
+        if ts < split:
+            xs[u] += c
+        else:
+            ys[u] += c
+    n = len(users)
+    sx = sum(xs[u] for u in users)
+    sy = sum(ys[u] for u in users)
+    sxx = sum(xs[u] * xs[u] for u in users)
+    sxy = sum(xs[u] * ys[u] for u in users)
+    xbar = float(sx) / n
+    th = (float(sxy) - float(sx) * sy / n) / (float(sxx) - float(sx) * sx / n)
+    expect = {}
+    for v in {u % 2 for u in users}:
+        vu = [u for u in users if u % 2 == v]
+        nv = len(vu)
+        sxv = sum(xs[u] for u in vu)
+        syv = sum(ys[u] for u in vu)
+        expect[v] = (
+            nv,
+            float(syv) / nv / 100.0,
+            (float(syv) - th * (float(sxv) - nv * xbar)) / nv / 100.0,
+        )
+
+    got = {
+        r["variant"]: (r["n_users"], r["mean_post"], r["mean_adjusted"])
+        for r in STAGING["variant_cuped_adjusted"].fn(spark, str(path)).collect()
+    }
+    assert got == expect
