@@ -93,8 +93,18 @@ except ImportError:  # pragma: no cover - partial checkouts
 #      re-confirmed since — refresh guards against silent rot beyond
 #      the window, the r4 failure mode).
 #
-# NEXT-ROUND ROTATION RECIPE: once CORRECTNESS_r06 records this window
-# green, the never-checked backlog is the 25-query block-6 queue below
+# ROUND-7 STATUS: no CORRECTNESS_r06.json was ever recorded (the
+# round-6 driver run left no artifacts in the repo root — verified at
+# round-7 start; the window was locally 50/50 green in 2m22s at
+# sf0.01, so the miss was driver-side, not a timeout in this code).
+# The window below therefore HOLDS UNCHANGED for the next driver run;
+# this note is future-proof by construction — the recipe below keys on
+# "the first CORRECTNESS file that drains this window", whichever
+# round number it carries, and the rotation guard reads the actual
+# files, never this prose.
+#
+# NEXT-ROUND ROTATION RECIPE: once a CORRECTNESS file records this
+# window green, the never-checked backlog is the 25-query block-6 queue below
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
 # dominant_part_suppliers — the bound is FULL) plus the staged
