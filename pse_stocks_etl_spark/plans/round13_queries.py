@@ -574,3 +574,258 @@ def variant_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("mean_adjusted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Late-arrival audit (streaming-ops: what would a watermark drop?)
+# --------------------------------------------------------------------------
+# Lateness of each event = high-water-mark of event time over everything
+# that ARRIVED before it (arrival order = event_id, the ingest sequence)
+# minus its own event time — exactly the quantity a Structured Streaming
+# watermark trades off. The audit rolls the distribution into bands so
+# an operator can pick `withWatermark` delay from data, not folklore.
+_LATE_BUCKETS = 16
+_LATE_BLOCK = 16  # simulated ingest: reversed 16-event micro-batches
+_LATE_BANDS_S = ((0, "on-time"), (60, "<=1m"), (300, "<=5m"),
+                 (900, "<=15m"), (3600, "<=1h"))
+
+
+def _sql_late_bands() -> str:
+    return f"""
+    WITH seq AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY (event_id // {_LATE_BLOCK}) * {_LATE_BLOCK}
+                                    + ({_LATE_BLOCK - 1} - event_id % {_LATE_BLOCK})
+                           ROWS UNBOUNDED PRECEDING) AS hwm
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    lat AS (
+      SELECT date_diff('microsecond', ts, hwm) // 1000000 AS late_s
+      FROM seq
+    ),
+    banded AS (
+      SELECT CASE WHEN late_s <= 0 THEN 'on-time'
+                  WHEN late_s <= 60 THEN '<=1m'
+                  WHEN late_s <= 300 THEN '<=5m'
+                  WHEN late_s <= 900 THEN '<=15m'
+                  WHEN late_s <= 3600 THEN '<=1h'
+                  ELSE '>1h' END AS band,
+             late_s
+      FROM lat
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM banded) AS share
+    FROM banded GROUP BY 1
+    """
+
+
+@stage(
+    "events_late_arrival_audit",
+    oracle=_sql_late_bands(),
+    tags=("streaming-ops", "watermark", "two-phase", "global-window"),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design audit: per-event lateness (event-time high-water
+    mark at arrival minus own event time) banded into
+    on-time / <=1m / <=5m / <=15m / <=1h / >1h with counts,
+    shares and band maxima — the empirical basis for choosing a
+    `withWatermark` delay (T2/T3's lookback is the batch analog;
+    reference src/etl/price_sync.py picks its trailing window the same
+    way, by assumed max lateness). The testdata files are event-time-
+    sorted (a real deployment passes its ingest-sequence column), so
+    the arrival order here is a SIMULATED bounded-disorder ingest:
+    _LATE_BLOCK-event micro-batches replayed in reverse — a
+    deterministic permutation of event_id, identical in the oracle.
+
+    The naive plan is MAX(ts) OVER (ORDER BY event_id) — a single-
+    partition global window. This is the two-phase shape instead (the
+    docs_token_budget_select trick, with MAX for the merge): range-
+    repartition by event_id, per-partition running max, tiny per-
+    partition maxima prefix-combined and broadcast back as offsets
+    (GREATEST of the two phases; running max is partition-boundary-
+    independent, so the sampled range bounds never change the answer).
+    The oracle IS the naive global window — the plans must agree
+    row-for-row before the band rollup.
+
+    Scale: one range exchange over (event_id, ts, type), one window
+    per partition, a |buckets|-row prefix, a broadcast join, then a
+    6-group aggregate. Lateness is computed in NTZ microseconds
+    (timestampdiff), wall-clock-pure under any session timezone."""
+    from pyspark.sql import Window
+
+    arrival = (F.col("event_id") / _LATE_BLOCK).cast("long") * _LATE_BLOCK + (
+        F.lit(_LATE_BLOCK - 1) - F.col("event_id") % _LATE_BLOCK
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(arrival.alias("arrival"), "ts")
+    )
+    ranged = ev.repartitionByRange(_LATE_BUCKETS, F.asc("arrival")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pmax = ranged.groupBy("pid").agg(F.max("ts").alias("ptop"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pmax.select("pid", F.max("ptop").over(woff).alias("off"))
+    win = (
+        Window.partitionBy("pid")
+        .orderBy("arrival")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hwm = F.greatest(F.max("ts").over(win), F.col("off"))
+    lat = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("hwm", hwm)
+        .select(
+            (
+                F.expr("timestampdiff(MICROSECOND, ts, hwm)") / F.lit(1_000_000)
+            ).cast("long").alias("late_s")
+        )
+    )
+    band = F.lit(">1h")
+    for cutoff, label in reversed(_LATE_BANDS_S):
+        band = F.when(F.col("late_s") <= cutoff, F.lit(label)).otherwise(band)
+    banded = lat.select(band.alias("band"), "late_s")
+    tot = banded.agg(F.count("*").alias("tot"))
+    return (
+        banded.groupBy("band")
+        .agg(F.count("*").alias("n"), F.max("late_s").alias("max_late_s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n",
+            "max_late_s",
+            (F.col("n").cast("double") / F.col("tot")).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Survival analysis: user-retention life table
+# --------------------------------------------------------------------------
+# Churn = the first inactivity gap longer than _CHURN_GAP_H hours: the
+# user "dies" at the event that OPENS the gap; a user with no such gap
+# is right-censored at their last event (their true lifetime exceeds
+# what we observed — counting the censored as deaths is THE classic
+# retention-analysis mistake this query exists to avoid). Duration =
+# whole days from the user's first event.
+_CHURN_GAP_H = 48
+
+
+def _sql_lifetable() -> str:
+    gap_us = _CHURN_GAP_H * 3600 * 1_000_000
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(ts) AS first_ts,
+             MAX(ts) AS last_ts,
+             MIN(CASE WHEN next_ts IS NOT NULL
+                       AND date_diff('microsecond', ts, next_ts) > {gap_us}
+                      THEN ts END) AS death_ts
+      FROM seq GROUP BY 1
+    ),
+    lifetimes AS (
+      SELECT date_diff('microsecond', first_ts,
+                       COALESCE(death_ts, last_ts)) // 86400000000 AS day,
+             (death_ts IS NULL) AS censored
+      FROM per_user
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lifetimes),
+    per_day AS (
+      SELECT day,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS n_deaths,
+             CAST(COUNT(*) FILTER (WHERE censored) AS BIGINT) AS n_censored
+      FROM lifetimes GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, n_deaths, n_censored,
+             t.n_total - CAST(COALESCE(SUM(n_deaths + n_censored) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_at_risk
+      FROM per_day CROSS JOIN tot t
+    )
+    SELECT day, n_at_risk, n_deaths, n_censored,
+           CAST(n_deaths AS DOUBLE) / n_at_risk AS hazard
+    FROM risk
+    """
+
+
+@stage(
+    "user_survival_lifetable",
+    oracle=_sql_lifetable(),
+    tags=("survival", "retention", "life-table", "A5"),
+)
+def user_survival_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored retention life table under a churn-by-inactivity
+    definition (death = the event opening the first gap > _CHURN_GAP_H
+    hours; no such gap = right-censored at last activity): per observed
+    lifetime day, the users still at risk, the deaths, the censored
+    exits, and the discrete hazard d_t / n_t. The Kaplan-Meier curve is
+    the running product of (1 - hazard); the table emits exact-integer
+    numerators and denominators and the single-division hazard so the
+    float is bit-identical across engines (a chained product would
+    compound libm differences).
+
+    Scale: one per-user LEAD window (partitioned on user_id — the gap
+    scan shuffles the corpus once on the user key and needs no global
+    order), one user-keyed aggregate on the same partitioning (reused
+    exchange), then everything lives at DAY grain — the at-risk
+    cumulative window is ordered over ~tens of rows (the observation
+    horizon), not users, so the unpartitioned window is bounded by the
+    calendar, never the data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _CHURN_GAP_H * 3600 * 1_000_000
+    seq = ev.select(
+        "user_id", "ts", F.lead("ts").over(wlead).alias("next_ts")
+    )
+    opens_gap = F.col("next_ts").isNotNull() & (
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)") > gap_us
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(opens_gap, F.col("ts"))).alias("death_ts"),
+    )
+    lifetimes = per_user.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, first_ts, coalesce(death_ts, last_ts))"
+            " DIV 86400000000"
+        ).alias("day"),
+        F.col("death_ts").isNull().alias("censored"),
+    )
+    tot = lifetimes.agg(F.count("*").alias("n_total"))
+    per_day = lifetimes.groupBy("day").agg(
+        F.count_if(~F.col("censored")).alias("n_deaths"),
+        F.count_if(F.col("censored")).alias("n_censored"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        per_day.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("n_censored")).over(w), F.lit(0)
+            ),
+        )
+    )
+    return risk.select(
+        "day",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        (F.col("n_deaths").cast("double") / F.col("n_at_risk")).alias("hazard"),
+    )

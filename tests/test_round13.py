@@ -447,3 +447,145 @@ def test_cuped_equals_python_model(spark, tmp_path_factory, rows):
         for r in STAGING["variant_cuped_adjusted"].fn(spark, str(path)).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Late-arrival audit + survival life table
+# --------------------------------------------------------------------------
+@given(
+    deltas=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=80)
+)
+@settings(**_HYP)
+def test_late_audit_equals_python_model(spark, tmp_path_factory, deltas):
+    """Band counts == a python model that replays the same reversed
+    16-event micro-batch permutation and tracks the high-water mark
+    serially — if the two-phase distributed running max dropped a
+    partition boundary, the '>0 lateness' bands would shift."""
+    import datetime as dt
+    from pse_stocks_etl_spark.plans.round13_queries import _LATE_BANDS_S, _LATE_BLOCK
+
+    path = tmp_path_factory.mktemp("late")
+    base = dt.datetime(2024, 1, 1)
+    t, ev = 0, []
+    for i, d in enumerate(deltas):
+        t += d
+        ev.append((1, base + dt.timedelta(seconds=t), 100))
+    _write_events(path, ev)
+
+    def band(late_s):
+        for cutoff, label in _LATE_BANDS_S:
+            if late_s <= cutoff:
+                return label
+        return ">1h"
+
+    order = sorted(
+        range(len(ev)),
+        key=lambda i: (i // _LATE_BLOCK) * _LATE_BLOCK
+        + (_LATE_BLOCK - 1 - i % _LATE_BLOCK),
+    )
+    hwm, expect = None, defaultdict(lambda: [0, None])
+    for i in order:
+        ts = ev[i][1]
+        hwm = ts if hwm is None or ts > hwm else hwm
+        late = int((hwm - ts).total_seconds())
+        g = expect[band(late)]
+        g[0] += 1
+        g[1] = late if g[1] is None else max(g[1], late)
+    tot = len(ev)
+
+    got = {
+        r["band"]: (r["n"], r["max_late_s"], r["share"])
+        for r in STAGING["events_late_arrival_audit"].fn(spark, str(path)).collect()
+    }
+    assert got == {b: (n, mx, float(n) / tot) for b, (n, mx) in expect.items()}
+
+
+def test_late_audit_two_phase_plan(spark):
+    """The corpus-sized exchange must be a RANGE partitioning on the
+    arrival key (the two-phase shape) — never a global hash-free sort;
+    the only single-partition window is the 16-row per-bucket prefix."""
+    plan = _plan(spark, "events_late_arrival_audit")
+    assert re.search(r"rangepartitioning\(arrival", plan), plan[:2000]
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_lifetable_hand_fixture(spark, tmp_path_factory):
+    """User 1 churns: a 3-day gap opens at their day-1 event (death at
+    t=1 even though activity resumes later); user 2 never gaps >48h
+    (censored at their last event, day 4); user 3 has one event
+    (censored at day 0)."""
+    import datetime as dt
+
+    path = tmp_path_factory.mktemp("lt")
+    d0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, d0, 100),
+        (1, d0 + dt.timedelta(days=1), 100),
+        (1, d0 + dt.timedelta(days=4, hours=1), 100),  # resumes after gap
+        (2, d0, 100),
+        (2, d0 + dt.timedelta(days=2), 100),
+        (2, d0 + dt.timedelta(days=4), 100),
+        (3, d0, 100),
+    ]
+    _write_events(path, ev)
+    got = {
+        r["day"]: (r["n_at_risk"], r["n_deaths"], r["n_censored"], r["hazard"])
+        for r in STAGING["user_survival_lifetable"].fn(spark, str(path)).collect()
+    }
+    assert got == {
+        0: (3, 0, 1, 0.0),  # user 3 censored at day 0
+        1: (2, 1, 0, 0.5),  # user 1 dies at the gap-opening event
+        4: (1, 0, 1, 0.0),  # user 2 censored at last activity
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # user
+            st.integers(min_value=0, max_value=9000),  # minutes offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_HYP)
+def test_lifetable_equals_python_model(spark, tmp_path_factory, rows):
+    """Life table == a python model on random event streams: per-user
+    first/death/censor bookkeeping plus the at-risk cumulative."""
+    import datetime as dt
+    from pse_stocks_etl_spark.plans.round13_queries import _CHURN_GAP_H
+
+    path = tmp_path_factory.mktemp("ltr")
+    d0 = dt.datetime(2024, 1, 1)
+    ev = [(u, d0 + dt.timedelta(minutes=m), 100) for u, m in rows]
+    _write_events(path, ev)
+
+    by_user = defaultdict(list)
+    for u, ts, _ in ev:
+        by_user[u].append(ts)
+    lifetimes = []
+    for u, tss in by_user.items():
+        tss.sort()
+        death = None
+        for a, b in zip(tss, tss[1:]):
+            if (b - a).total_seconds() > _CHURN_GAP_H * 3600:
+                death = a
+                break
+        end = death if death is not None else tss[-1]
+        day = int((end - tss[0]).total_seconds() * 1_000_000) // 86_400_000_000
+        lifetimes.append((day, death is None))
+    expect = {}
+    days = sorted({d for d, _ in lifetimes})
+    for t in days:
+        n_at_risk = sum(1 for d, _ in lifetimes if d >= t)
+        n_deaths = sum(1 for d, c in lifetimes if d == t and not c)
+        n_cens = sum(1 for d, c in lifetimes if d == t and c)
+        expect[t] = (n_at_risk, n_deaths, n_cens, float(n_deaths) / n_at_risk)
+
+    got = {
+        r["day"]: (r["n_at_risk"], r["n_deaths"], r["n_censored"], r["hazard"])
+        for r in STAGING["user_survival_lifetable"].fn(spark, str(path)).collect()
+    }
+    assert got == expect
