@@ -29,6 +29,8 @@ lanes extend the engine beyond the reference per the build brief.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -829,3 +831,144 @@ def user_survival_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         (F.col("n_deaths").cast("double") / F.col("n_at_risk")).alias("hazard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming late-data DROP semantics (append-mode windowed aggregation)
+# --------------------------------------------------------------------------
+# The one streaming semantic the complete-mode twins cannot see: with
+# outputMode("append") + withWatermark, late rows are DROPPED and only
+# watermark-finalized windows ever emit. The micro-batch arrival order
+# is made deterministic (shard b = event_id % K, one file per shard,
+# strictly increasing mtimes, maxFilesPerTrigger=1), so the runtime's
+# drop/emit decisions are a pure function the oracle can spell.
+#
+# Calibrated empirically on Spark 4.1 (tests/test_round13.py pins it):
+#   - per-batch event-time stats are MILLISECOND-floored maxima;
+#   - the late filter of batch b uses the cumulative stats of batches
+#     <= b-2 (one batch MORE of lag than the eviction watermark — the
+#     planned watermark is written to the offset log before the
+#     previous batch commits its stats);
+#   - drop is INCLUSIVE: window_end <= filter_wm;
+#   - final emission (the no-data micro-batch after the last file,
+#     noDataMicroBatches default-on) is INCLUSIVE: window_end <=
+#     max(all batch stats) - delay.
+_LATE_DROP_SHARDS = 4
+_LATE_DROP_DELAY_MS = 2 * 3600 * 1000  # withWatermark("ts", "2 hours")
+
+
+def _sql_late_drop() -> str:
+    k, d = _LATE_DROP_SHARDS, _LATE_DROP_DELAY_MS
+    return f"""
+    WITH e AS (
+      SELECT event_id % {k} AS b,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             epoch_us(ts) AS ts_us,
+             time_bucket(INTERVAL '1 hour', ts) AS wstart,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts)
+                      + INTERVAL '1 hour') AS wend_us
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    bstats AS (SELECT b, MAX(ts_us // 1000) AS mx_ms FROM e GROUP BY 1),
+    fwm AS (
+      SELECT b,
+             (MAX(mx_ms) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+              - {d}) * 1000 AS filter_wm_us
+      FROM bstats
+    ),
+    fin AS (SELECT (MAX(mx_ms) - {d}) * 1000 AS final_wm_us FROM bstats),
+    kept AS (
+      SELECT e.* FROM e JOIN fwm USING (b)
+      WHERE fwm.filter_wm_us IS NULL OR e.wend_us > fwm.filter_wm_us
+    )
+    SELECT wstart AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (SUM(vc) / 100.0) AS sum_value
+    FROM kept, fin
+    WHERE wend_us <= fin.final_wm_us
+    GROUP BY 1
+    """
+
+
+@stage(
+    "streaming_late_drop_counts",
+    oracle=_sql_late_drop(),
+    tags=("streaming", "watermark", "late-data", "append-mode"),
+)
+def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked windowed aggregation with REAL late-data
+    drops: the feed replays as {K} deterministic micro-batches
+    (shard = event_id mod {K}, one file per trigger, mtime-ordered), a
+    2-hour watermark filters stragglers, and ONLY finalized windows
+    emit. The oracle reproduces the runtime's exact drop/emit algebra
+    (ms-floored per-batch maxima, two-batch filter lag, inclusive
+    boundaries — see the module comment), so the hash pins the subtlest
+    Structured Streaming behavior: WHICH rows a watermark sacrifices
+    and WHEN a window is declared closed. Complements
+    events_late_arrival_audit (the batch audit that picks the delay)
+    and the complete-mode twins (which keep all state and drop
+    nothing).
+
+    Scale: identical runtime plan to streaming_hourly_counts — file
+    source, one state-store exchange keyed on the window, map-side
+    partial aggregation per micro-batch; state is BOUNDED by the
+    watermark (evicted windows leave the store), which is the entire
+    point of append mode at 100 TB/day."""
+    import os
+    import shutil
+    import uuid
+
+    from .pipeline_queries import _stream_partitions
+    from ..streaming.incremental import stream_events
+
+    ev0 = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    feed = tempfile.mkdtemp(prefix="pse_latedrop_feed_")
+    for b in range(_LATE_DROP_SHARDS):
+        tmp = tempfile.mkdtemp(prefix="pse_latedrop_shard_")
+        (
+            ev0.filter(F.col("event_id") % _LATE_DROP_SHARDS == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"batch_{b:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + b * 100,) * 2)
+
+    events = stream_events(spark, feed, max_files_per_trigger=1)
+    vc = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"), (F.sum(vc) / 100.0).alias("sum_value"))
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+    wstart = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(win.start), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return out.select(wstart.alias("window_start"), "n", "sum_value")
+
+
+streaming_late_drop_counts.__doc__ = streaming_late_drop_counts.__doc__.format(
+    K=_LATE_DROP_SHARDS
+)

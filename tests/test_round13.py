@@ -589,3 +589,110 @@ def test_lifetable_equals_python_model(spark, tmp_path_factory, rows):
         for r in STAGING["user_survival_lifetable"].fn(spark, str(path)).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Streaming late-drop semantics (append mode)
+# --------------------------------------------------------------------------
+def _run_late_drop(spark, path):
+    return {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in STAGING["streaming_late_drop_counts"].fn(spark, str(path)).collect()
+    }
+
+
+def test_late_drop_calibration_fixture(spark, tmp_path_factory):
+    """Pins the empirically calibrated runtime semantics the oracle
+    encodes (module comment in round13_queries): the late filter of
+    batch b uses stats of batches <= b-2 (row arriving one batch after
+    the watermark-advancing batch is NOT dropped; two batches after,
+    it IS), drop and final emission are both INCLUSIVE at the
+    boundary, and unfinalized windows never emit. K=4, delay=2h,
+    1h windows."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(h, m=0):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    path = tmp_path_factory.mktemp("latedrop")
+    # batch = event_id % 4. Batch 0 carries the max (13:00) -> wm 11:00.
+    # batch 1: row at 8:30 survives (filter lag: stats <= batch -1).
+    # batch 2: row at 8:45 dropped (window end 9:00 <= 11:00);
+    #          row at 10:59 dropped INCLUSIVELY (end 11:00 == wm);
+    #          row at 11:30 kept (end 12:00 > 11:00).
+    # batch 3: row at 23:00 pushes final wm to 21:00 -> its own window
+    #          [23:00] must NOT emit (end 24:00 > 21:00).
+    rows = [
+        (0, t(8, 15)), (4, t(13, 0)),          # batch 0
+        (1, t(8, 30)),                          # batch 1
+        (2, t(8, 45)), (6, t(10, 59)), (10, t(11, 30)),  # batch 2
+        (3, t(23, 0)),                          # batch 3
+    ]
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    ids = [eid for eid, _ in rows]
+    tss = [ts for _, ts in rows]
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array(ids, _pa.int64()),
+                "ts": _pa.array(tss, _pa.timestamp("us")),
+                "user_id": _pa.array([1] * len(ids), _pa.int64()),
+                "event_type": _pa.array(["click"] * len(ids), _pa.string()),
+                "value": _pa.array([1.0] * len(ids), _pa.float64()),
+                "props": _pa.array(["{}"] * len(ids), _pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+    got = _run_late_drop(spark, path)
+    assert got == {
+        t(8): (2, 2.0),    # 8:15 (b0) + 8:30 (b1 survives the lag); 8:45 dropped
+        t(11): (1, 1.0),   # 11:30 kept; 10:59 dropped inclusively
+        t(13): (1, 1.0),   # the wm-advancing row itself, end 14:00 <= 21:00
+    }
+
+
+def test_late_drop_matches_oracle_under_shuffled_ids(spark, tmp_path_factory):
+    """Random (id, ts) assignments: the staged query must match its own
+    DuckDB oracle on fixtures far denser in late rows than the
+    testdata — every id permutation is a different arrival schedule."""
+    import datetime as dt
+    import duckdb
+
+    from pse_stocks_etl_spark.plans.round13_queries import _sql_late_drop
+
+    base = dt.datetime(2024, 1, 1)
+    rng_rows = [
+        (eid, base + dt.timedelta(minutes=(eid * librt) % 2000))
+        for eid, librt in zip(range(40), [37, 113, 59, 211] * 10)
+    ]
+    path = tmp_path_factory.mktemp("latedrop_r")
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array([r[0] for r in rng_rows], _pa.int64()),
+                "ts": _pa.array([r[1] for r in rng_rows], _pa.timestamp("us")),
+                "user_id": _pa.array([1] * len(rng_rows), _pa.int64()),
+                "event_type": _pa.array(["click"] * len(rng_rows), _pa.string()),
+                "value": _pa.array([1.0] * len(rng_rows), _pa.float64()),
+                "props": _pa.array(["{}"] * len(rng_rows), _pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+    got = _run_late_drop(spark, path)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{path}/events.parquet'"
+    )
+    expect = {
+        r[0]: (r[1], r[2]) for r in con.sql(_sql_late_drop()).fetchall()
+    }
+    assert got == expect
