@@ -972,3 +972,178 @@ def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 streaming_late_drop_counts.__doc__ = streaming_late_drop_counts.__doc__.format(
     K=_LATE_DROP_SHARDS
 )
+
+
+# --------------------------------------------------------------------------
+# Continuous-aggregate increment: merge a crawl shard into the cascade
+# --------------------------------------------------------------------------
+# The increment member of the rollup story (and the fifth member of the
+# crawl-increment family next to MinHash / SimHash / IVF-PQ / exact-
+# segment): the standing corpus (event_id % 8 != 0) already owns
+# hourly/daily/weekly tiers; the new shard (event_id % 8 == 0) must
+# fold in WITHOUT re-aggregating the standing rows — hourly moments
+# merge associatively, then only the shard's AFFECTED days and weeks
+# recompute from the tier below. The oracle is the full-corpus weekly
+# recompute, so hash equality proves tier reuse loses nothing.
+_CASCADE_SHARD_MOD = 8
+
+
+def _moments_by(df: DataFrame, key) -> DataFrame:
+    vc = F.round(F.col("value") * 100).cast("long")
+    return df.groupBy(key).agg(
+        F.count("value").alias("n"),
+        F.sum(vc).alias("sum_c"),
+        F.sum(vc * vc).alias("sum_sq"),
+        F.min(vc).alias("min_c"),
+        F.max(vc).alias("max_c"),
+    )
+
+
+def _merge_moments(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Associative merge of two sufficient-statistics tiers keyed on
+    `key` (full outer, null-safe adds, null-skipping min/max)."""
+
+    def add(col: str) -> F.Column:
+        return F.coalesce(F.col(f"a_{col}"), F.lit(0)) + F.coalesce(
+            F.col(f"b_{col}"), F.lit(0)
+        )
+
+    aa = a.select(F.col(key), *[F.col(c).alias(f"a_{c}") for c in a.columns if c != key])
+    bb = b.select(F.col(key), *[F.col(c).alias(f"b_{c}") for c in b.columns if c != key])
+    return aa.join(bb, key, "full_outer").select(
+        key,
+        add("n").alias("n"),
+        add("sum_c").alias("sum_c"),
+        add("sum_sq").alias("sum_sq"),
+        F.least("a_min_c", "b_min_c").alias("min_c"),
+        F.greatest("a_max_c", "b_max_c").alias("max_c"),
+    )
+
+
+def _tier_rollup(df: DataFrame, key) -> DataFrame:
+    """Aggregate a moments tier one level up (hour→day or day→week)."""
+    return df.groupBy(key).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_c").alias("sum_c"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_c").alias("min_c"),
+        F.max("max_c").alias("max_c"),
+    )
+
+
+def _weekly_stats(weekly: DataFrame) -> DataFrame:
+    n = F.col("n")
+    sum_c = F.col("sum_c").cast("double")
+    sum_sq = F.col("sum_sq").cast("double")
+    var_c2 = (sum_sq - sum_c * sum_c / n) / (n - 1)
+    return weekly.select(
+        "week_start",
+        "n",
+        F.when(n > 0, sum_c / n / F.lit(100.0)).alias("mean_value"),
+        F.when(n > 1, F.sqrt(F.greatest(var_c2, F.lit(0.0))) / F.lit(100.0)).alias(
+            "stddev_value"
+        ),
+        (F.col("min_c") / F.lit(100.0)).alias("min_value"),
+        (F.col("max_c") / F.lit(100.0)).alias("max_value"),
+    )
+
+
+def _sql_cascade_increment() -> str:
+    vc = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+    WITH w AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             CAST(COUNT(value) AS BIGINT) AS n,
+             CAST(SUM({vc}) AS BIGINT) AS sum_c,
+             CAST(SUM({vc} * {vc}) AS BIGINT) AS sum_sq,
+             MIN({vc}) AS min_c, MAX({vc}) AS max_c
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT week_start, n,
+           CASE WHEN n > 0
+                THEN CAST(sum_c AS DOUBLE) / n / 100.0 END AS mean_value,
+           CASE WHEN n > 1
+                THEN SQRT(GREATEST(
+                       (CAST(sum_sq AS DOUBLE)
+                        - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+                       / (n - 1), 0.0)) / 100.0 END AS stddev_value,
+           min_c / 100.0 AS min_value,
+           max_c / 100.0 AS max_value
+    FROM w
+    """
+
+
+@stage(
+    "events_cascade_increment",
+    oracle=_sql_cascade_increment(),
+    tags=("window-agg", "rollup-cascade", "incremental", "hypertable"),
+)
+def events_cascade_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate INCREMENT (TimescaleDB-style refresh): the
+    standing corpus's hourly/daily/weekly moment tiers absorb a new
+    crawl shard by (1) merging shard hourly moments into the stored
+    hourly tier (associative full-outer add — _merge_moments), then
+    (2) recomputing ONLY the shard's affected days from the merged
+    hourly tier and (3) only the affected weeks from the merged daily
+    tier; untouched days/weeks are carried from the standing tiers
+    verbatim. The oracle recomputes weekly stats from the FULL corpus,
+    so hash equality proves the reuse paths lose nothing — the fifth
+    member of the crawl-increment family (MinHash / SimHash / IVF-PQ /
+    exact-segment / rollup).
+
+    Scale: per-refresh cost ∝ shard size + touched buckets — the
+    standing corpus is never rescanned (its tiers are the stored
+    state; seeded here once for self-containedness), the affected-day
+    and affected-week key sets are tiny and broadcast to route carried
+    vs recomputed rows (left_anti / left_semi), and every merge is a
+    keyed join at bucket grain, 3+ orders of magnitude below row
+    grain. NULL event-time rows are excluded on both engines (same
+    contract as the streaming twin: a bucketless row cannot join a
+    tier)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    hour = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
+    standing = ev.filter(F.col("event_id") % _CASCADE_SHARD_MOD != 0)
+    shard = ev.filter(F.col("event_id") % _CASCADE_SHARD_MOD == 0)
+
+    # Stored state (production: read from the rollup tables).
+    h_old = _moments_by(standing, hour.alias("hour_ts"))
+    d_old = _tier_rollup(h_old, F.to_date("hour_ts").alias("day"))
+    week = F.date_sub(F.col("day"), (F.dayofweek(F.col("day")) + 5) % 7)
+    w_old = _tier_rollup(d_old, week.alias("week_start"))
+
+    # (1) hourly merge: shard moments fold into the stored tier.
+    h_delta = _moments_by(shard, hour.alias("hour_ts"))
+    h_new = _merge_moments(h_old, h_delta, "hour_ts")
+
+    # (2) recompute affected days from the merged hourly tier; carry
+    # the rest of the stored daily tier untouched.
+    affected_days = h_delta.select(
+        F.to_date("hour_ts").alias("day")
+    ).distinct()
+    d_recomp = _tier_rollup(
+        h_new.join(
+            F.broadcast(affected_days),
+            F.to_date("hour_ts") == F.col("day"),
+            "left_semi",
+        ),
+        F.to_date("hour_ts").alias("day"),
+    )
+    d_carried = d_old.join(F.broadcast(affected_days), "day", "left_anti")
+    d_new = d_carried.unionByName(d_recomp)
+
+    # (3) same one tier up: affected weeks from affected days.
+    affected_weeks = affected_days.select(week.alias("week_start")).distinct()
+    w_recomp = _tier_rollup(
+        d_new.join(
+            F.broadcast(affected_weeks),
+            week == F.col("week_start"),
+            "left_semi",
+        ),
+        week.alias("week_start"),
+    )
+    w_carried = w_old.join(F.broadcast(affected_weeks), "week_start", "left_anti")
+    return _weekly_stats(w_carried.unionByName(w_recomp))

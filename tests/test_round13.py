@@ -696,3 +696,111 @@ def test_late_drop_matches_oracle_under_shuffled_ids(spark, tmp_path_factory):
         r[0]: (r[1], r[2]) for r in con.sql(_sql_late_drop()).fetchall()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Continuous-aggregate increment
+# --------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # event_id
+            st.integers(min_value=0, max_value=40),  # day offset
+            st.integers(min_value=0, max_value=23),  # hour
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50_000)),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_HYP)
+def test_cascade_increment_equals_full_recompute(spark, tmp_path_factory, rows):
+    """Tier-reuse routing on random shards: the shard (event_id % 8 == 0)
+    may open brand-new hours, days and weeks (carried/recomputed
+    routing must not drop or double them), the standing corpus may own
+    weeks the shard never touches (must carry verbatim), and an
+    all-standing draw degenerates to the no-op refresh. The expected
+    table is a python recompute from ALL rows — identical to what the
+    DuckDB oracle does, but on hostile shapes the testdata lacks."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    path = tmp_path_factory.mktemp("casinc")
+    ev, n = [], len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        base + dt.timedelta(days=r[1], hours=r[2])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(
+                    [None if r[3] is None else r[3] / 100.0 for r in rows],
+                    pa.float64(),
+                ),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+
+    agg = defaultdict(lambda: [0, 0, 0, None, None])
+    for eid, d, h, c in rows:
+        ts = base + dt.timedelta(days=d, hours=h)
+        wk = (ts - dt.timedelta(days=ts.weekday())).date()
+        g = agg[wk]
+        if c is not None:
+            g[0] += 1
+            g[1] += c
+            g[2] += c * c
+            g[3] = c if g[3] is None else min(g[3], c)
+            g[4] = c if g[4] is None else max(g[4], c)
+    expect = {}
+    for wk, (cnt, sc, ssq, mn, mx) in agg.items():
+        mean = float(sc) / cnt / 100.0 if cnt > 0 else None
+        std = (
+            math.sqrt(max((float(ssq) - float(sc) * float(sc) / cnt) / (cnt - 1), 0.0))
+            / 100.0
+            if cnt > 1
+            else None
+        )
+        expect[wk] = (
+            cnt,
+            mean,
+            std,
+            None if mn is None else mn / 100.0,
+            None if mx is None else mx / 100.0,
+        )
+
+    got = {
+        r["week_start"]: (
+            r["n"],
+            r["mean_value"],
+            r["stddev_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in STAGING["events_cascade_increment"].fn(spark, str(path)).collect()
+    }
+    assert got == expect
+
+
+def test_cascade_increment_plan_no_python(spark):
+    plan = _plan(spark, "events_cascade_increment")
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, bad
+    # the carried/recomputed routing must broadcast the tiny key sets
+    assert "BroadcastHashJoin" in plan
