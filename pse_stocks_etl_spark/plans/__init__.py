@@ -108,7 +108,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
 # dominant_part_suppliers — the bound is FULL) plus the staged
-# queries in the round-11/12 modules (see COVERAGE.md "Staged
+# queries in the round-11/12/13 modules (see COVERAGE.md "Staged
 # queries" for the authoritative, test-guarded list).
 # Promote ALL of block 6 into window positions 1-25, register the
 # staged queries into the positions after it (flag bench=True on

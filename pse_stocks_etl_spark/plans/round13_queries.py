@@ -2,28 +2,36 @@
 at its 25-query bound, so these queue in plans/staging.py under the
 same strict Arrow-level parity gate until window slots free up).
 
-Store / incremental lane: `store_mv_refresh_increment` — incremental
-materialized-view maintenance driven by the merge change feed
-(operators/merge.py::merge_cdf): the MV is updated from the CDF's
-preimage/postimage algebra alone, never by rescanning the base table,
-and hash-equality against a full-recompute oracle proves
-incremental == recompute. This is the capability a training-data
-pipeline needs to keep per-source corpus statistics current under
-daily crawl merges without re-aggregating 100 TB.
+Incremental-maintenance lane: `store_mv_refresh_increment` (the MV
+refreshes from merge_cdf's preimage/postimage algebra alone — never a
+base rescan — with a full-recompute oracle proving incremental ==
+recompute) and `events_cascade_increment` (continuous-aggregate
+refresh: a crawl shard folds into standing hourly/daily/weekly moment
+tiers, only affected buckets recompute). Together with
+`events_rollup_cascade` (the batch cascade whose oracle proves
+re-aggregability) these are what keeps 100 TB of derived state
+current under daily merges.
 
-Graph lane: `copurchase_khop_distance` — bounded k-hop BFS (multi-
-source shortest distance) over the co-purchase graph, the iterative-
-join traversal class (distinct from copurchase_pagerank's value
-iteration and docs_near_dup_clusters' component contraction).
+Streaming-ops lane: `events_late_arrival_audit` (lateness bands from a
+two-phase distributed running max — the data a withWatermark delay
+should be chosen from) and `streaming_late_drop_counts` (append-mode
+windowed agg whose oracle spells the runtime's exact late-drop/emit
+algebra, empirically calibrated: ms-floored batch stats, two-batch
+filter lag, inclusive boundaries).
 
-Privacy lane: `customer_k_anonymity` — quasi-identifier group-size
-audit (k-anonymity), the privacy-side complement of docs_pii_scrub:
-before a table ships as training data, every QID combination must be
-shared by >= K rows or flagged for suppression.
+Analytics lanes: `copurchase_khop_distance` (bounded multi-source BFS,
+the iterative-join traversal class next to pagerank's value iteration
+and the dedup lane's component contraction), `variant_cuped_adjusted`
+(CUPED variance-reduced A/B readout, Deng et al. WSDM'13),
+`user_survival_lifetable` (right-censored churn-by-inactivity life
+table), and `customer_k_anonymity` (quasi-identifier group-size audit,
+the privacy-side complement of docs_pii_scrub).
 
 Reference parity: the reference's sync loop maintains derived tables
-under incremental merges (src/etl/price_sync.py — the MV here is
-"a derived aggregate maintained the same way"); the graph/privacy
+under incremental merges and picks its lookback window from assumed
+max lateness (src/etl/price_sync.py) — the incremental and
+streaming-ops lanes are this engine's versioned-store and
+event-time generalizations of exactly those two moves; the analytics
 lanes extend the engine beyond the reference per the build brief.
 """
 
