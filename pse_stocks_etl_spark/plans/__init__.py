@@ -112,9 +112,11 @@ except ImportError:  # pragma: no cover - partial checkouts
 # queries" for the authoritative, test-guarded list).
 # Promote ALL of block 6 into window positions 1-25, register the
 # staged queries into the positions after it (flag bench=True on
-# docs_line_dedup and streaming_click_semi_join when registering —
-# the corpus-transform and semi-join costs belong in the headline
-# set next to their lane twins), then fill the remaining
+# docs_line_dedup, streaming_click_semi_join, store_mv_refresh_increment,
+# events_cascade_increment and streaming_late_drop_counts when
+# registering — the corpus-transform, semi-join, incremental-refresh
+# and append-mode-drop costs belong in the headline set next to their
+# lane twins), then fill the remaining
 # slots from the stale-green refresh queue,
 # oldest driver round first (the r1/r2 block: flagship_latest_price,
 # pricing_summary, watermark_per_key, dedup_argmax, docs_exact_dedup,

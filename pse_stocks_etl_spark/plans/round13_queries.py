@@ -1155,3 +1155,97 @@ def events_cascade_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_carried = w_old.join(F.broadcast(affected_weeks), "week_start", "left_anti")
     return _weekly_stats(w_carried.unionByName(w_recomp))
+
+
+# --------------------------------------------------------------------------
+# Recency-decayed heavy hitters (exact power-of-two half-life)
+# --------------------------------------------------------------------------
+# Exponential decay is the standard "what matters NOW" leaderboard, but
+# double pow() is libm-dependent — so the decay here is a 1-week
+# half-life evaluated as an INTEGER shift: weight(age) = 2^-age_weeks,
+# applied as per-row floor division of exact cents. Both engines
+# compute identical integers; the only float is the final /100.0.
+_DECAY_WEEK_US = 7 * 86_400_000_000
+
+
+def _sql_decayed_hitters() -> str:
+    vc = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+    WITH anchor AS (
+      SELECT MAX(ts) AS mx FROM events WHERE ts IS NOT NULL
+    ),
+    aged AS (
+      SELECT event_type,
+             {vc} AS vc,
+             date_diff('microsecond', ts, a.mx) // {_DECAY_WEEK_US} AS age_w
+      FROM events, anchor a
+      WHERE ts IS NOT NULL
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(vc) AS BIGINT) AS raw_c,
+             CAST(SUM(vc // (CAST(1 AS BIGINT) << age_w)) AS BIGINT) AS dec_c
+      FROM aged GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           raw_c / 100.0 AS raw_value,
+           dec_c / 100.0 AS decayed_value,
+           CAST(row_number() OVER (ORDER BY dec_c DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM scored
+    """
+
+
+@stage(
+    "events_decayed_hitters",
+    oracle=_sql_decayed_hitters(),
+    tags=("heavy-hitters", "decay", "recency", "A5"),
+)
+def events_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy hitters: per event type, total value and
+    a 1-week-half-life decayed value (weight 2^-age_weeks, anchored at
+    the corpus max event time), ranked by decayed engagement — the
+    leaderboard shape that demotes stale volume. The decay is an exact
+    integer shift-and-floor-divide on cents, NOT pow(): a double
+    exponential would be libm-dependent across engines, where this is
+    bit-identical by construction (cf. the life table's single-division
+    hazard). NULL-event-time rows carry no age and are excluded on
+    both engines.
+
+    Scale: one scalar max (broadcast), one map-side-combinable
+    aggregate over event_type — the same single-exchange shape as
+    customer_k_anonymity; the rank window runs over |event types|
+    rows. At 100 TB the decay weight is computed per row in
+    whole-stage codegen, never a UDF."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    vc = F.round(F.col("value") * 100).cast("long")
+    # shiftleft takes a literal bit count in the DataFrame API; the SQL
+    # form accepts a column — DIV (trunc) == DuckDB's // (floor) here
+    # because both operands are non-negative.
+    dec_vc = F.expr(
+        "vc DIV shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(timestampdiff(MICROSECOND, ts, mx) DIV {_DECAY_WEEK_US} AS INT))"
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("vc", vc)
+        .select("event_type", "vc", dec_vc.alias("dec_vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("vc").alias("raw_c"),
+            F.sum("dec_vc").alias("dec_c"),
+        )
+    )
+    w = Window.orderBy(F.desc("dec_c"), F.asc("event_type"))
+    return scored.select(
+        "event_type",
+        "n_events",
+        (F.col("raw_c") / F.lit(100.0)).alias("raw_value"),
+        (F.col("dec_c") / F.lit(100.0)).alias("decayed_value"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

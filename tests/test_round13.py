@@ -804,3 +804,46 @@ def test_cascade_increment_plan_no_python(spark):
         assert bad not in plan, bad
     # the carried/recomputed routing must broadcast the tiny key sets
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# Decayed heavy hitters
+# --------------------------------------------------------------------------
+def test_decayed_hitters_hand_fixture(spark, tmp_path_factory):
+    """Exact shift decay: an event 0 weeks old keeps full value, 1 week
+    old halves (floor), 2 weeks quarters — and recency flips the rank:
+    type 'b' has less raw value but more decayed value."""
+    import datetime as dt
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    path = tmp_path_factory.mktemp("decay")
+    anchor = dt.datetime(2024, 1, 29)
+    rows = [
+        # type a: big but stale (2 weeks): 1001 cents -> 250 (floor of /4)
+        ("a", anchor - dt.timedelta(weeks=2), 10.01),
+        # type b: small but fresh: 601 -> 601, plus 1-week 301 -> 150
+        ("b", anchor, 6.01),
+        ("b", anchor - dt.timedelta(weeks=1), 3.01),
+    ]
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array(range(len(rows)), _pa.int64()),
+                "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+                "user_id": _pa.array([1] * len(rows), _pa.int64()),
+                "event_type": _pa.array([r[0] for r in rows], _pa.string()),
+                "value": _pa.array([r[2] for r in rows], _pa.float64()),
+                "props": _pa.array(["{}"] * len(rows), _pa.string()),
+            }
+        ),
+        str(path / "events.parquet"),
+    )
+    got = {
+        r["event_type"]: (r["raw_value"], r["decayed_value"], r["rnk"])
+        for r in STAGING["events_decayed_hitters"].fn(spark, str(path)).collect()
+    }
+    assert got == {
+        "a": (10.01, 2.50, 2),
+        "b": (9.02, 7.51, 1),  # fresh beats stale despite less raw value
+    }
