@@ -10,11 +10,14 @@ streaming, no driver involvement, no per-row Python overhead).
 Codecs: three UNCOMPRESSED formats decode for REAL with stdlib struct +
 numpy — WAV (RIFF PCM16 audio), BMP (BI_RGB 24-bit image, incl.
 nearest-neighbor resize), and Y4M (YUV4MPEG2 C420 video, incl. strided
-frame sampling). Compressed formats (JPEG/PNG/MP4) need PIL/ffmpeg,
-which this container lacks: for those `decode_features` computes
-deterministic byte-level features so the Spark-side plumbing — schema,
-batch shape, partitioning — stays real and tested, and `real_decode` /
-`real_resize` mark the integration points (NotImplementedError).
+frame sampling) — plus one COMPRESSED format: PNG (8-bit truecolor),
+whose DEFLATE/CRC32 are stdlib zlib and whose five scanline filters are
+implemented in full (the synthesizer cycles all of them). Formats that
+genuinely need external libraries (JPEG/MP4 → PIL/ffmpeg, absent from
+this container): `decode_features` computes deterministic byte-level
+features so the Spark-side plumbing — schema, batch shape,
+partitioning — stays real and tested, and `real_decode` / `real_resize`
+mark the integration points (NotImplementedError).
 """
 
 from __future__ import annotations
@@ -78,9 +81,10 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
 
 
 def real_decode(payload: bytes) -> dict:
-    """The real decode integration point. WAV (RIFF PCM16) and BMP
-    (BI_RGB 24-bit) decode for REAL — stdlib struct + numpy, `parse_wav`
-    / `parse_bmp` below. Compressed image/video formats need PIL /
+    """The real decode integration point. WAV (RIFF PCM16), BMP
+    (BI_RGB 24-bit), Y4M (YUV4MPEG2 C420) and PNG (8-bit truecolor,
+    DEFLATE via stdlib zlib) decode for REAL — `parse_wav` /
+    `parse_bmp` / `parse_y4m` / `parse_png` below. JPEG/MP4 need PIL /
     ffmpeg, which this container lacks, so those stay a marked stub
     with `decode_features`' deterministic fake carrying the tests."""
     if payload[:4] == b"RIFF":
@@ -89,9 +93,11 @@ def real_decode(payload: bytes) -> dict:
         return parse_bmp(payload)
     if payload[:9] == b"YUV4MPEG2":
         return parse_y4m(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return parse_png(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
-        "compressed image/video codecs unavailable; deterministic fake "
-        "used instead (decode_features)"
+        "JPEG/MP4 codecs unavailable; deterministic fake used instead "
+        "(decode_features)"
     )
 
 
@@ -795,3 +801,220 @@ def resize_decode_bmp(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(resize_partition, schema=BMP_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL compressed image codec: PNG (truecolor 8-bit), stdlib zlib + numpy
+# --------------------------------------------------------------------------
+# PNG is the compressed format this container CAN do for real: DEFLATE
+# is stdlib zlib, CRC32 is stdlib zlib, chunk framing and scanline
+# filters are spec arithmetic. The synthesizer deliberately CYCLES all
+# five scanline filters (None/Sub/Up/Average/Paeth, one per row) so
+# decode correctness requires a full unfilter implementation, not a
+# filter-0 shortcut. Same realism contract as WAV/BMP/Y4M: CRCs are
+# verified, anything unsupported raises.
+_PNG_W_BASE, _PNG_W_MOD = 6, 5  # width  = 6 + doc_id % 5
+_PNG_H_BASE, _PNG_H_MOD = 5, 4  # height = 5 + doc_id % 4 (>= 5 rows →
+#                                  every doc exercises all 5 filters)
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png(doc_id: int) -> bytes:
+    """A standard non-interlaced 8-bit truecolor PNG whose RGB channels
+    are deterministic lattices of (doc_id, x, y) and whose scanline
+    filter CYCLES (doc_id + y) % 5 — rows carry None/Sub/Up/Average/
+    Paeth filters, so a decoder must implement the whole filter suite."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = _PNG_W_BASE + doc_id % _PNG_W_MOD
+    h = _PNG_H_BASE + doc_id % _PNG_H_MOD
+    y, x = np.mgrid[0:h, 0:w]
+    r = (doc_id + 3 * x + 7 * y) % 256
+    g = (2 * doc_id + 5 * x + 11 * y) % 256
+    b = (3 * doc_id + 13 * x + 17 * y) % 256
+    px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for yy in range(h):
+        line = raw[yy]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
+        f = (doc_id + yy) % 5
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prior) % 256
+        elif f == 3:
+            enc = (line - (left + prior) // 2) % 256
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b_), int(c)) for a, b_, c in zip(left, prior, upleft)],
+                dtype=np.int32,
+            )
+            enc = (line - pred) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """REAL decode: signature, chunk walk with CRC32 verification,
+    IHDR validation (8-bit truecolor, non-interlaced), IDAT
+    concatenation, zlib inflate, and the full five-filter scanline
+    reconstruction (None/Sub/Up/Average/Paeth). Raises ValueError on
+    bad magic, bad CRC, unsupported encoding, truncation, or an
+    unknown filter byte — a codec must fail loudly, not guess."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG encoding: depth={depth} color={ctype} "
+            f"compression={comp} filter={filt} interlace={interlace}"
+        )
+    stream = zlib.decompress(b"".join(idat))
+    bpp, row = 3, w * 3
+    if len(stream) != h * (row + 1):
+        raise ValueError("inflated stream length mismatch")
+    px = np.zeros((h, row), dtype=np.int32)
+    prior = np.zeros(row, dtype=np.int32)
+    for yy in range(h):
+        f = stream[yy * (row + 1)]
+        enc = np.frombuffer(
+            stream[yy * (row + 1) + 1 : (yy + 1) * (row + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if f == 0:
+            line = enc
+        elif f == 2:
+            line = (enc + prior) % 256
+        elif f in (1, 3, 4):
+            line = np.zeros(row, dtype=np.int32)
+            for i in range(row):
+                left = line[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                upleft = prior[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(int(left), int(up), int(upleft))
+                line[i] = (int(enc[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        px[yy] = line
+        prior = line
+    rgb = px.reshape(h, w, 3).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "sum_r": int(rgb[:, :, 0].sum()),
+        "sum_g": int(rgb[:, :, 1].sum()),
+        "sum_b": int(rgb[:, :, 2].sum()),
+    }
+
+
+def attach_png(docs: DataFrame) -> DataFrame:
+    """Synthesize one PNG payload per document, executor-side (the
+    compressed-image ingest stand-in; DEFLATE bytes never visit the
+    driver)."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of PNG payloads — inflate, unfilter,
+    aggregate; nothing faked."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_png(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in PNG_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=PNG_FEATURES_SCHEMA)

@@ -1249,3 +1249,57 @@ def events_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dec_c") / F.lit(100.0)).alias("decayed_value"),
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: REAL compressed-image decode (PNG, stdlib zlib)
+# --------------------------------------------------------------------------
+@stage(
+    "multimodal_png_decode",
+    # FULL hash oracle for the COMPRESSED image codec: the payload is a
+    # genuine PNG (DEFLATE stream, CRC-verified chunks, and a scanline
+    # filter that cycles None/Sub/Up/Average/Paeth by row) and the
+    # decoder reconstructs every pixel. Channels are closed-form
+    # integer lattices of (doc_id, x, y), so DuckDB recomputes the
+    # aggregates without seeing a byte — if the unfilter math were
+    # wrong for ANY filter type, sums would diverge (every doc has
+    # >= 5 rows, so every doc exercises all five filters).
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             6 + d.doc_id % 5 AS w, 5 + d.doc_id % 4 AS h,
+             ux.x AS x, uy.y AS y
+      FROM documents d,
+           UNNEST(range(0, 6 + d.doc_id % 5)) AS ux(x),
+           UNNEST(range(0, 5 + d.doc_id % 4)) AS uy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((2*doc_id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((3*doc_id + 13*x + 17*y) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "compressed", "png"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality with a REAL COMPRESSED codec: synthesize a
+    truecolor PNG per document executor-side (stdlib zlib DEFLATE,
+    CRC32 chunk framing, per-row filter cycling through the full
+    None/Sub/Up/Average/Paeth suite), then decode it back — signature,
+    chunk walk with CRC verification, inflate, five-filter scanline
+    reconstruction — via Arrow-batched mapInPandas
+    (operators/multimodal.py::parse_png). Upgrades the multimodal
+    lane's compressed-format story from 'documented integration point'
+    to a working codec; JPEG/MP4 remain the PIL/ffmpeg integration
+    points.
+
+    Scale: identical plumbing to the BMP/WAV/Y4M lanes — payload bytes
+    live and die executor-side in Arrow batches; per-byte work happens
+    in zlib's C inflate, not per-row Python."""
+    from ..operators.multimodal import attach_png, decode_png
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png(attach_png(docs))

@@ -326,3 +326,117 @@ def test_real_decode_dispatches_y4m():
     )
 
     assert real_decode(synth_y4m(6)) == parse_y4m(synth_y4m(6))
+
+
+# --------------------------------------------------------------------------
+# PNG (compressed, stdlib zlib)
+# --------------------------------------------------------------------------
+def test_png_roundtrip_matches_lattice_model():
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_png, synth_png
+
+    for d in (0, 3, 7, 19):
+        info = parse_png(synth_png(d))
+        w, h = 6 + d % 5, 5 + d % 4
+        y, x = np.mgrid[0:h, 0:w]
+        assert info == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_r": int(((d + 3 * x + 7 * y) % 256).sum()),
+            "sum_g": int(((2 * d + 5 * x + 11 * y) % 256).sum()),
+            "sum_b": int(((3 * d + 13 * x + 17 * y) % 256).sum()),
+        }
+
+
+def test_png_every_filter_type_is_exercised_and_decoded():
+    """The synthesizer cycles filter (doc_id + y) % 5 and every image
+    has >= 5 rows, so a single payload carries all five filters; a
+    decoder shortcut (filter-0-only) could not round-trip it. Verify
+    the filter bytes really differ inside the DEFLATE stream."""
+    import struct
+    import zlib
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_png, synth_png
+
+    payload = synth_png(11)
+    # walk to the IDAT chunk and inflate
+    pos, idat = 8, b""
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    stream = zlib.decompress(idat)
+    w, h = 6 + 11 % 5, 5 + 11 % 4
+    row = w * 3 + 1
+    filters = {stream[y * row] for y in range(h)}
+    assert filters == {0, 1, 2, 3, 4}
+    parse_png(payload)  # and the full suite decodes
+
+
+def test_png_rejects_corruption_loudly():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_png, synth_png
+
+    good = bytearray(synth_png(5))
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"\x89PNJ" + bytes(good[4:]))
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch|unsupported|length"):
+        parse_png(bytes(flipped))
+    with pytest.raises(ValueError, match="missing IHDR/IDAT/IEND"):
+        parse_png(good[:8])
+    # 16-bit depth is declared unsupported, not mis-decoded (rebuild
+    # the IHDR with depth=16 and a fresh CRC so only depth differs)
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    bad_depth = bytes(good[:8]) + chunk + bytes(good[8 + 12 + 13 :])
+    with pytest.raises(ValueError, match="unsupported PNG encoding"):
+        parse_png(bad_depth)
+
+
+def test_png_decode_distributed_matches_local(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_png,
+        decode_png,
+        parse_png,
+        synth_png,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in decode_png(attach_png(docs)).collect()
+    }
+    for doc_id in got:
+        m = parse_png(synth_png(int(doc_id)))
+        assert got[doc_id] == (
+            m["width"],
+            m["height"],
+            m["sum_r"],
+            m["sum_g"],
+            m["sum_b"],
+        )
+
+
+def test_real_decode_dispatches_png():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_png,
+        real_decode,
+        synth_png,
+    )
+
+    assert real_decode(synth_png(9)) == parse_png(synth_png(9))
