@@ -1303,3 +1303,75 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_png(attach_png(docs))
+
+
+# --------------------------------------------------------------------------
+# Streaming Python Data Source (PySpark 4 DataSourceStreamReader)
+# --------------------------------------------------------------------------
+@stage(
+    "datasource_stream_prices",
+    # The same closed-form expected table as the batch DataSource scan
+    # and the sync engine (_sql_sync_oracle): the UNION of the stream's
+    # micro-batches must equal the one-shot scan bit-for-bit — a source
+    # that dropped, duplicated or reordered a date window across offset
+    # boundaries would diverge.
+    oracle=None,  # set below: shared with pipeline_queries._sql_sync_oracle
+    tags=("source", "datasource-api", "streaming"),
+)
+def datasource_stream_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python Data Source (PySpark 4
+    DataSourceStreamReader): the exchange window replays as date-range
+    micro-batches — offsets are replay cursors, each trigger reads one
+    window, and partitions(start, end) fans out one InputPartition per
+    symbol so every micro-batch is an executor-parallel scan
+    (sources/pse_datasource.py::PseEdgeStreamReader). Completes the
+    DataSource API surface next to the batch reader
+    (datasource_price_scan): one format name serves spark.read AND
+    spark.readStream.
+
+    Scale: the offset cursor is O(1) driver state; per-batch work is
+    the batch reader's partition fan-out. This is the shape for
+    replaying a bounded history INTO a streaming pipeline (backfill
+    through the same code path as live ingest — the lambda-architecture
+    killer the reference's backfill/sync split approximates)."""
+    import uuid
+
+    from .pipeline_queries import _stream_partitions
+    from ..sources import pse_datasource
+
+    pse_datasource.register(spark)
+    sdf = (
+        spark.readStream.format("pse_edge_fake")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-31")
+        .option("days_per_batch", "7")
+        .load()
+    )
+    name = f"ds_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+def _wire_stream_prices_oracle() -> None:
+    import dataclasses
+
+    from .pipeline_queries import _sql_sync_oracle
+    from .staging import STAGING
+
+    q = STAGING["datasource_stream_prices"]
+    STAGING["datasource_stream_prices"] = dataclasses.replace(
+        q, oracle=_sql_sync_oracle()
+    )
+
+
+_wire_stream_prices_oracle()

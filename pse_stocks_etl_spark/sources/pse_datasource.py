@@ -90,3 +90,101 @@ class PseEdgeReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the format name."""
     spark.dataSource.register(PseEdgeDataSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming side of the same source (PySpark 4 DataSourceStreamReader)
+# --------------------------------------------------------------------------
+class _StreamOffset:
+    """Offsets are plain dicts ({"cursor": iso_date}) — JSON-round-
+    trippable, as the API requires; this class only holds helpers."""
+
+    @staticmethod
+    def cursor(offset: dict) -> "date":
+        return date.fromisoformat(offset["cursor"])
+
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class PseEdgeStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader: replays the exchange window as date-
+    range micro-batches. The offset is the REPLAY CURSOR (next unread
+    date); each trigger advances it by `days_per_batch` until `end`,
+    then latestOffset stops moving and processAllAvailable drains.
+    partitions(start, end) fans out one InputPartition per symbol for
+    the batch's date window — every micro-batch is an executor-
+    parallel scan, same as the batch reader."""
+
+    def __init__(self, options: dict):
+        self.symbols = [
+            s for s in options.get("symbols", DEFAULT_SYMBOLS).split(",") if s
+        ]
+        self.start = options.get("start", "2024-01-01")
+        self.end = options.get("end", "2024-01-31")
+        self.days_per_batch = int(options.get("days_per_batch", "7"))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start}
+
+    def latestOffset(self) -> dict:
+        # Called once per trigger, on the driver, on a long-lived
+        # reader instance. A bounded replay could expose the final
+        # offset immediately (one giant batch); advancing a driver-
+        # side cursor one step per call instead paces the replay so
+        # each trigger reads exactly one date window — the
+        # maxFilesPerTrigger analog for this source, and what lets the
+        # tests pin multi-batch behavior (verified: 5 batches for a
+        # 31-day window at 7 days/batch).
+        from datetime import timedelta
+
+        cur = getattr(self, "_cursor", date.fromisoformat(self.start))
+        end = date.fromisoformat(self.end)
+        nxt = min(cur + timedelta(days=self.days_per_batch), end + timedelta(days=1))
+        self._cursor = nxt
+        return {"cursor": nxt.isoformat()}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        from datetime import timedelta
+
+        lo = _StreamOffset.cursor(start)
+        hi = _StreamOffset.cursor(end)
+        if hi <= lo:
+            return []
+        # window [lo, hi): the fake fetch is end-inclusive, so hi-1
+        return [
+            _SymbolPartition(s, lo.isoformat(), (hi - timedelta(days=1)).isoformat())
+            for s in self.symbols
+        ]
+
+    def read(self, partition: _SymbolPartition):
+        from .pse_edge import FakePseEdge
+
+        fake = FakePseEdge([partition.symbol])
+        pdf = fake.get_stock_data(
+            partition.symbol,
+            date.fromisoformat(partition.start),
+            date.fromisoformat(partition.end),
+        )
+        for row in pdf.itertuples(index=False):
+            yield (
+                row.symbol,
+                row.date,
+                row.open,
+                row.high,
+                row.low,
+                row.close,
+                row.extracted_at.to_pydatetime(),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # replay source: nothing to clean up
+
+
+def _stream_reader(self, schema):  # noqa: ANN001
+    return PseEdgeStreamReader(self.options)
+
+
+# Attach the streaming capability to the same DataSource class so ONE
+# format name serves spark.read and spark.readStream.
+PseEdgeDataSource.streamReader = _stream_reader

@@ -847,3 +847,51 @@ def test_decayed_hitters_hand_fixture(spark, tmp_path_factory):
         "a": (10.01, 2.50, 2),
         "b": (9.02, 7.51, 1),  # fresh beats stale despite less raw value
     }
+
+
+# --------------------------------------------------------------------------
+# Streaming Python Data Source
+# --------------------------------------------------------------------------
+def _run_price_stream(spark, days_per_batch: int):
+    import uuid
+
+    from pse_stocks_etl_spark.sources import pse_datasource
+
+    pse_datasource.register(spark)
+    sdf = (
+        spark.readStream.format("pse_edge_fake")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-31")
+        .option("days_per_batch", str(days_per_batch))
+        .load()
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    rows = {tuple(r) for r in spark.table(name).collect()}
+    return rows, n_batches
+
+
+def test_stream_datasource_batching_invariant_and_exactly_once(spark):
+    """The union of micro-batches must be independent of the batch
+    size (no window dropped or read twice across offset boundaries),
+    and the pacing must really produce multiple batches: 31 days at
+    7/batch = 5 batches, at 31/batch = 1."""
+    whole, n1 = _run_price_stream(spark, 31)
+    paced, n5 = _run_price_stream(spark, 7)
+    assert n1 == 1 and n5 == 5
+    assert whole == paced
+    batch = {
+        tuple(r)
+        for r in (
+            spark.read.format("pse_edge_fake")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-31")
+            .load()
+        ).collect()
+    }
+    assert paced == batch
