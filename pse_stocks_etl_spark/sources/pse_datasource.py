@@ -149,6 +149,10 @@ class PseEdgeStreamReader(DataSourceStreamReader):
 
         lo = _StreamOffset.cursor(start)
         hi = _StreamOffset.cursor(end)
+        # Recovery path: replayed offsets also pull the pacing cursor
+        # forward (see commit()) so post-restart planning resumes
+        # after them instead of re-reading.
+        self._fast_forward(max(lo, hi))
         if hi <= lo:
             return []
         # window [lo, hi): the fake fetch is end-inclusive, so hi-1
@@ -178,7 +182,21 @@ class PseEdgeStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # replay source: nothing to clean up
+        # Fast-forward the pacing cursor to the committed offset. This
+        # is what makes RESTART exactly-once: on recovery Spark hands
+        # the reader its committed position through commit()/
+        # partitions() before new planning, and a fresh reader whose
+        # cursor restarted at `start` must never re-announce an older
+        # offset from latestOffset() — a regressed offset enters the
+        # offset log and replays already-committed windows (observed:
+        # 144 duplicate rows before this guard; pinned by
+        # tests/test_round13.py::test_stream_datasource_restart).
+        self._fast_forward(_StreamOffset.cursor(end))
+
+    def _fast_forward(self, seen: "date") -> None:
+        cur = getattr(self, "_cursor", date.fromisoformat(self.start))
+        if seen > cur:
+            self._cursor = seen
 
 
 def _stream_reader(self, schema):  # noqa: ANN001
