@@ -1375,3 +1375,69 @@ def _wire_stream_prices_oracle() -> None:
 
 
 _wire_stream_prices_oracle()
+
+
+# --------------------------------------------------------------------------
+# Compressed-I/O round-trip: gzip JSON-lines + zstd parquet
+# --------------------------------------------------------------------------
+@stage(
+    "compressed_io_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gz,
+           CAST(COUNT(*) AS BIGINT) AS n_zstd,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum_gz,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum_zstd
+    FROM events GROUP BY 1
+    """,
+    tags=("S4", "source", "compression", "gzip", "zstd"),
+)
+def compressed_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed staging round-trips, both directions of both codecs:
+    the same events slice is written as GZIP JSON-lines (the crawl-
+    dump interchange format) and ZSTD parquet (the 100 TB storage
+    codec), read back through declared schemas, and aggregated from
+    EACH path side-by-side — the oracle's twin columns prove neither
+    codec dropped, duplicated, or mangled a row. Spark's native codec
+    support does the work; the point is pinning that the engine's
+    catalog path (read_json_dir, spark.read.parquet) composes with it.
+
+    Scale: gzip is NOT splittable — one ~GB file = one task, so crawl
+    dumps should land as many medium files (this writer keeps Spark's
+    input partitioning); zstd parquet IS splittable at row-group
+    grain and ~30% smaller than snappy at similar read cost, which is
+    why it's the at-rest codec of choice."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import read_json_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = getattr(compressed_io_roundtrip, "_staging_dir", None)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="compressed_io_")
+        compressed_io_roundtrip._staging_dir = tmp
+    gz_dir = os.path.join(tmp, "gz_jsonl")
+    zstd_dir = os.path.join(tmp, "zstd_parquet")
+    ev.write.mode("overwrite").option("compression", "gzip").json(gz_dir)
+    ev.write.mode("overwrite").option("compression", "zstd").parquet(zstd_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+        ]
+    )
+    gz = read_json_dir(spark, gz_dir, schema).groupBy("event_type").agg(
+        F.count("*").alias("n_gz"), F.sum("user_id").alias("user_sum_gz")
+    )
+    zs = spark.read.schema(schema).parquet(zstd_dir).groupBy("event_type").agg(
+        F.count("*").alias("n_zstd"), F.sum("user_id").alias("user_sum_zstd")
+    )
+    return gz.join(zs, "event_type", "full_outer").select(
+        "event_type", "n_gz", "n_zstd", "user_sum_gz", "user_sum_zstd"
+    )
