@@ -95,7 +95,27 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
 
+    def plan_digest(df) -> str:
+        """Compact plan-shape fingerprint (eN = exchanges, sN = parquet
+        scans, wN = window operators, jN = sort-merge + broadcast-hash
+        joins) recorded per query so a cross-round BENCH diff shows
+        PLAN regressions, not just wall-time noise — wall times on this
+        box drift 1.3-1.9x between sessions (see canary_sec), but the
+        digest is deterministic for identical code."""
+        import re
+
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return "e{}s{}w{}j{}".format(
+            len(re.findall(r"\(\d+\) Exchange", plan)),
+            len(re.findall(r"\(\d+\) Scan parquet", plan)),
+            len(re.findall(r"\(\d+\) Window", plan)),
+            len(re.findall(r"SortMergeJoin|BroadcastHashJoin", plan)),
+        )
+
     timings: dict[str, float] = {}
+    digests: dict[str, str] = {}
     for name, q in bench_queries.items():
         # Isolate from other queries' state: drop cached working sets
         # (memo + storage together — unpersisting behind the memo's back
@@ -111,6 +131,7 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        digests[name] = plan_digest(q.fn(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -122,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "canary_sec": canary_sec(spark),
+                "plan_digest": digests,
             }
         )
     )
