@@ -1435,9 +1435,19 @@ def compressed_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gz = read_json_dir(spark, gz_dir, schema).groupBy("event_type").agg(
         F.count("*").alias("n_gz"), F.sum("user_id").alias("user_sum_gz")
     )
-    zs = spark.read.schema(schema).parquet(zstd_dir).groupBy("event_type").agg(
-        F.count("*").alias("n_zstd"), F.sum("user_id").alias("user_sum_zstd")
-    )
-    return gz.join(zs, "event_type", "full_outer").select(
-        "event_type", "n_gz", "n_zstd", "user_sum_gz", "user_sum_zstd"
+    # NULL-safe join: a NULL event_type forms a group on BOTH sides
+    # (groupBy keeps it), and a plain full-outer equi-join would emit
+    # TWO unmatched NULL-key rows where the oracle has one — caught by
+    # the NULL-events matrix on its first sweep of this query.
+    zs = spark.read.schema(schema).parquet(zstd_dir).groupBy(
+        F.col("event_type").alias("et_z")
+    ).agg(F.count("*").alias("n_zstd"), F.sum("user_id").alias("user_sum_zstd"))
+    return gz.join(
+        zs, F.col("event_type").eqNullSafe(F.col("et_z")), "full_outer"
+    ).select(
+        F.coalesce(F.col("event_type"), F.col("et_z")).alias("event_type"),
+        "n_gz",
+        "n_zstd",
+        "user_sum_gz",
+        "user_sum_zstd",
     )

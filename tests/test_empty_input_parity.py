@@ -43,7 +43,9 @@ def empty_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(empty_sf):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{empty_sf}/{t}.parquet'")
     return con

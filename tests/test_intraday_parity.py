@@ -88,7 +88,9 @@ def intraday_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(intraday_sf):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{intraday_sf}/{t}.parquet'")
     return con

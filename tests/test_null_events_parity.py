@@ -101,7 +101,9 @@ def null_events(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(null_events):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{null_events}/events.parquet'")
     return con
 

@@ -81,7 +81,9 @@ def null_corpus(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(null_corpus):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{null_corpus}/documents.parquet'"
     )

@@ -130,7 +130,9 @@ def null_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(null_sf):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{null_sf}/{t}.parquet'")
     return con

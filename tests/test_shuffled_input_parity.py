@@ -69,7 +69,9 @@ def shuffled_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(shuffled_sf):
-    con = duckdb.connect()
+    from conftest import capped_duck
+
+    con = capped_duck()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{shuffled_sf}/{t}.parquet'")
     return con
