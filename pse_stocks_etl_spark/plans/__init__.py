@@ -103,7 +103,12 @@ except ImportError:  # pragma: no cover - partial checkouts
 # round number it carries, and the rotation guard reads the actual
 # files, never this prose.
 #
-# NEXT-ROUND ROTATION RECIPE: once a CORRECTNESS file records this
+# NEXT-ROUND ROTATION RECIPE — mechanical now: run
+#   python scripts/plan_rotation.py
+# and paste its _DRIVER_FIRST (it derives the ordering from the actual
+# CORRECTNESS_r*.json files: never-checked first, staged promotions,
+# stalest-green refill, 25-query overflow bound checked). In prose:
+# once a CORRECTNESS file records this
 # window green, the never-checked backlog is the 25-query block-6 queue below
 # (positions 51+ — the round-6 second batch plus the TPC-H sweep
 # completion, from discount_band_revenue through
