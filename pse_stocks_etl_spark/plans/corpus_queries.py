@@ -566,7 +566,7 @@ def returned_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -624,8 +624,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -884,7 +884,9 @@ def _sql_pipeline_keep() -> str:
     # cost users feel. Stage costs ≈ exact-dup groupBy (one shuffle) +
     # MinHash-LSH (explode, band join — the dominant stage) + repetition
     # stats (pure projections) + contamination (broadcast semi-join);
-    # the final assembly joins are all broadcast.
+    # the final assembly joins on doc_id are left to AQE (the drop sets
+    # scale with the corpus — a dirty crawl can drop most of it, so a
+    # forced broadcast is a scale hazard; r7 VERDICT item 3).
     bench=True,
 )
 def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,9 +900,11 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     with each stage's own gate by construction.
 
     Scale: each stage is its (already audited) plan; the composition
-    adds only broadcast-able left joins on doc_id — drop sets are
-    small relative to the corpus. The shingle working set is shared
-    via the session cache, so LSH + contamination pay one explode."""
+    adds left joins on doc_id whose build sides AQE sizes at runtime —
+    usually broadcast (drop sets are typically small relative to the
+    corpus) but never FORCED, because a dirty crawl can drop most of
+    its docs. The shingle working set is shared via the session cache,
+    so LSH + contamination pay one explode."""
     from .registry import REGISTRY
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -936,9 +940,9 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.join(keepers, F.md5("text") == F.col("h"))
-        .join(F.broadcast(near), "doc_id", "left")
-        .join(F.broadcast(rep), "doc_id", "left")
-        .join(F.broadcast(cont), "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
         .select(
             "doc_id",
             reason.alias("drop_reason"),

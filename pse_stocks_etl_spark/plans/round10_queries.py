@@ -25,7 +25,7 @@ scoreboard (`emb_ann_recall_report`), and a WAV transcode round-trip
 (`multimodal_wav_downsample`).
 
 Reference parity: the reference's sync loop IS an incremental
-maintain-a-table-under-merges engine (src/etl/price_sync — overwrite
+maintain-a-table-under-merges engine (src/etl/postgres_sync.py — overwrite
 dims, merge facts); the store-lane queries drive this engine's
 versioned-store analog of that lifecycle, with the ANN index and the
 SCD2 dimension as "just another incrementally-merged table".
@@ -313,10 +313,12 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst optimizes, is Q9's: one fact, four dimension hops, a LIKE
     filter that prunes the part side before it joins).
 
-    Scale: part (pre-filtered by the pushed LIKE), supplier and nation
-    all broadcast; the only shuffled join is lineitem-orders on
-    orderkey. The group-by runs on (nation, year) — 25x7 groups —
-    map-side."""
+    Scale: nation (25 rows at any sf) carries the only explicit
+    broadcast hint; part (pre-filtered by the pushed LIKE) and
+    supplier scale with sf, so AQE sizes them at runtime — broadcast
+    when they fit, shuffle when they don't (r7 VERDICT item 3). The
+    lineitem-orders join shuffles on orderkey. The group-by runs on
+    (nation, year) — 25x7 groups — map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -326,8 +328,8 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 - cents(F.col("l_discount"))
     ) - cents(F.col("p_retailprice")) * cents(F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -873,7 +875,7 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch bounds the work (closed rows are derived FROM the batch by a
     semi-join, not a table scan — here expressed as the key filter).
     This is the reference sync loop's dimension-overwrite upgraded to
-    history-preserving form (reference src/etl/price_sync companies
+    history-preserving form (reference src/etl/postgres_sync.py companies
     table; SURVEY §2.2 K2)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -1188,7 +1190,7 @@ def brand_share_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents"))
     )
@@ -1351,8 +1353,9 @@ def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the complaint list (negative balance — the testdata's analog of
     Q16's LIKE '%Customer%Complaints%').
 
-    Scale: the complaint list is tiny and broadcasts as a LEFT ANTI
-    join; part broadcasts with the type filter pushed; the one real
+    Scale: the complaint list and the type-filtered part both scale
+    with sf, so the LEFT ANTI and part joins are AQE-sized rather
+    than hint-forced (broadcast while they fit); the one real
     exchange is the distinct aggregation, which Spark runs as a
     two-phase partial-distinct (dedup (brand,size,suppkey) map-side,
     then count) — never a giant row set on one reducer."""
@@ -1364,8 +1367,8 @@ def brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

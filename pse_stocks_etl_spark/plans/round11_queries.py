@@ -36,7 +36,7 @@ docs_incremental_dedup and emb_ann_ivfpq_increment); and
 near-dup pairs into a source x source overlap matrix.
 
 Reference parity: the reference's analytics surface is the sync +
-query loop over its price tables (src/etl/price_sync, src/db/); these
+query loop over its price tables (src/etl/postgres_sync.py, src/db/); these
 shapes extend SURVEY.md §2's J5/A1-A5/O1-O3 operator families to the
 full TPC-H decision-support matrix, all Spark-first (decorrelated
 windows, broadcast dims, map-side-combined aggregates).
@@ -50,7 +50,6 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, sql_cents
 from ..sources.catalog import load_table
 from .registry import register
-from .staging import stage
 
 # --------------------------------------------------------------------------
 # TPC-H Q2 analog: minimum-cost supplier per part within a region
@@ -104,9 +103,11 @@ def min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum) all survive, as in the textbook answer.
 
     Scale: the ONLY corpus-sized shuffle is the (partkey, suppkey)
-    supply aggregate, map-side combined from lineitem. Supplier ⋈
-    nation ⋈ region (region-filtered) and the size-filtered part dim
-    are broadcast; the window minimum runs over the already-shrunk,
+    supply aggregate, map-side combined from lineitem. The supplier ⋈
+    nation ⋈ region chain and the size-filtered part dim scale with
+    sf, so those joins are AQE-sized (broadcast while they fit) with
+    nation/region the only hinted sides; the window minimum runs over
+    the already-shrunk,
     dimension-filtered candidate frame. No self-join, no correlated
     re-probe of the supply table."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -134,8 +135,8 @@ def min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cand = (
-        supply.join(F.broadcast(rs), supply.l_suppkey == rs.s_suppkey)
-        .join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        supply.join(rs, supply.l_suppkey == rs.s_suppkey)
+        .join(p, supply.l_partkey == p.p_partkey)
         .withColumn(
             "min_cost",
             F.min("cost_cents").over(Window.partitionBy("p_partkey")),
@@ -275,10 +276,11 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the half-threshold is exact on both engines — no 0.5 float.
 
     Scale: part-name and shipdate filters cut the corpus at the scan
-    (part dim broadcast); the (partkey, suppkey) aggregate is the one
-    corpus shuffle, map-side combined; the per-part window total runs
-    over the shrunk aggregate; the final supplier/nation/region joins
-    are broadcast over a DISTINCT supplier list. The nested-IN of the
+    (the part join AQE-sized — part scales with sf); the (partkey,
+    suppkey) aggregate is the one corpus shuffle, map-side combined;
+    the per-part window total runs over the shrunk aggregate; the
+    final joins run over a DISTINCT supplier list with nation/region
+    hinted and supplier AQE-sized. The nested-IN of the
     textbook decorrelates into this single window pass — no re-probe
     of lineitem."""
     from pyspark.sql import Window
@@ -292,7 +294,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
     )
-    scoped = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    scoped = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey",
         "l_suppkey",
         F.round("l_quantity").cast("long").alias("qty"),
@@ -313,7 +315,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
     return (
-        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        dom.join(s, dom.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_name", "n_name")
@@ -323,7 +325,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Streaming FULL OUTER interval join (staged: backlog is at its bound)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "streaming_click_full_join",
     # Hash-checked against the batch equivalent with BOTH watermark
     # emission rules explicit: matched pairs are the plain interval
@@ -457,7 +459,7 @@ def _sql_incremental_simhash() -> str:
     """
 
 
-@stage(
+@register(
     "docs_incremental_simhash",
     oracle=_sql_incremental_simhash(),
     tags=("llm", "dedup-near", "simhash", "incremental"),
@@ -574,7 +576,7 @@ def _sql_source_dup_matrix() -> str:
     """
 
 
-@stage(
+@register(
     "docs_source_dup_matrix",
     oracle=_sql_source_dup_matrix(),
     tags=("llm", "dedup-near", "crawl-ops"),

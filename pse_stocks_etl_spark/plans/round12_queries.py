@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash64
 from ..sources.catalog import load_table
-from .staging import stage
+from .registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -116,10 +116,11 @@ def _sql_line_dedup() -> str:
     """
 
 
-@stage(
+@register(
     "docs_line_dedup",
     oracle=_sql_line_dedup(),
     tags=("llm", "dedup-line", "corpus", "transform"),
+    bench=True,
 )
 def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line dedup with reassembly: split each doc into
@@ -219,7 +220,7 @@ def _reassemble(out: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # Streaming LEFT SEMI interval join: which clicks converted, as a stream
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "streaming_click_semi_join",
     # Semi-join emission needs NO watermark scoping in the oracle: a
     # click emits exactly once, as soon as SOME matching purchase has
@@ -240,6 +241,7 @@ def _reassemble(out: DataFrame) -> DataFrame:
       )
     """,
     tags=("streaming", "stream-stream-join", "semi"),
+    bench=True,
 )
 def streaming_click_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked LEFT SEMI stream-stream interval join — the
@@ -359,7 +361,7 @@ def _sql_lsh_recall_report() -> str:
     """
 
 
-@stage(
+@register(
     "docs_lsh_recall_report",
     oracle=_sql_lsh_recall_report(),
     tags=("llm", "dedup-near", "evaluation"),
@@ -468,7 +470,7 @@ def _sql_rag_chunk_ivf_index() -> str:
     """
 
 
-@stage(
+@register(
     "rag_chunk_ivf_index",
     oracle=_sql_rag_chunk_ivf_index(),
     tags=("llm", "rag", "ann-index", "pipeline"),
@@ -549,7 +551,7 @@ def _sql_incremental_line_dedup() -> str:
     """
 
 
-@stage(
+@register(
     "docs_incremental_line_dedup",
     oracle=_sql_incremental_line_dedup(),
     tags=("llm", "dedup-line", "corpus", "incremental"),
@@ -625,7 +627,7 @@ def _sql_emb_vector_audit() -> str:
     """
 
 
-@stage(
+@register(
     "emb_vector_audit",
     oracle=_sql_emb_vector_audit(),
     tags=("llm", "ann", "data-quality", "ingest-contract"),

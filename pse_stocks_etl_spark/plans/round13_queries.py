@@ -29,7 +29,7 @@ the privacy-side complement of docs_pii_scrub).
 
 Reference parity: the reference's sync loop maintains derived tables
 under incremental merges and picks its lookback window from assumed
-max lateness (src/etl/price_sync.py) — the incremental and
+max lateness (src/etl/postgres_sync.py:180-206) — the incremental and
 streaming-ops lanes are this engine's versioned-store and
 event-time generalizations of exactly those two moves; the analytics
 lanes extend the engine beyond the reference per the build brief.
@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents, sql_cents
 from ..operators.merge import merge_cdf
 from ..sources.catalog import load_table
-from .staging import stage
+from .registry import register
 
 # --------------------------------------------------------------------------
 # Incremental materialized-view refresh from a merge change feed
@@ -125,10 +125,11 @@ def _sql_mv_refresh() -> str:
     """
 
 
-@stage(
+@register(
     "store_mv_refresh_increment",
     oracle=_sql_mv_refresh(),
     tags=("store", "K2", "cdf", "materialized-view", "incremental"),
+    bench=True,
 )
 def store_mv_refresh_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a per-partkey
@@ -228,7 +229,7 @@ def _sql_khop() -> str:
     """
 
 
-@stage(
+@register(
     "copurchase_khop_distance",
     oracle=_sql_khop(),
     tags=("graph", "bfs", "iterative", "J5"),
@@ -318,7 +319,7 @@ def _sql_k_anonymity() -> str:
     """
 
 
-@stage(
+@register(
     "customer_k_anonymity",
     oracle=_sql_k_anonymity(),
     tags=("privacy", "k-anonymity", "A5", "quality"),
@@ -398,7 +399,7 @@ def _sql_rollup_cascade() -> str:
     """
 
 
-@stage(
+@register(
     "events_rollup_cascade",
     oracle=_sql_rollup_cascade(),
     tags=("window-agg", "rollup-cascade", "hypertable", "A5"),
@@ -516,7 +517,7 @@ def _sql_cuped() -> str:
     """
 
 
-@stage(
+@register(
     "variant_cuped_adjusted",
     oracle=_sql_cuped(),
     tags=("experiment", "cuped", "variance-reduction", "A5"),
@@ -631,7 +632,7 @@ def _sql_late_bands() -> str:
     """
 
 
-@stage(
+@register(
     "events_late_arrival_audit",
     oracle=_sql_late_bands(),
     tags=("streaming-ops", "watermark", "two-phase", "global-window"),
@@ -642,7 +643,7 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-time / <=1m / <=5m / <=15m / <=1h / >1h with counts,
     shares and band maxima — the empirical basis for choosing a
     `withWatermark` delay (T2/T3's lookback is the batch analog;
-    reference src/etl/price_sync.py picks its trailing window the same
+    reference src/etl/postgres_sync.py:180-206 picks its trailing window the same
     way, by assumed max lateness). The testdata files are event-time-
     sorted (a real deployment passes its ingest-sequence column), so
     the arrival order here is a SIMULATED bounded-disorder ingest:
@@ -768,7 +769,7 @@ def _sql_lifetable() -> str:
     """
 
 
-@stage(
+@register(
     "user_survival_lifetable",
     oracle=_sql_lifetable(),
     tags=("survival", "retention", "life-table", "A5"),
@@ -862,6 +863,11 @@ def user_survival_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     noDataMicroBatches default-on) is INCLUSIVE: window_end <=
 #     max(all batch stats) - delay.
 _LATE_DROP_SHARDS = 4
+# Calibrated against Spark 4.1.2 (pyspark.__version__ at calibration
+# time). The ms-floor / two-batch-lag / inclusive-boundary constants
+# above encode that version's micro-batch watermark bookkeeping; on a
+# Spark upgrade the hand fixture in tests/test_round13.py is the
+# canonical failure signal and recalibration entry point (ADVICE r7).
 _LATE_DROP_DELAY_MS = 2 * 3600 * 1000  # withWatermark("ts", "2 hours")
 
 
@@ -899,10 +905,11 @@ def _sql_late_drop() -> str:
     """
 
 
-@stage(
+@register(
     "streaming_late_drop_counts",
     oracle=_sql_late_drop(),
     tags=("streaming", "watermark", "late-data", "append-mode"),
+    bench=True,
 )
 def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode watermarked windowed aggregation with REAL late-data
@@ -933,22 +940,29 @@ def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev0 = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     )
-    feed = tempfile.mkdtemp(prefix="pse_latedrop_feed_")
-    for b in range(_LATE_DROP_SHARDS):
-        tmp = tempfile.mkdtemp(prefix="pse_latedrop_shard_")
-        (
-            ev0.filter(F.col("event_id") % _LATE_DROP_SHARDS == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(
-            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(feed, f"batch_{b:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_700_000_000 + b * 100,) * 2)
+    # The shard feed is deterministic per (session, sf_dir): cache it
+    # like compressed_io_roundtrip._staging_dir so the parity matrices
+    # and repeated bench drives don't accumulate /tmp dirs (ADVICE r7).
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    feed = streaming_late_drop_counts._feed_dirs.get(cache_key)
+    if feed is None or not os.path.isdir(feed):
+        feed = tempfile.mkdtemp(prefix="pse_latedrop_feed_")
+        for b in range(_LATE_DROP_SHARDS):
+            tmp = tempfile.mkdtemp(prefix="pse_latedrop_shard_")
+            (
+                ev0.filter(F.col("event_id") % _LATE_DROP_SHARDS == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(feed, f"batch_{b:03d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + b * 100,) * 2)
+        streaming_late_drop_counts._feed_dirs[cache_key] = feed
 
     events = stream_events(spark, feed, max_files_per_trigger=1)
     vc = F.round(F.col("value") * 100).cast("long")
@@ -980,6 +994,7 @@ def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 streaming_late_drop_counts.__doc__ = streaming_late_drop_counts.__doc__.format(
     K=_LATE_DROP_SHARDS
 )
+streaming_late_drop_counts._feed_dirs = {}
 
 
 # --------------------------------------------------------------------------
@@ -1083,10 +1098,11 @@ def _sql_cascade_increment() -> str:
     """
 
 
-@stage(
+@register(
     "events_cascade_increment",
     oracle=_sql_cascade_increment(),
     tags=("window-agg", "rollup-cascade", "incremental", "hypertable"),
+    bench=True,
 )
 def events_cascade_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate INCREMENT (TimescaleDB-style refresh): the
@@ -1185,7 +1201,13 @@ def _sql_decayed_hitters() -> str:
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(vc) AS BIGINT) AS raw_c,
-             CAST(SUM(vc // (CAST(1 AS BIGINT) << age_w)) AS BIGINT) AS dec_c
+             -- age clamp (ADVICE r7): beyond 62 weeks the shifted divisor
+             -- would overflow BIGINT (DuckDB raises at >=64; Spark masks
+             -- the shift count mod 64) — the true weight is 0 there
+             -- anyway since 2^63 exceeds any cent total.
+             CAST(SUM(CASE WHEN age_w > 62 THEN 0
+                           ELSE vc // (CAST(1 AS BIGINT) << age_w)
+                      END) AS BIGINT) AS dec_c
       FROM aged GROUP BY 1
     )
     SELECT event_type, n_events,
@@ -1197,7 +1219,7 @@ def _sql_decayed_hitters() -> str:
     """
 
 
-@stage(
+@register(
     "events_decayed_hitters",
     oracle=_sql_decayed_hitters(),
     tags=("heavy-hitters", "decay", "recency", "A5"),
@@ -1225,14 +1247,21 @@ def events_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = F.round(F.col("value") * 100).cast("long")
     # shiftleft takes a literal bit count in the DataFrame API; the SQL
     # form accepts a column — DIV (trunc) == DuckDB's // (floor) here
-    # because both operands are non-negative.
+    # because both operands are non-negative. Ages beyond 62 weeks clamp
+    # to weight 0 (ADVICE r7): Spark masks shift counts mod 64 and the
+    # 63-bit divisor goes negative, while the true weight is 0 anyway
+    # since 2^63 exceeds any cent total.
     dec_vc = F.expr(
-        "vc DIV shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(timestampdiff(MICROSECOND, ts, mx) DIV {_DECAY_WEEK_US} AS INT))"
+        "CASE WHEN age_w > 62 THEN CAST(0 AS BIGINT) "
+        "ELSE vc DIV shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT)) END"
     )
     scored = (
         ev.crossJoin(F.broadcast(anchor))
         .withColumn("vc", vc)
+        .withColumn(
+            "age_w",
+            F.expr(f"timestampdiff(MICROSECOND, ts, mx) DIV {_DECAY_WEEK_US}"),
+        )
         .select("event_type", "vc", dec_vc.alias("dec_vc"))
         .groupBy("event_type")
         .agg(
@@ -1254,7 +1283,7 @@ def events_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Multimodal: REAL compressed-image decode (PNG, stdlib zlib)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "multimodal_png_decode",
     # FULL hash oracle for the COMPRESSED image codec: the payload is a
     # genuine PNG (DEFLATE stream, CRC-verified chunks, and a scanline
@@ -1308,7 +1337,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Streaming Python Data Source (PySpark 4 DataSourceStreamReader)
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "datasource_stream_prices",
     # The same closed-form expected table as the batch DataSource scan
     # and the sync engine (_sql_sync_oracle): the UNION of the stream's
@@ -1366,10 +1395,10 @@ def _wire_stream_prices_oracle() -> None:
     import dataclasses
 
     from .pipeline_queries import _sql_sync_oracle
-    from .staging import STAGING
+    from .registry import REGISTRY
 
-    q = STAGING["datasource_stream_prices"]
-    STAGING["datasource_stream_prices"] = dataclasses.replace(
+    q = REGISTRY["datasource_stream_prices"]
+    REGISTRY["datasource_stream_prices"] = dataclasses.replace(
         q, oracle=_sql_sync_oracle()
     )
 
@@ -1380,7 +1409,7 @@ _wire_stream_prices_oracle()
 # --------------------------------------------------------------------------
 # Compressed-I/O round-trip: gzip JSON-lines + zstd parquet
 # --------------------------------------------------------------------------
-@stage(
+@register(
     "compressed_io_roundtrip",
     oracle="""
     SELECT event_type,

@@ -343,8 +343,10 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped exchange is the part that compounds on a real cluster,
     where every shuffle is network. Lift is an exact BIGINT product ratio
     ((n_ab·N) / (n_a·n_b)) so the double division is bit-identical
-    across engines. Per-part counts join back broadcast (|parts| ≪
-    |pairs|); at larger dims they'd shuffle on part key."""
+    across engines. The per-part counts join back AQE-sized (they
+    scale with the part dim, so no forced broadcast — the planner
+    broadcasts while |parts| ≪ |pairs| fits and shuffles on part key
+    at larger dims; r7 VERDICT item 3)."""
     # NULL-key guard (ADVICE r5): groupBy would form a basket for a NULL
     # orderkey (one giant pseudo-basket) where the oracle's self-join
     # and COUNT(DISTINCT l_orderkey) both exclude NULLs. The ingest
@@ -389,8 +391,8 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
     out = (
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
         .crossJoin(F.broadcast(n_orders))
     )
     return out.select(
@@ -407,7 +409,7 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Streaming: stream-static broadcast enrichment
+# Streaming: stream-static enrichment
 # --------------------------------------------------------------------------
 @register(
     "streaming_static_enrich",
@@ -424,9 +426,11 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the events stream joins a static
-    customer dimension (broadcast — the canonical pattern for dims that
-    fit in executor memory; the static side is re-read per micro-batch,
-    picking up dim updates) and aggregates per (segment, event_type).
+    customer dimension (sized by the planner per micro-batch — AQE
+    broadcasts it when it fits in executor memory and shuffles when it
+    doesn't, since customer scales with sf; the static side is re-read
+    per micro-batch, picking up dim updates) and aggregates per
+    (segment, event_type).
     Runs on the Structured Streaming runtime to completion and is
     hash-checked against the batch twin. Money via integer cents inside
     the streaming agg (repo determinism rule)."""
@@ -439,7 +443,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
-    enriched = events.join(F.broadcast(cust), "user_id")
+    enriched = events.join(cust, "user_id")
     agg = enriched.groupBy("segment", "event_type").agg(
         F.count("*").alias("n"), sum_money(F.col("value")).alias("sum_value")
     )
@@ -533,7 +537,7 @@ def data_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
 
     fk = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == cust.c_custkey,
         "left",
     ).agg(
@@ -862,7 +866,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ranked = edges.join(du, "u").join(dv, "v")
     u_first = F.struct(F.col("deg_u"), F.col("u")) < F.struct(
         F.col("deg_v"), F.col("v")
     )

@@ -17,7 +17,7 @@ operator is built-in higher-order array functions inside whole-stage
 codegen.
 
 Reference parity: the reference engine (pandas/requests, see
-src/utils/pse_edge.py, src/etl/price_sync) has no analytics surface
+src/utils/pse_edge.py, src/etl/postgres_sync.py) has no analytics surface
 beyond the sync loop; these queries are the §2-extension analytics a
 warehouse user expects on top (SURVEY.md §2.5/§2.8 extensions).
 """
@@ -89,8 +89,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue from PROMO-type parts. Conditional aggregation over a
     fact-dim join.
 
-    Scale: part is a dimension (200k rows/SF) — broadcast, so lineitem
-    never shuffles for the join; the group-by month aggregate has ~84
+    Scale: part is a dimension but scales with sf (200k rows/SF), so
+    the join is AQE-sized rather than hint-forced — broadcast while
+    part fits (lineitem never shuffles), shuffle past the threshold;
+    the group-by month aggregate has ~84
     groups and map-side partial combine reduces each task to one row
     per month before the single tiny exchange. Revenue sums are exact
     BIGINTs (rev10k); the share is one conditional-sum/total-sum IEEE
@@ -100,7 +102,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev10k("l_extendedprice", "l_discount")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.trunc(F.to_date("l_shipdate"), "month").alias("month"))
         .agg(
             (F.sum(promo) / 10000.0).alias("promo_revenue"),
@@ -135,9 +137,10 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, joined back to orders and customer headers.
 
     Scale: the lineitem aggregate partial-combines map-side before one
-    shuffle on l_orderkey; the HAVING filter passes ~1-2% of orders, so
-    the surviving keys broadcast to the orders fact (no second big
-    shuffle) and customer joins the already-tiny result. total_price is
+    shuffle on l_orderkey; the HAVING filter passes ~1-2% of orders —
+    a set AQE sizes from the actual shuffle output (broadcast to the
+    orders fact while it fits; proportional to sf, so not hint-forced)
+    — and customer joins the already-tiny result. total_price is
     a pure stored value — no float arithmetic to diverge."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -148,8 +151,8 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > LARGE_ORDER_MIN_QTY)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -189,9 +192,10 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the one unavoidable big-big join is lineitem-orders on
     orderkey (both shuffle on the key once; with both tables bucketed
     by orderkey — see tests/test_bucketing.py — it runs shuffle-free).
-    supplier and nation are broadcast dims; customer is broadcast here
-    (150k rows/SF — at very large SF swap to a shuffle join on custkey,
-    which AQE does automatically past the broadcast threshold). The
+    nation carries the only explicit broadcast hints; supplier and
+    customer scale with sf (150k customers/SF), so their joins are
+    AQE-sized — broadcast below the threshold, shuffle above, with no
+    hint to override the right choice at 100 TB. The
     pair-year group-by is tiny (n_nations^2 x years) and
     partial-combines map-side."""
     li = _t(spark, sf_dir, "lineitem")
@@ -205,10 +209,10 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    cust = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    cust = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk")
     )
-    supp = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+    supp = li.join(s, li.l_suppkey == s.s_suppkey).join(
         F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk")
     )
     return (

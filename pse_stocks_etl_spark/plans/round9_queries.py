@@ -29,7 +29,7 @@ revenue per part); the JOIN/SUBQUERY shape — which is what Catalyst
 optimizes — is the faithful part.
 
 Reference parity: the reference engine (pandas sync loop,
-src/etl/price_sync) has no subquery surface; these are the §2.5/§2.8
+src/etl/postgres_sync.py) has no subquery surface; these are the §2.5/§2.8
 extension analytics a warehouse user runs on top (SURVEY.md).
 """
 
@@ -149,15 +149,16 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated explicitly so the plan is deterministic.
 
     Scale: the brand filter cuts part to ~1/25 (pushed to the part
-    scan), and that small key set is BROADCAST into both lineitem
-    passes — the fact table never shuffles. The per-part (sum, count)
-    aggregate is map-side combinable; its output (~8k parts/SF) is
-    broadcast back for the threshold filter. avg is computed as one
+    scan); that key set and the per-part aggregate output (~8k
+    parts/SF) both SCALE WITH SF, so neither carries a forced
+    broadcast hint — AQE sizes them at runtime (broadcast while they
+    fit, shuffle past the threshold; r7 VERDICT item 3). The per-part
+    (sum, count) aggregate is map-side combinable. avg is one
     IEEE division of exact BIGINT sum/count on both engines, and the
     threshold compare `qty < f*avg` is evaluated identically."""
     li = _t(spark, sf_dir, "lineitem")
     bp = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
-    li_b = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey).drop("p_partkey")
+    li_b = li.join(bp, li.l_partkey == bp.p_partkey).drop("p_partkey")
     part_qty = li_b.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         F.count("*").alias("n_li"),
@@ -165,7 +166,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = F.col("sum_qty") * 1.0 / F.col("n_li")
     return (
         li_b.join(
-            F.broadcast(part_qty.withColumnRenamed("l_partkey", "pq_partkey")),
+            part_qty.withColumnRenamed("l_partkey", "pq_partkey"),
             F.col("l_partkey") == F.col("pq_partkey"),
         )
         .filter(F.col("l_quantity") < SMALL_QTY_FRACTION * avg_qty)
@@ -261,13 +262,14 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Catalyst CNF-converts the disjunction and pushes the
     single-table residues to each scan — `p_brand IN (A,B,C) AND
     p_size BETWEEN 1 AND 50` prunes part pages, `l_quantity BETWEEN 1
-    AND 30` prunes lineitem pages — before the (broadcast) join
+    AND 30` prunes lineitem pages — before the join (AQE-sized:
+    part scales with sf, so the hint is left to the planner)
     evaluates the cross-table brackets. Without CNF pushdown this scan
     reads everything; `.explain` shows PushedFilters on both sides.
     One conditional aggregate, exact rev10k BIGINTs."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     bracket = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -360,8 +362,9 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable shuffle builds per-supplier revenue
     (~10k rows/SF); the scalar max is a 1-row broadcast; the equality
-    filter then keeps ~1 row, and the supplier dim join broadcasts
-    THAT (tiny side) — the dim table is never shuffled. Revenue is an
+    filter then keeps ~1 row, and AQE broadcasts that tiny side into
+    the supplier join at runtime (supplier scales with sf, so the
+    build-side choice is the planner's, not a hint). Revenue is an
     exact rev10k BIGINT, so "equals the max" is an integer equality —
     no float-tie ambiguity between engines."""
     li = _t(spark, sf_dir, "lineitem")
@@ -467,10 +470,11 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     deepest join tree in the TPC-H suite (fact + 5 dimension hops on
     both the customer and supplier sides).
 
-    Scale: every dimension chain (customer->nation->region,
-    supplier->nation) collapses to a broadcast — customer is the
-    largest at 150k rows/SF and the region filter prunes it to 1/5
-    before broadcast. The ONLY non-broadcast join is
+    Scale: the nation/region hops carry explicit broadcast hints
+    (bounded at 25/5 rows at any sf); the customer and supplier sides
+    scale with sf (customer is 150k rows/SF, region-pruned to 1/5),
+    so their joins are AQE-sized — broadcast while small, shuffle
+    past the threshold. The always-shuffled join is
     lineitem-orders on orderkey (bucketing both by orderkey makes it
     shuffle-free, tests/test_bucketing.py pattern). Conditional
     rev10k sums keep the share an exact-integer ratio evaluated once
@@ -493,8 +497,8 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.when(F.col("sn_name") == SHARE_NATION, rev).otherwise(F.lit(0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(region_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(region_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
         .agg(
@@ -572,7 +576,7 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        culprit.join(s, culprit.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )

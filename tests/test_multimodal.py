@@ -390,6 +390,12 @@ def test_png_rejects_corruption_loudly():
         parse_png(bytes(flipped))
     with pytest.raises(ValueError, match="missing IHDR/IDAT/IEND"):
         parse_png(good[:8])
+    # truncation ANYWHERE must raise ValueError, never struct.error —
+    # in particular inside a chunk's trailing 4-byte CRC (ADVICE r7:
+    # the body-length guard alone let the CRC read run past the buffer)
+    for cut in range(8, len(good)):
+        with pytest.raises(ValueError):
+            parse_png(bytes(good[:cut]))
     # 16-bit depth is declared unsupported, not mis-decoded (rebuild
     # the IHDR with depth=16 and a fresh CRC so only depth differs)
     import struct

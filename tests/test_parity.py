@@ -113,3 +113,40 @@ def test_driver_window_covers_unverified_queries():
         f"wait beyond the window): {outside} — stop adding queries until "
         "the rotation drains the queue"
     )
+
+
+def test_refresh_slots_are_the_stalest_greens():
+    """Post-drain rotation policy (r7 VERDICT item 7): once the
+    never-checked backlog is empty, a round with NO rotation would be
+    silently green under the backlog test above — so the refresh slots
+    themselves are contracted. Every window slot not occupied by a
+    never-checked query must hold a green whose LAST hash-green round
+    is <= that of every green outside the window (ties allowed):
+    stalest-first, exactly what scripts/plan_rotation.py emits. A
+    window left unchanged after a green round turns red here, because
+    its just-confirmed queries are now the freshest greens of all."""
+    import glob
+    import json
+    import os
+
+    names = list(plans.REGISTRY)
+    window = names[:50]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name, rec in json.load(open(path)).items():
+            if rec.get("hash_match") is True:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    refresh = [n for n in window if n in last_green]
+    outside_greens = [n for n in names[50:] if n in last_green]
+    if not refresh or not outside_greens:
+        return  # no refresh slots (all-never window) or nothing outside
+    newest_inside = max(last_green[n] for n in refresh)
+    stalest_outside = min(last_green[n] for n in outside_greens)
+    assert newest_inside <= stalest_outside, (
+        "refresh slots are not the stalest greens: window holds a query "
+        f"last-green in r{newest_inside} while r{stalest_outside}-green "
+        "queries wait outside — run scripts/plan_rotation.py and paste "
+        "its _DRIVER_FIRST (stalest-first refresh)"
+    )

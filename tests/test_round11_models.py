@@ -24,7 +24,7 @@ from pse_stocks_etl_spark.plans.round11_queries import (
     dominant_part_suppliers,
     min_cost_regional_supplier,
 )
-from pse_stocks_etl_spark.plans.staging import STAGING
+from pse_stocks_etl_spark.plans.registry import REGISTRY
 
 _HYP = dict(
     max_examples=5,
@@ -284,7 +284,7 @@ def test_incremental_simhash_ignores_new_vs_new_duplicates(spark, tmp_path):
             4: body_c + "with a tail",  # standing noise
         },
     )
-    rows = {r.doc_id: r for r in STAGING["docs_incremental_simhash"].fn(spark, d).collect()}
+    rows = {r.doc_id: r for r in REGISTRY["docs_incremental_simhash"].fn(spark, d).collect()}
     assert set(rows) == {1, 3, 5, 7}
     assert rows[1].is_near_dup and rows[1].nearest_doc == 2
     assert rows[1].min_hamming == 0 and rows[1].n_near_dups >= 1

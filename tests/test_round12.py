@@ -15,13 +15,13 @@ import uuid
 from pyspark.sql import functions as F
 
 from pse_stocks_etl_spark.plans import round12_queries
-from pse_stocks_etl_spark.plans.staging import STAGING
+from pse_stocks_etl_spark.plans.registry import REGISTRY
 
 from conftest import SF_DIR
 
 
 def _plan(spark, name: str) -> str:
-    df = STAGING[name].fn(spark, SF_DIR)
+    df = REGISTRY[name].fn(spark, SF_DIR)
     jvm = spark._jvm
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
@@ -50,7 +50,7 @@ def test_line_dedup_untouched_docs_round_trip(spark):
     """Docs with zero removed segments must reassemble to EXACTLY the
     original text — the reassembly path (split → segment → index
     filter → re-join) is lossless when nothing is excised."""
-    out = STAGING["docs_line_dedup"].fn(spark, SF_DIR)
+    out = REGISTRY["docs_line_dedup"].fn(spark, SF_DIR)
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     joined = (
         out.filter(F.col("n_removed") == 0)
@@ -216,7 +216,7 @@ def test_emb_vector_audit_on_corrupt_fixture(spark, tmp_path):
         ),
         str(tmp_path / "embeddings.parquet"),
     )
-    q = STAGING["emb_vector_audit"]
+    q = REGISTRY["emb_vector_audit"]
     sdf = q.fn(spark, str(tmp_path))
     con = duckdb.connect()
     con.sql(
@@ -244,7 +244,7 @@ def test_lsh_recall_oracle_does_not_poison_the_connection():
     from pse_stocks_etl_spark.testing import duck_connection
 
     con = duck_connection("/root/testdata/sf0.001")
-    recall = STAGING["docs_lsh_recall_report"].oracle
+    recall = REGISTRY["docs_lsh_recall_report"].oracle
     con.sql(recall).fetchall()
     for name in ("docs_minhash_lsh_pairs", "docs_ngram_jaccard_pairs",
                  "docs_near_dup_clusters", "docs_simhash"):
@@ -283,7 +283,7 @@ def test_recall_report_detects_exact_baseline_blindspot(spark, tmp_path):
 
     clear_working_set_caches()  # shingle caches key on sf_dir, but stay tidy
     try:
-        q = STAGING["docs_lsh_recall_report"]
+        q = REGISTRY["docs_lsh_recall_report"]
         sdf = q.fn(spark, str(tmp_path))
         con = duckdb.connect()
         con.sql(
@@ -361,7 +361,7 @@ def test_rag_index_matches_python_model(spark, tmp_path):
     }
     got = {
         r.cell: (r.n_chunks, r.n_docs, r.sum_sqdist)
-        for r in STAGING["rag_chunk_ivf_index"].fn(spark, str(tmp_path)).collect()
+        for r in REGISTRY["rag_chunk_ivf_index"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expected
 
@@ -446,7 +446,7 @@ def test_line_dedup_matches_python_model(spark, tmp_path_factory, corpora):
     )
     out = {
         r.doc_id: (r.n_segs, r.n_removed, r.removed_chars, r.clean_text)
-        for r in STAGING["docs_line_dedup"].fn(spark, str(path)).collect()
+        for r in REGISTRY["docs_line_dedup"].fn(spark, str(path)).collect()
     }
     expected = _line_dedup_model(texts)
     assert out == expected
@@ -456,6 +456,6 @@ def test_line_dedup_matches_python_model(spark, tmp_path_factory, corpora):
     # reassembly, cost scoped to the increment.
     inc = {
         r.doc_id: (r.n_segs, r.n_removed, r.removed_chars, r.clean_text)
-        for r in STAGING["docs_incremental_line_dedup"].fn(spark, str(path)).collect()
+        for r in REGISTRY["docs_incremental_line_dedup"].fn(spark, str(path)).collect()
     }
     assert inc == {d: v for d, v in expected.items() if d % 2 == 1}

@@ -24,7 +24,7 @@ from pse_stocks_etl_spark.plans.round13_queries import (
     _MV_PRICE_BUMP_CENTS,
     _MV_QTY_BUMP,
 )
-from pse_stocks_etl_spark.plans.staging import STAGING
+from pse_stocks_etl_spark.plans.registry import REGISTRY
 
 from conftest import SF_DIR
 
@@ -36,7 +36,7 @@ _HYP = dict(
 
 
 def _plan(spark, name: str, sf_dir: str = SF_DIR) -> str:
-    df = STAGING[name].fn(spark, sf_dir)
+    df = REGISTRY[name].fn(spark, sf_dir)
     jvm = spark._jvm
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
@@ -132,7 +132,7 @@ def test_mv_refresh_equals_recompute_model(spark, tmp_path_factory, rows):
     clear_working_set_caches()
     got = {
         r["l_partkey"]: (r["n_facts"], r["sum_qty"], r["sum_price_cents"])
-        for r in STAGING["store_mv_refresh_increment"].fn(spark, str(path)).collect()
+        for r in REGISTRY["store_mv_refresh_increment"].fn(spark, str(path)).collect()
     }
     clear_working_set_caches()
     assert got == {pk: tuple(v) for pk, v in expect.items()}
@@ -154,7 +154,7 @@ def test_khop_hand_path_graph(spark, tmp_path_factory):
     _write_lineitem(path, rows)
     got = {
         r["l_partkey"]: r["dist"]
-        for r in STAGING["copurchase_khop_distance"].fn(spark, str(path)).collect()
+        for r in REGISTRY["copurchase_khop_distance"].fn(spark, str(path)).collect()
     }
     assert got == {97: 0, 194: 0, 1: 1, 3: 1, 2: 2, 4: 2}
 
@@ -200,7 +200,7 @@ def test_khop_equals_python_bfs_model(spark, tmp_path_factory, baskets):
 
     got = {
         r["l_partkey"]: r["dist"]
-        for r in STAGING["copurchase_khop_distance"].fn(spark, str(path)).collect()
+        for r in REGISTRY["copurchase_khop_distance"].fn(spark, str(path)).collect()
     }
     assert got == dist
 
@@ -240,7 +240,7 @@ def test_k_anonymity_null_qids_and_negative_bands(spark, tmp_path_factory):
         ),
         str(path / "customer.parquet"),
     )
-    out = STAGING["customer_k_anonymity"].fn(spark, str(path)).collect()
+    out = REGISTRY["customer_k_anonymity"].fn(spark, str(path)).collect()
     got = {
         (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]): (
             r["n_rows"],
@@ -270,7 +270,7 @@ def test_k_anonymity_null_qids_and_negative_bands(spark, tmp_path_factory):
         ),
         str(path / "customer.parquet"),
     )
-    out2 = STAGING["customer_k_anonymity"].fn(spark, str(path)).collect()
+    out2 = REGISTRY["customer_k_anonymity"].fn(spark, str(path)).collect()
     at_k = [r for r in out2 if r["bal_band"] == 0 and r["c_nationkey"] == 7]
     assert len(at_k) == 1
     assert at_k[0]["n_rows"] == _K_ANON and at_k[0]["k_anonymous"] is True
@@ -370,7 +370,7 @@ def test_rollup_cascade_equals_python_model(spark, tmp_path_factory, rows):
             r["min_value"],
             r["max_value"],
         )
-        for r in STAGING["events_rollup_cascade"].fn(spark, str(path)).collect()
+        for r in REGISTRY["events_rollup_cascade"].fn(spark, str(path)).collect()
     }
     assert got == expect
 
@@ -444,7 +444,7 @@ def test_cuped_equals_python_model(spark, tmp_path_factory, rows):
 
     got = {
         r["variant"]: (r["n_users"], r["mean_post"], r["mean_adjusted"])
-        for r in STAGING["variant_cuped_adjusted"].fn(spark, str(path)).collect()
+        for r in REGISTRY["variant_cuped_adjusted"].fn(spark, str(path)).collect()
     }
     assert got == expect
 
@@ -495,7 +495,7 @@ def test_late_audit_equals_python_model(spark, tmp_path_factory, deltas):
 
     got = {
         r["band"]: (r["n"], r["max_late_s"], r["share"])
-        for r in STAGING["events_late_arrival_audit"].fn(spark, str(path)).collect()
+        for r in REGISTRY["events_late_arrival_audit"].fn(spark, str(path)).collect()
     }
     assert got == {b: (n, mx, float(n) / tot) for b, (n, mx) in expect.items()}
 
@@ -531,7 +531,7 @@ def test_lifetable_hand_fixture(spark, tmp_path_factory):
     _write_events(path, ev)
     got = {
         r["day"]: (r["n_at_risk"], r["n_deaths"], r["n_censored"], r["hazard"])
-        for r in STAGING["user_survival_lifetable"].fn(spark, str(path)).collect()
+        for r in REGISTRY["user_survival_lifetable"].fn(spark, str(path)).collect()
     }
     assert got == {
         0: (3, 0, 1, 0.0),  # user 3 censored at day 0
@@ -586,7 +586,7 @@ def test_lifetable_equals_python_model(spark, tmp_path_factory, rows):
 
     got = {
         r["day"]: (r["n_at_risk"], r["n_deaths"], r["n_censored"], r["hazard"])
-        for r in STAGING["user_survival_lifetable"].fn(spark, str(path)).collect()
+        for r in REGISTRY["user_survival_lifetable"].fn(spark, str(path)).collect()
     }
     assert got == expect
 
@@ -597,7 +597,7 @@ def test_lifetable_equals_python_model(spark, tmp_path_factory, rows):
 def _run_late_drop(spark, path):
     return {
         r["window_start"]: (r["n"], r["sum_value"])
-        for r in STAGING["streaming_late_drop_counts"].fn(spark, str(path)).collect()
+        for r in REGISTRY["streaming_late_drop_counts"].fn(spark, str(path)).collect()
     }
 
 
@@ -788,7 +788,7 @@ def test_cascade_increment_equals_full_recompute(spark, tmp_path_factory, rows):
             r["min_value"],
             r["max_value"],
         )
-        for r in STAGING["events_cascade_increment"].fn(spark, str(path)).collect()
+        for r in REGISTRY["events_cascade_increment"].fn(spark, str(path)).collect()
     }
     assert got == expect
 
@@ -825,6 +825,13 @@ def test_decayed_hitters_hand_fixture(spark, tmp_path_factory):
         # type b: small but fresh: 601 -> 601, plus 1-week 301 -> 150
         ("b", anchor, 6.01),
         ("b", anchor - dt.timedelta(weeks=1), 3.01),
+        # type c: ancient — ages past the 62-week clamp (ADVICE r7).
+        # Unclamped, 63 weeks shifts the divisor into the sign bit
+        # (Spark DIV-trunc vs DuckDB //-floor disagree) and >= 64
+        # raises in DuckDB while Spark masks the count mod 64; the
+        # true weight is 0 either way.
+        ("c", anchor - dt.timedelta(weeks=63), 99.99),
+        ("c", anchor - dt.timedelta(weeks=200), 88.88),
     ]
     _pq.write_table(
         _pa.table(
@@ -841,12 +848,27 @@ def test_decayed_hitters_hand_fixture(spark, tmp_path_factory):
     )
     got = {
         r["event_type"]: (r["raw_value"], r["decayed_value"], r["rnk"])
-        for r in STAGING["events_decayed_hitters"].fn(spark, str(path)).collect()
+        for r in REGISTRY["events_decayed_hitters"].fn(spark, str(path)).collect()
     }
-    assert got == {
+    expected = {
         "a": (10.01, 2.50, 2),
         "b": (9.02, 7.51, 1),  # fresh beats stale despite less raw value
+        "c": (188.87, 0.00, 3),  # clamped to zero weight, never overflow
     }
+    assert got == expected
+    # and the ORACLE agrees on the clamp (DuckDB would raise
+    # 'left-shift out of range' at age >= 64 weeks without it)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}/events.parquet'")
+    oracle = {
+        t: (rv, dv, rk)
+        for t, _n, rv, dv, rk in con.sql(
+            REGISTRY["events_decayed_hitters"].oracle
+        ).fetchall()
+    }
+    assert oracle == expected
 
 
 # --------------------------------------------------------------------------
