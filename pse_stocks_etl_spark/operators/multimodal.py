@@ -1370,6 +1370,11 @@ def parse_jpeg(payload: bytes) -> dict:
                 block = m.T @ coeffs.reshape(8, 8) @ m
                 px = np.clip(np.round(block + 128.0), 0, 255).astype(np.int64)
                 planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
+    # after the last MCU the writer pads to a byte boundary and EOI
+    # must follow — a stream cut anywhere past the last needed bit
+    # would otherwise decode "successfully" (truncation must be LOUD)
+    if payload[reader.pos : reader.pos + 2] != b"\xff\xd9":
+        raise ValueError("missing EOI after scan")
     if len(comps) == 3:  # JFIF YCbCr -> RGB
         y = planes[0].astype(np.float64)
         cb = planes[1].astype(np.float64) - 128.0

@@ -68,6 +68,11 @@ try:  # round-13 queries (MV incremental refresh, k-hop BFS, k-anonymity)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-14 queries (baseline JPEG codec — r7 VERDICT item 5)
+    from . import round14_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -162,6 +167,9 @@ _DRIVER_FIRST = [
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
+    # -- overflow (position 51): this round's addition — never checked
+    # by definition, leads the next window after the r8 drain --
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -446,3 +446,236 @@ def test_real_decode_dispatches_png():
     )
 
     assert real_decode(synth_png(9)) == parse_png(synth_png(9))
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline SOF0, canonical Huffman + numpy IDCT)
+# --------------------------------------------------------------------------
+def test_jpeg_roundtrip_matches_block_lattice_model():
+    from pse_stocks_etl_spark.operators.multimodal import parse_jpeg, synth_jpeg
+
+    for d in (0, 1, 2, 3, 4, 5, 11, 42, 999):
+        info = parse_jpeg(synth_jpeg(d))
+        bw, bh = 2 + d % 3, 2 + d % 2
+        exp = 64 * sum(
+            (7 * d + 13 * bx + 31 * by) % 256
+            for bx in range(bw)
+            for by in range(bh)
+        )
+        assert info == {
+            "width": 8 * bw,
+            "height": 8 * bh,
+            "n_pixels": 64 * bw * bh,
+            "sum_r": exp,
+            "sum_g": exp,
+            "sum_b": exp,
+        }
+
+
+def test_jpeg_entropy_segment_is_byte_stuffed_and_framed():
+    """The stream must be a real JFIF container: SOI/EOI framing, four
+    DHTs, two DQTs, and any 0xFF inside the entropy segment stuffed
+    with 0x00 (otherwise a conforming decoder would see a marker)."""
+    from pse_stocks_etl_spark.operators.multimodal import synth_jpeg
+
+    for d in range(64):
+        p = synth_jpeg(d)
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        assert p.count(b"\xff\xc4") == 4 and p.count(b"\xff\xdb") == 2
+        # entropy segment = between end of SOS header and EOI
+        sos = p.index(b"\xff\xda")
+        seglen = int.from_bytes(p[sos + 2 : sos + 4], "big")
+        entropy = p[sos + 2 + seglen : -2]
+        i = 0
+        while i < len(entropy):
+            if entropy[i] == 0xFF:
+                assert entropy[i + 1] == 0x00, "unstuffed 0xFF in scan"
+                i += 2
+            else:
+                i += 1
+
+
+def test_jpeg_byte_stuffing_roundtrips_through_writer_and_reader():
+    """The synth corpus's short DC+EOB streams never happen to hit an
+    0xFF entropy byte, so drive the stuffing path explicitly: a cat-11
+    DC code ('111111110' canonically) forces a leading 0xFF byte. The
+    writer must stuff it, the reader must unstuff it, and a full
+    hand-built grayscale stream containing it must decode."""
+    import struct
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _JPG_AC_BITS,
+        _JPG_AC_VALS,
+        _JPG_DC_BITS,
+        _JPG_DC_VALS,
+        _jpg_canonical_codes,
+        _jpg_encode_coeff,
+        _JpgBitReader,
+        _JpgBitWriter,
+        _jpg_segment,
+        parse_jpeg,
+    )
+
+    w = _JpgBitWriter()
+    w.write(0xFF, 8)
+    assert bytes(w.buf) == b"\xff\x00"
+    r = _JpgBitReader(b"\xff\x00\x80", 0)
+    assert r.bits(8) == 0xFF and r.bit() == 1
+
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    w = _JpgBitWriter()
+    _jpg_encode_coeff(w, dc_codes, 1024)  # cat 11 -> code 0b111111110
+    ln, code = ac_codes[0x00]
+    w.write(code, ln)
+    entropy = w.flush()
+    assert b"\xff\x00" in entropy  # the stuffed byte is really there
+
+    q = bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + bytes([0, 63, 0])
+    payload = (
+        b"\xff\xd8"
+        + _jpg_segment(0xDB, bytes([0x00]) + q)
+        + _jpg_segment(0xC0, sof)
+        + _jpg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        )
+        + _jpg_segment(
+            0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+        )
+        + _jpg_segment(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    info = parse_jpeg(payload)
+    # DC 1024 with q=1 -> constant 1024/8 + 128 = 256, clipped to 255
+    assert info["sum_r"] == 64 * 255
+
+
+def test_jpeg_ac_runlength_path_decodes_hand_built_stream():
+    """The synthesizer only emits DC+EOB, so drive the AC path (run
+    skips, ZRL, EXTEND of negative levels) with a hand-built grayscale
+    stream and check against a directly computed IDCT reference."""
+    import struct
+
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _JPG_AC_BITS,
+        _JPG_AC_VALS,
+        _JPG_DC_BITS,
+        _JPG_DC_VALS,
+        _JPG_ZIGZAG,
+        _jpg_canonical_codes,
+        _jpg_encode_coeff,
+        _jpg_idct_matrix,
+        _JpgBitWriter,
+        _jpg_segment,
+        parse_jpeg,
+    )
+
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    w = _JpgBitWriter()
+    # one 8x8 grayscale block: DC = 5, AC at zigzag k=2 -> level -1,
+    # then ZRL (16 zeros), then AC at k=19 -> level +1, then EOB
+    _jpg_encode_coeff(w, dc_codes, 5)
+    ln, code = ac_codes[0x11]  # run 1, size 1 -> lands at k=2
+    w.write(code, ln)
+    w.write(0, 1)  # size-1 bits '0' EXTENDs to -1
+    ln, code = ac_codes[0xF0]  # ZRL
+    w.write(code, ln)
+    ln, code = ac_codes[0x01]  # run 0, size 1 -> k=19
+    w.write(code, ln)
+    w.write(1, 1)  # '1' EXTENDs to +1
+    ln, code = ac_codes[0x00]  # EOB
+    w.write(code, ln)
+    entropy = w.flush()
+
+    q = bytes([1] * 64)  # identity quant so coefficients pass through
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + bytes([0, 63, 0])
+    payload = (
+        b"\xff\xd8"
+        + _jpg_segment(0xDB, bytes([0x00]) + q)
+        + _jpg_segment(0xC0, sof)
+        + _jpg_segment(
+            0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        )
+        + _jpg_segment(
+            0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+        )
+        + _jpg_segment(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    info = parse_jpeg(payload)
+    coeffs = np.zeros(64)
+    coeffs[0] = 5.0
+    coeffs[_JPG_ZIGZAG[2]] = -1.0
+    coeffs[_JPG_ZIGZAG[19]] = 1.0
+    m = _jpg_idct_matrix()
+    ref = np.clip(np.round(m.T @ coeffs.reshape(8, 8) @ m + 128.0), 0, 255)
+    assert info["width"] == 8 and info["height"] == 8
+    assert info["sum_r"] == info["sum_g"] == info["sum_b"] == int(ref.sum())
+
+
+def test_jpeg_rejects_corruption_loudly():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_jpeg, synth_jpeg
+
+    good = synth_jpeg(7)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_jpeg(b"\xff\xd9" + good[2:])
+    # progressive SOF must be declared unsupported, not mis-decoded
+    with pytest.raises(ValueError, match="non-baseline SOF"):
+        parse_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # subsampling rejected (flip Y's sampling byte 0x11 -> 0x22)
+    sof_at = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x22
+    with pytest.raises(ValueError, match="subsampling"):
+        parse_jpeg(bytes(bad))
+    # truncation ANYWHERE raises ValueError, never struct/IndexError
+    for cut in range(2, len(good)):
+        with pytest.raises(ValueError):
+            parse_jpeg(good[:cut])
+
+
+def test_jpeg_decode_distributed_matches_local(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_jpeg,
+        decode_jpeg,
+        parse_jpeg,
+        synth_jpeg,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in decode_jpeg(attach_jpeg(docs)).collect()
+    }
+    assert got
+    for doc_id in got:
+        m = parse_jpeg(synth_jpeg(int(doc_id)))
+        assert got[doc_id] == (
+            m["width"],
+            m["height"],
+            m["sum_r"],
+            m["sum_g"],
+            m["sum_b"],
+        )
+
+
+def test_real_decode_dispatches_jpeg():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_jpeg,
+        real_decode,
+        synth_jpeg,
+    )
+
+    p = synth_jpeg(3)
+    assert real_decode(p) == parse_jpeg(p)
