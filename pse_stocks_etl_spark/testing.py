@@ -148,7 +148,7 @@ def strict_compare(s_tbl: pa.Table, d_tbl: pa.Table) -> list[str]:
     return problems
 
 
-def driver_history(repo_root: str) -> dict[str, str]:
+def driver_history(repo_root: str, max_round: int | None = None) -> dict[str, str]:
     """Per-query driver-verification history from CORRECTNESS_r*.json:
     ``name -> "r1 green, r2 FAIL, r3 rows-only, ..."``.
 
@@ -158,6 +158,11 @@ def driver_history(repo_root: str) -> dict[str, str]:
     never drift from the recorded files again (r5 VERDICT item 2):
     ``err == 'no_oracle'`` with rows observed = rows-only;
     ``hash_match is True`` = green; anything else = FAIL.
+
+    ``max_round`` restricts to files of that round or older — the doc
+    guard uses it to separate "a newer CORRECTNESS file landed after
+    the map was committed" (expected between rounds; regenerating is
+    the next round's first move) from genuine map rot.
     """
     import glob
     import json
@@ -167,6 +172,8 @@ def driver_history(repo_root: str) -> dict[str, str]:
     hist: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if max_round is not None and int(m.group(1)) > max_round:
+            continue
         rnd = f"r{m.group(1)}"
         for name, rec in json.load(open(path)).items():
             if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
@@ -177,3 +184,17 @@ def driver_history(repo_root: str) -> dict[str, str]:
                 status = "FAIL"
             hist.setdefault(name, []).append(f"{rnd} {status}")
     return {name: ", ".join(v) for name, v in hist.items()}
+
+
+def latest_driver_round(repo_root: str) -> int:
+    """Highest round number with a CORRECTNESS_r*.json on disk (0 if
+    none)."""
+    import glob
+    import os
+    import re
+
+    rounds = [
+        int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds, default=0)
