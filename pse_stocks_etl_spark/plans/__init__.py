@@ -85,34 +85,38 @@ except ImportError:  # pragma: no cover - partial checkouts
 # row entering round 8 (COVERAGE.md's driver map is the authoritative
 # ledger).
 #
-# The round-8 window below is `python scripts/plan_rotation.py` output
-# verbatim — the planner derives it from the CORRECTNESS_r*.json files
-# on disk: (1) the 25-query block-6 queue (round-6 second batch + TPC-H
-# sweep completion, never driver-checked), (2) the 22 round-11/12/13
-# queries promoted out of plans/staging.py this round (stage() →
-# register(); staging is EMPTY again and stays a queue), (3) a 3-slot
-# stale-green refill (oldest driver round first). 25 + 22 + 3 = 50 —
+# The round-8 window below was WRITTEN BY `python scripts/plan_rotation.py
+# --apply` (new this round — the planner rewrites this block in place;
+# no more hand-pasting). It derives from the CORRECTNESS_r*.json files
+# on disk: all 48 never-driver-checked queries lead — the 25-query
+# block-6 queue (round-6 second batch + TPC-H sweep completion), the
+# 22 round-11/12/13 queries promoted out of plans/staging.py this
+# round (stage() → register(); staging is EMPTY again and stays a
+# queue), and this round's `multimodal_jpeg_decode` — followed by a
+# 2-slot stale-green refill (oldest driver round first). 48 + 2 = 50 —
 # this window drains the never-checked backlog to ZERO: once a
 # CORRECTNESS file records it green, every query the engine has will
 # hold a driver-green row.
 #
 # POST-DRAIN ROTATION POLICY (round 9+): with the backlog at zero and
-# staging empty, future windows are pure stale-green refresh — run
-#   python scripts/plan_rotation.py
-# and paste its _DRIVER_FIRST verbatim; it emits the 50 queries whose
-# most-recent driver-green row is OLDEST (r1/r2 first — the flagship/
-# watermark/dedup/ANN block has not been re-confirmed since round 2),
-# breaking ties by registry order. New queries go straight to REGISTRY
-# + the front of _DRIVER_FIRST (they are never-checked by definition
-# and outrank any refresh); staging is only for overflow beyond the
-# 25-query never-checked bound, which a zero backlog makes unlikely.
-# The rotation guard (tests/test_parity.py::
-# test_driver_window_covers_unverified_queries) reads the actual
+# staging empty, future windows are pure stale-green refresh. Step
+# zero of every round is now two commands:
+#   python scripts/plan_rotation.py --apply
+#   python scripts/gen_driver_map.py --write
+# (the planner emits the 50 queries whose most-recent driver-green row
+# is OLDEST — r1/r2 first; the flagship/watermark/dedup/ANN block has
+# not been re-confirmed since round 2 — breaking ties by registry
+# order). New queries go straight to REGISTRY + the front of
+# _DRIVER_FIRST (they are never-checked by definition and outrank any
+# refresh); staging is only for overflow beyond the 25-query
+# never-checked bound, which a zero backlog makes unlikely. The
+# rotation guards (tests/test_parity.py::
+# test_driver_window_covers_unverified_queries and
+# ::test_refresh_slots_are_the_stalest_greens) read the actual
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- block 1: round-6 second batch + TPC-H sweep completion (the
-    # 25-query block-6 queue; never driver-checked) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=48, stale refill=2) --
     "discount_band_revenue",
     "nation_year_profit",
     "docs_bpe_top_merges",
@@ -138,8 +142,6 @@ _DRIVER_FIRST = [
     "min_cost_regional_supplier",
     "delay_band_priority_counts",
     "dominant_part_suppliers",
-    # -- block 2: round-11/12/13 queries promoted from staging this
-    # round (never driver-checked) --
     "streaming_click_full_join",
     "docs_incremental_simhash",
     "docs_source_dup_matrix",
@@ -162,14 +164,9 @@ _DRIVER_FIRST = [
     "multimodal_png_decode",
     "datasource_stream_prices",
     "compressed_io_roundtrip",
-    # -- block 3: stale-green refresh (oldest driver round first; fills
-    # the window to 50) --
+    "multimodal_jpeg_decode",
     "anti_join_uptodate",
     "asof_click_attribution",
-    "broadcast_watermark_join",
-    # -- overflow (position 51): this round's addition — never checked
-    # by definition, leads the next window after the r8 drain --
-    "multimodal_jpeg_decode",
 ]
 
 
