@@ -85,12 +85,13 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
 def real_decode(payload: bytes) -> dict:
     """The real decode integration point. WAV (RIFF PCM16), BMP
     (BI_RGB 24-bit), Y4M (YUV4MPEG2 C420), PNG (8-bit truecolor,
-    DEFLATE via stdlib zlib) and baseline JPEG (SOF0, canonical
-    Huffman + numpy IDCT) decode for REAL — `parse_wav` / `parse_bmp`
-    / `parse_y4m` / `parse_png` / `parse_jpeg` below. Video containers
-    (MP4/H.264) genuinely need ffmpeg, which this container lacks, so
-    those stay a marked stub with `decode_features`' deterministic
-    fake carrying the tests."""
+    DEFLATE via stdlib zlib), baseline JPEG (SOF0, canonical Huffman +
+    numpy IDCT) and GIF (89a, variable-width LZW) decode for REAL —
+    `parse_wav` / `parse_bmp` / `parse_y4m` / `parse_png` /
+    `parse_jpeg` / `parse_gif` below. Video containers (MP4/H.264)
+    genuinely need ffmpeg, which this container lacks, so those stay a
+    marked stub with `decode_features`' deterministic fake carrying
+    the tests."""
     if payload[:4] == b"RIFF":
         return parse_wav(payload)
     if payload[:2] == b"BM":
@@ -101,6 +102,8 @@ def real_decode(payload: bytes) -> dict:
         return parse_png(payload)
     if payload[:2] == b"\xff\xd8":
         return parse_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return parse_gif(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
         "MP4/H.264 codecs unavailable; deterministic fake used instead "
         "(decode_features)"
@@ -1433,3 +1436,342 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=JPEG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF: REAL LZW codec (89a, 256-color global palette, interlace)
+# ---------------------------------------------------------------------------
+# GIF completes the compressed-image trio next to PNG (DEFLATE) and
+# JPEG (Huffman+DCT) with the third classic entropy coder: variable-
+# width LZW with LSB-first bit packing, CLEAR/EOI control codes, the
+# KwKwK special case, and 9->12-bit code growth. The synthesizer emits
+# a genuine GIF89a stream — logical screen descriptor, 256-entry global
+# color table, image descriptor, LZW-compressed index raster in
+# length-prefixed sub-blocks — and INTERLACES every odd doc_id (the
+# four-pass 8/8/4/2 row schedule), so decode correctness requires real
+# de-interlacing, not a row-order shortcut. Palette entries and pixel
+# indices are closed-form lattices of (doc_id, x, y); the per-doc
+# aggregates include POSITION-WEIGHTED channel sums so a de-interlace
+# that permuted rows (which plain sums cannot see) diverges loudly.
+# Same realism contract as the other codecs: anything malformed raises.
+_GIF_W_BASE, _GIF_W_MOD = 5, 6  # width  = 5 + doc_id % 6
+_GIF_H_BASE, _GIF_H_MOD = 4, 5  # height = 4 + doc_id % 5 (h=8 docs hit
+#                                 all four interlace passes)
+_GIF_MAX_CODE = 4096  # 12-bit LZW table bound (GIF89a spec appendix F)
+
+GIF_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("interlaced", T.BooleanType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("wsum_r", T.LongType(), True),
+        T.StructField("wsum_g", T.LongType(), True),
+        T.StructField("wsum_b", T.LongType(), True),
+    ]
+)
+
+# The four-pass GIF interlace row schedule: (first row, stride).
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_palette() -> bytes:
+    """256-entry global color table, closed-form in the entry index so
+    the DuckDB oracle recomputes channel values without seeing a byte."""
+    out = bytearray()
+    for i in range(256):
+        out += bytes(((7 * i + 13) % 256, (11 * i + 5) % 256, (13 * i + 3) % 256))
+    return bytes(out)
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width starting min+1, LSB-first
+    bit packing, CLEAR emitted up front and again on table overflow.
+    The width grows one code EARLIER on the encoder than the decoder
+    (encoder table leads by one insert) — see the width-bump comments."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < _GIF_MAX_CODE:
+            table[nxt] = next_code
+            next_code += 1
+            # encoder bumps at next_code == (1<<width)+1: the DECODER's
+            # table lags one insert behind, so its bump (at 1<<width)
+            # lands on the same emitted-code boundary
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset both sides with an explicit CLEAR
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _gif_lzw_encode: CLEAR resets, EOI terminates, the
+    code == next-slot case is the classic KwKwK reconstruction, and the
+    table stops growing at 4096 (deferred-clear tolerant). Raises
+    ValueError on truncation or an out-of-range code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:  # first code after a CLEAR: must be a root
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK: entry being defined now
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            if len(table) < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        prev = entry
+        out.extend(entry)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap a byte stream in GIF length-prefixed sub-blocks (<=255 each)
+    plus the zero terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """A genuine GIF89a: logical screen descriptor, 256-entry global
+    color table, image descriptor (interlaced for odd doc_ids), and a
+    REAL LZW-compressed index raster in sub-blocks. Pixel index and
+    palette channels are closed-form lattices of (doc_id, x, y)."""
+    import struct
+
+    w = _GIF_W_BASE + doc_id % _GIF_W_MOD
+    h = _GIF_H_BASE + doc_id % _GIF_H_MOD
+    interlaced = doc_id % 2 == 1
+    rows = []
+    order = _gif_interlace_order(h) if interlaced else range(h)
+    for y in order:
+        rows.append(
+            bytes((11 * doc_id + 37 * x + 59 * y) % 256 for x in range(w))
+        )
+    raster = b"".join(rows)
+    lsd = struct.pack("<HH", w, h) + bytes((0xF7, 0, 0))  # GCT, 256 entries
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        (0x40 if interlaced else 0x00,)
+    )
+    return (
+        b"GIF89a"
+        + lsd
+        + _gif_palette()
+        + desc
+        + bytes((8,))  # LZW minimum code size
+        + _gif_subblocks(_gif_lzw_encode(raster))
+        + b"\x3b"
+    )
+
+
+def parse_gif(payload: bytes) -> dict:
+    """REAL decode: magic, logical screen descriptor, global color
+    table, extension skipping, image descriptor, sub-block reassembly,
+    variable-width LZW decode, four-pass de-interlace, palette lookup.
+    Emits plain AND position-weighted channel sums — the weighted sums
+    are row-position sensitive, so a wrong interlace reconstruction
+    cannot hide behind commutative aggregation. Raises ValueError on
+    bad magic, truncation, a missing color table, or a raster/pixel
+    count mismatch — a codec must fail loudly, not guess."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image")
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension sub-blocks")
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:  # local color table overrides the global one
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local color table")
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("no color table for image")
+        interlaced = bool(ipacked & 0x40)
+        if pos >= len(payload):
+            raise ValueError("truncated image data")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image sub-blocks")
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(payload):
+                raise ValueError("truncated image sub-block body")
+            lzw += payload[pos : pos + size]
+            pos += size
+        raster = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(raster) != w * h:
+            raise ValueError(
+                f"raster size {len(raster)} != {w}x{h} pixels"
+            )
+        if pos >= len(payload):  # spec: a 0x3B trailer must follow
+            raise ValueError("missing GIF trailer")
+        idx = np.frombuffer(raster, np.uint8).reshape(h, w)
+        if interlaced:
+            rows = np.empty((h, w), dtype=np.uint8)
+            rows[_gif_interlace_order(h)] = idx
+            idx = rows
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("pixel index beyond color table")
+        rgb = palette[idx].astype(np.int64)  # (h, w, 3)
+        y, x = np.mgrid[0:h, 0:w]
+        wgt = (1 + x + 7 * y).astype(np.int64)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_pixels": int(w * h),
+            "interlaced": interlaced,
+            "sum_r": int(rgb[:, :, 0].sum()),
+            "sum_g": int(rgb[:, :, 1].sum()),
+            "sum_b": int(rgb[:, :, 2].sum()),
+            "wsum_r": int((wgt * rgb[:, :, 0]).sum()),
+            "wsum_g": int((wgt * rgb[:, :, 1]).sum()),
+            "wsum_b": int((wgt * rgb[:, :, 2]).sum()),
+        }
+    raise ValueError("no image block in GIF")
+
+
+def attach_gif(docs: DataFrame) -> DataFrame:
+    """Synthesize one GIF payload per document, executor-side (the
+    palette-image ingest stand-in; LZW bytes never visit the driver)."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_gif(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of GIF payloads — LZW, de-interlace,
+    palette lookup, weighted aggregation; nothing faked."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_gif(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in GIF_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=GIF_FEATURES_SCHEMA)

@@ -73,6 +73,11 @@ try:  # round-14 queries (baseline JPEG codec — r7 VERDICT item 5)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-15 queries (GIF/LZW codec, BM25, RRF hybrid retrieval)
+    from . import round15_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -88,15 +93,17 @@ except ImportError:  # pragma: no cover - partial checkouts
 # The round-8 window below was WRITTEN BY `python scripts/plan_rotation.py
 # --apply` (new this round — the planner rewrites this block in place;
 # no more hand-pasting). It derives from the CORRECTNESS_r*.json files
-# on disk: all 48 never-driver-checked queries lead — the 25-query
+# on disk: the never-driver-checked queries lead — the 25-query
 # block-6 queue (round-6 second batch + TPC-H sweep completion), the
 # 22 round-11/12/13 queries promoted out of plans/staging.py this
 # round (stage() → register(); staging is EMPTY again and stays a
-# queue), and this round's `multimodal_jpeg_decode` — followed by a
-# 2-slot stale-green refill (oldest driver round first). 48 + 2 = 50 —
-# this window drains the never-checked backlog to ZERO: once a
-# CORRECTNESS file records it green, every query the engine has will
-# hold a driver-green row.
+# queue), and this round's four additions (`multimodal_jpeg_decode`,
+# then the second batch: `multimodal_gif_decode`, `docs_bm25_topk`,
+# `emb_hybrid_rrf`). 51 never-checked > 50 slots, so the stale-green
+# refill dropped to zero and `emb_hybrid_rrf` sits in the DECLARED
+# next-window queue (1 / bound 25, drains in round 9) — after the r8
+# AND r9 CORRECTNESS files land green, every query the engine has
+# will hold a driver-green row.
 #
 # POST-DRAIN ROTATION POLICY (round 9+): with the backlog at zero and
 # staging empty, future windows are pure stale-green refresh. Step
@@ -116,7 +123,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=48, stale refill=2) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=51, stale refill=0) --
     "discount_band_revenue",
     "nation_year_profit",
     "docs_bpe_top_merges",
@@ -165,8 +172,10 @@ _DRIVER_FIRST = [
     "datasource_stream_prices",
     "compressed_io_roundtrip",
     "multimodal_jpeg_decode",
-    "anti_join_uptodate",
-    "asof_click_attribution",
+    "multimodal_gif_decode",
+    "docs_bm25_topk",
+    # -- declared next-window queue (1 / bound 25) --
+    "emb_hybrid_rrf",
 ]
 
 

@@ -1,0 +1,351 @@
+"""Round-15 queries (round-8 second batch): the retrieval lane.
+
+Three additions that complete two stories the engine already half-told:
+
+- `multimodal_gif_decode` — the third REAL compressed-image codec next
+  to PNG (DEFLATE) and JPEG (Huffman+DCT): GIF's variable-width LZW
+  with CLEAR/EOI control codes, KwKwK reconstruction, 9→12-bit code
+  growth, table-overflow resets, and the four-pass interlace schedule
+  (operators/multimodal.py::synth_gif / parse_gif). Position-weighted
+  channel sums make a wrong de-interlace diverge even though plain
+  sums are row-permutation blind.
+- `docs_bm25_topk` — lexical retrieval over the corpus: Okapi BM25
+  (k1=1.2, b=0.75) for a fixed query-term set, with the log-free
+  rational idf (same monotone-substitution contract as
+  docs_tfidf_top_terms) and dyadic fixed-point score summation so the
+  cross-engine value hash is exact.
+- `emb_hybrid_rrf` — hybrid retrieval: reciprocal-rank fusion
+  (Cormack et al., SIGIR'09: score = sum_i 1/(60+rank_i)) of the BM25
+  lexical ranking and a dense cosine ranking over the embeddings
+  table, full-outer-joined on item id.
+
+Reference parity: the reference pipeline (src/etl/postgres_sync.py,
+src/utils/pse_edge.py) has no retrieval surface; this lane is a
+build-brief extension (similarity search + text analysis over the
+documents/embeddings tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokens
+from ..functions.vectors import cosine, sql_cosine, to_double_array
+from ..sources.catalog import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Multimodal: REAL palette-image decode (GIF, variable-width LZW)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_decode",
+    # FULL hash oracle for the LZW codec: the payload is a genuine
+    # GIF89a (256-entry global color table, LZW sub-blocks, odd doc_ids
+    # interlaced) and the decoder reconstructs every palette index.
+    # Pixel index and palette channels are closed-form integer lattices
+    # of (doc_id, x, y), so DuckDB recomputes the aggregates without
+    # seeing a byte. The (1 + x + 7y)-weighted sums are row-position
+    # sensitive: a de-interlace that permuted rows — invisible to the
+    # plain sums — breaks them loudly.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             5 + d.doc_id % 6 AS w, 4 + d.doc_id % 5 AS h,
+             ux.x AS x, uy.y AS y,
+             (11*d.doc_id + 37*ux.x + 59*uy.y) % 256 AS i
+      FROM documents d,
+           UNNEST(range(0, 5 + d.doc_id % 6)) AS ux(x),
+           UNNEST(range(0, 4 + d.doc_id % 5)) AS uy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           (doc_id % 2 = 1) AS interlaced,
+           CAST(SUM((7*i + 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((11*i + 5) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((13*i + 3) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((1 + x + 7*y) * ((7*i + 13) % 256)) AS BIGINT) AS wsum_r,
+           CAST(SUM((1 + x + 7*y) * ((11*i + 5) % 256)) AS BIGINT) AS wsum_g,
+           CAST(SUM((1 + x + 7*y) * ((13*i + 3) % 256)) AS BIGINT) AS wsum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "compressed", "gif"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality with a REAL LZW codec: synthesize a 256-color
+    GIF89a per document executor-side (variable-width LZW, length-
+    prefixed sub-blocks, four-pass interlace for odd doc_ids), then
+    decode it back — magic, screen descriptor, color table, sub-block
+    reassembly, LZW decode with code growth and KwKwK, de-interlace,
+    palette lookup — via Arrow-batched mapInPandas
+    (operators/multimodal.py::parse_gif). Completes the compressed-
+    image trio (PNG/JPEG/GIF = DEFLATE/Huffman-DCT/LZW); MP4/H.264
+    stays the one environment-bound integration point.
+
+    Scale: identical plumbing to the other codec lanes — payload bytes
+    live and die executor-side in Arrow batches, one map-only pass, no
+    shuffle before the per-doc aggregate (which the decode itself
+    computes per payload)."""
+    from ..operators.multimodal import attach_gif, decode_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif(attach_gif(docs))
+
+
+# --------------------------------------------------------------------------
+# Lexical retrieval: Okapi BM25 over the documents corpus
+# --------------------------------------------------------------------------
+# The fixed "query" the engine retrieves against — literal terms shared
+# verbatim with the oracle SQL (the retrieval twin of the fixed
+# ANN_QUERY_IDS convention in llm_queries).
+BM25_TERMS = ("spark", "merge", "window", "vector", "customer")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+# Dyadic fixed-point grid for the score sum: per-term scores are
+# floor-scaled to multiples of 2^-20 BEFORE summation, so the per-doc
+# sum is an exact integer total (order-independent across partitions)
+# while keeping ~6 significant fractional digits of BM25 resolution.
+_BM25_SCALE = 1 << 20
+
+_SQL_TERMS = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _sql_bm25_docs() -> str:
+    """Per-doc BM25 CTE body (doc_id, n_terms, score) — shared by the
+    top-k query and the RRF fusion oracle. Every float literal and
+    parenthesis mirrors the Spark expression tree token-for-token so
+    the IEEE evaluation order is identical."""
+    return f"""
+    tk AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+           WHERE term IN ({_SQL_TERMS}) GROUP BY doc_id, term),
+    wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+            FROM tf),
+    sc AS (
+      SELECT w.doc_id,
+             CAST(FLOOR(
+               (((tot.n_docs - w.df + 0.5) / (w.df + 0.5))
+                * (w.tf * 2.2)
+                / (w.tf + 1.2 * (0.25 + 0.75
+                    * (CAST(d.dl AS DOUBLE)
+                       / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs)))))
+               * {float(_BM25_SCALE)}) AS BIGINT) AS s20
+      FROM wdf w JOIN dl d ON w.doc_id = d.doc_id CROSS JOIN tot
+    ),
+    bm25 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(s20) / {float(_BM25_SCALE)} AS score
+      FROM sc GROUP BY doc_id
+    )"""
+
+
+def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 frame (doc_id, n_terms, score) for the fixed query
+    terms — the Spark twin of _sql_bm25_docs()."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    dl = tk.select("doc_id", F.size("__tk").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tk.select("doc_id", F.explode("__tk").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df via a window on the already-collapsed (doc,term) frame — the
+    # single-scan form the tfidf query measured faster than agg+join.
+    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    joined = wdf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    s20 = F.floor(score * F.lit(float(_BM25_SCALE))).cast("long")
+    return (
+        joined.select("doc_id", s20.alias("s20"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("s20").alias("s20sum"))
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("s20sum") / F.lit(float(_BM25_SCALE))).alias("score"),
+        )
+    )
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH {_sql_bm25_docs()}
+    SELECT doc_id, n_terms, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rk
+    FROM bm25
+    ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """,
+    tags=("llm", "retrieval", "bm25"),
+    bench=True,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed query-term
+    set: top-{k} documents by summed per-term score. Two deliberate
+    cross-engine substitutions, both documented monotone tricks:
+    the idf is the LOG-FREE rational (N - df + 0.5)/(df + 0.5) — ln()
+    is not correctly rounded across engine libms, and ln is monotone so
+    the induced per-term ordering is unchanged — and per-term scores
+    are floor-quantized to the dyadic 2^-20 grid before summation, so
+    the per-doc sum is an exact integer total regardless of Spark's
+    partition-dependent float-sum order.
+
+    Scale: tokenize → explode → filter to the query terms (the filter
+    lands BEFORE the (doc,term) hash-agg, so the shuffle carries only
+    matching postings — at 100 TB with a 5-term query that is a tiny
+    fraction of the corpus); df is a window on the collapsed postings
+    frame (hot query terms are a per-partition count, no row blowup);
+    the corpus totals broadcast as a 1-row dim; the final top-k is
+    orderBy+limit — Spark's TakeOrderedAndProject, a per-partition
+    heap + driver merge of {k} rows, NOT a global sort."""
+    ranked = _bm25_docs(spark, sf_dir).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # row_number on the already-limited {k}-row frame: bounded input,
+    # so the single-partition window is O(k), not a global sort.
+    return ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+docs_bm25_topk.__doc__ = docs_bm25_topk.__doc__.format(k=BM25_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# --------------------------------------------------------------------------
+RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
+RRF_POOL = 20  # per-ranker candidate pool fed into the fusion
+_RRF_QUERY_VEC_ID = 0  # dense query = embedding of vec_id 0 (doc 0)
+
+
+def _sql_rrf() -> str:
+    from .llm_queries import EMB_DIM
+
+    cos = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH {_sql_bm25_docs()},
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+      FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC_ID}),
+    cosd AS (
+      SELECT e.vec_id, {cos} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != {_RRF_QUERY_VEC_ID}
+    ),
+    sem AS (
+      SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS sem_rank
+      FROM cosd ORDER BY cos_sim DESC, vec_id ASC LIMIT {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.vec_id) AS item_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex.lex_rank), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem.sem_rank), 0.0)
+               AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.vec_id
+    )
+    SELECT item_id, lex_rank, sem_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, item_id ASC)
+                AS BIGINT) AS rk
+    FROM fused
+    """
+
+
+@register(
+    "emb_hybrid_rrf",
+    oracle=_sql_rrf(),
+    tags=("llm", "retrieval", "hybrid", "rrf"),
+)
+def emb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    top-20 and the dense cosine top-20 (query = embedding of vec_id 0,
+    the embeddings twin of doc 0) fused as
+    score = sum over rankers of 1/(60 + rank) — rank-only fusion, so
+    the two rankers' incomparable score scales never meet, which is
+    why RRF is the default hybrid combiner in production retrieval
+    stacks. Items surfaced by only one ranker contribute one term
+    (COALESCE 0 for the other).
+
+    Scale: each ranker ends in TakeOrderedAndProject (per-partition
+    heap, driver merge of 20 rows), so the fusion join is a
+    20x20-row full outer join — trivially local regardless of corpus
+    size. The float sum is two terms in a fixed expression order, so
+    the hash is deterministic without any quantization."""
+    lex = (
+        _bm25_docs(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("doc_id", "lex_rank")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_array(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC_ID).select(
+        vec.alias("qvec")
+    )
+    scored = (
+        e.select("vec_id", vec.alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != _RRF_QUERY_VEC_ID)
+        .select("vec_id", cosine(F.col("qvec"), F.col("v")).alias("cos_sim"))
+    )
+    sem = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(RRF_POOL)
+    sem = sem.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .cast("long"),
+    ).select("vec_id", "sem_rank")
+
+    fused = lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer").select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).alias("item_id"),
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("item_id"))
+    # <= 2*RRF_POOL rows reach this point: bounded single-partition window
+    return fused.withColumn("rk", F.row_number().over(w).cast("long"))

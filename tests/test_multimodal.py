@@ -679,3 +679,181 @@ def test_real_decode_dispatches_jpeg():
 
     p = synth_jpeg(3)
     assert real_decode(p) == parse_jpeg(p)
+
+
+# ---------------------------------------------------------------------------
+# GIF: REAL LZW codec
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrips_including_table_overflow():
+    import random
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"\x00",
+        bytes(rng.randrange(256) for _ in range(5000)),
+        b"\x00" * 100_000,  # long runs: KwKwK path every step
+        bytes(range(256)) * 400,  # cycling roots: steady table growth
+        bytes((i * i) % 251 for i in range(60_000)),  # forces 4096 reset
+    ]
+    for data in cases:
+        assert _gif_lzw_decode(_gif_lzw_encode(data), 8) == data
+    # sub-byte code sizes (GIF supports palettes down to 2 colors)
+    for mcs in (2, 4, 6):
+        data = bytes(rng.randrange(1 << mcs) for _ in range(3000))
+        assert _gif_lzw_decode(_gif_lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_lzw_rejects_malformed_streams():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    good = _gif_lzw_encode(b"hello world" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        _gif_lzw_decode(good[:-2], 8)  # EOI cut off
+    # first code after CLEAR must be a root: craft clear(256) then 300
+    # (9-bit codes LSB-first: 256 = 0x100, then 300)
+    acc = 256 | (300 << 9)
+    bad = bytes((acc >> (8 * i)) & 0xFF for i in range(3))
+    with pytest.raises(ValueError, match="bad first LZW code"):
+        _gif_lzw_decode(bad, 8)
+    # code far beyond the table: clear, root 0, then 4000
+    acc = 256 | (0 << 9) | (4000 << 18)
+    bad = bytes((acc >> (8 * i)) & 0xFF for i in range(4))
+    with pytest.raises(ValueError, match="out of range"):
+        _gif_lzw_decode(bad, 8)
+
+
+def test_gif_roundtrip_matches_pixel_lattice_model():
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_gif, synth_gif
+
+    for d in list(range(12)) + [101, 250, 333, 499]:
+        got = parse_gif(synth_gif(d))
+        w, h = 5 + d % 6, 4 + d % 5
+        y, x = np.mgrid[0:h, 0:w]
+        i = (11 * d + 37 * x + 59 * y) % 256
+        r, g, b = (7 * i + 13) % 256, (11 * i + 5) % 256, (13 * i + 3) % 256
+        wgt = 1 + x + 7 * y
+        assert got == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "interlaced": d % 2 == 1,
+            "sum_r": int(r.sum()),
+            "sum_g": int(g.sum()),
+            "sum_b": int(b.sum()),
+            "wsum_r": int((wgt * r).sum()),
+            "wsum_g": int((wgt * g).sum()),
+            "wsum_b": int((wgt * b).sum()),
+        }
+
+
+def test_gif_interlace_actually_permutes_rows_on_the_wire():
+    """The interlaced payload must store rows in pass order — if the
+    encoder wrote them naturally the de-interlace test above would be
+    vacuous. Decode doc 1's raster WITHOUT de-interlacing by flipping
+    the interlace flag bit and check the weighted sums DIFFER."""
+    from pse_stocks_etl_spark.operators.multimodal import parse_gif, synth_gif
+
+    p = bytearray(synth_gif(1))  # odd -> interlaced, h=5: passes differ
+    # image descriptor starts after 6 (header) + 7 (LSD) + 768 (GCT)
+    desc = 6 + 7 + 768
+    assert p[desc] == 0x2C
+    packed_at = desc + 9
+    assert p[packed_at] & 0x40
+    straight = parse_gif(bytes(p))
+    p[packed_at] &= ~0x40  # lie: claim non-interlaced
+    lied = parse_gif(bytes(p))
+    assert straight["sum_r"] == lied["sum_r"]  # plain sums are blind
+    assert straight["wsum_r"] != lied["wsum_r"]  # weighted sums are not
+
+
+def test_gif_skips_extensions_and_honors_local_color_table():
+    import struct
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        _gif_subblocks,
+        parse_gif,
+    )
+
+    # hand-build: header, LSD with NO global table, a graphic-control
+    # extension, an image with a 4-entry LOCAL table, 2x2 raster
+    lsd = struct.pack("<HH", 2, 2) + bytes((0x00, 0, 0))
+    ext = b"\x21\xf9" + bytes((4,)) + b"\x00\x00\x00\x00" + b"\x00"
+    lct = bytes(
+        (10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    )  # entries 0..3
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes((0x81,))  # LCT, 4
+    raster = bytes((0, 1, 2, 3))
+    data = bytes((2,)) + _gif_subblocks(_gif_lzw_encode(raster, 2))
+    payload = b"GIF89a" + lsd + ext + desc + lct + data + b"\x3b"
+    got = parse_gif(payload)
+    assert got["width"] == 2 and got["height"] == 2
+    assert got["sum_r"] == 10 + 40 + 70 + 100
+    assert got["sum_g"] == 20 + 50 + 80 + 110
+    assert got["sum_b"] == 30 + 60 + 90 + 120
+
+
+def test_gif_rejects_corruption_loudly():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_gif, synth_gif
+
+    good = synth_gif(6)
+    with pytest.raises(ValueError, match="not a GIF"):
+        parse_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError, match="trailer before any image"):
+        parse_gif(good[:13] + good[13 : 13 + 768] + b"\x3b")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_gif(good[: 13 + 100])  # cut inside the global color table
+    # every truncation point must raise ValueError, never escape as a
+    # struct/index error (the PNG ADVICE-r7 contract, applied here)
+    for cut in range(6, len(good)):
+        with pytest.raises(ValueError):
+            parse_gif(good[:cut])
+
+
+def test_gif_decode_distributed_matches_local(spark, sf_dir):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        attach_gif,
+        decode_gif,
+        parse_gif,
+        synth_gif,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in decode_gif(attach_gif(docs)).collect()
+    }
+    assert len(rows) == 40
+    for doc_id, row in rows.items():
+        m = parse_gif(synth_gif(int(doc_id)))
+        for k, v in m.items():
+            assert row[k] == v, (doc_id, k)
+
+
+def test_real_decode_dispatches_gif():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_gif,
+        real_decode,
+        synth_gif,
+    )
+
+    p = synth_gif(11)
+    assert real_decode(p) == parse_gif(p)
