@@ -1519,12 +1519,15 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     width = min_code_size + 1
     emit(clear, width)
     cur = b""
+    emitted_since_clear = False  # decoder skips the insert on the
+    #                              first code after a CLEAR
     for byte in indices:
         nxt = cur + bytes([byte])
         if nxt in table:
             cur = nxt
             continue
         emit(table[cur], width)
+        emitted_since_clear = True
         if next_code < _GIF_MAX_CODE:
             table[nxt] = next_code
             next_code += 1
@@ -1538,9 +1541,18 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
             table = fresh_table()
             next_code = eoi + 1
             width = min_code_size + 1
+            emitted_since_clear = False
         cur = bytes([byte])
     if cur:
         emit(table[cur], width)
+        # the flush code carries NO encoder insert, but the decoder
+        # still inserts after reading it (unless it is the first code
+        # after a CLEAR) — and if that insert lands its table exactly
+        # on 1<<width the decoder widens BEFORE reading EOI, so EOI
+        # must be written at the widened size (the final-code boundary
+        # case a random sweep rarely hits)
+        if emitted_since_clear and next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -1640,15 +1652,11 @@ def synth_gif(doc_id: int) -> bytes:
     )
 
 
-def parse_gif(payload: bytes) -> dict:
-    """REAL decode: magic, logical screen descriptor, global color
-    table, extension skipping, image descriptor, sub-block reassembly,
-    variable-width LZW decode, four-pass de-interlace, palette lookup.
-    Emits plain AND position-weighted channel sums — the weighted sums
-    are row-position sensitive, so a wrong interlace reconstruction
-    cannot hide behind commutative aggregation. Raises ValueError on
-    bad magic, truncation, a missing color table, or a raster/pixel
-    count mismatch — a codec must fail loudly, not guess."""
+def _gif_first_raster(payload: bytes):
+    """Decode the FIRST image of a GIF to (index raster, palette,
+    interlaced) — the shared walk behind parse_gif and
+    resize_gif_nearest. Raises ValueError on bad magic, truncation, a
+    missing color table, or a raster/pixel count mismatch."""
     import struct
 
     import numpy as np
@@ -1726,22 +1734,87 @@ def parse_gif(payload: bytes) -> dict:
             idx = rows
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("pixel index beyond color table")
-        rgb = palette[idx].astype(np.int64)  # (h, w, 3)
-        y, x = np.mgrid[0:h, 0:w]
-        wgt = (1 + x + 7 * y).astype(np.int64)
-        return {
-            "width": int(w),
-            "height": int(h),
-            "n_pixels": int(w * h),
-            "interlaced": interlaced,
-            "sum_r": int(rgb[:, :, 0].sum()),
-            "sum_g": int(rgb[:, :, 1].sum()),
-            "sum_b": int(rgb[:, :, 2].sum()),
-            "wsum_r": int((wgt * rgb[:, :, 0]).sum()),
-            "wsum_g": int((wgt * rgb[:, :, 1]).sum()),
-            "wsum_b": int((wgt * rgb[:, :, 2]).sum()),
-        }
+        return idx, palette, interlaced
     raise ValueError("no image block in GIF")
+
+
+def parse_gif(payload: bytes) -> dict:
+    """REAL decode: magic, logical screen descriptor, global color
+    table, extension skipping, image descriptor, sub-block reassembly,
+    variable-width LZW decode, four-pass de-interlace, palette lookup.
+    Emits plain AND position-weighted channel sums — the weighted sums
+    are row-position sensitive, so a wrong interlace reconstruction
+    cannot hide behind commutative aggregation. Raises ValueError on
+    bad magic, truncation, a missing color table, or a raster/pixel
+    count mismatch — a codec must fail loudly, not guess."""
+    import numpy as np
+
+    idx, palette, interlaced = _gif_first_raster(payload)
+    h, w = idx.shape
+    rgb = palette[idx].astype(np.int64)  # (h, w, 3)
+    y, x = np.mgrid[0:h, 0:w]
+    wgt = (1 + x + 7 * y).astype(np.int64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "interlaced": interlaced,
+        "sum_r": int(rgb[:, :, 0].sum()),
+        "sum_g": int(rgb[:, :, 1].sum()),
+        "sum_b": int(rgb[:, :, 2].sum()),
+        "wsum_r": int((wgt * rgb[:, :, 0]).sum()),
+        "wsum_g": int((wgt * rgb[:, :, 1]).sum()),
+        "wsum_b": int((wgt * rgb[:, :, 2]).sum()),
+    }
+
+
+def _gif_encode(idx, palette, interlaced: bool) -> bytes:
+    """Encode an index raster + palette back into a GIF89a stream —
+    the write half resize_gif_nearest round-trips through. Pads the
+    color table up to the next power of two (the GIF header encodes
+    table size as 2^(n+1))."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n = int(palette.shape[0])
+    bits = max(1, (n - 1).bit_length())  # table size exponent
+    full = 1 << bits
+    pal = np.zeros((full, 3), dtype=np.uint8)
+    pal[:n] = palette
+    mcs = max(2, bits)  # LZW minimum code size (spec floor of 2)
+    order = _gif_interlace_order(h) if interlaced else range(h)
+    raster = b"".join(idx[y].astype(np.uint8).tobytes() for y in order)
+    lsd = struct.pack("<HH", w, h) + bytes((0x80 | ((bits - 1) & 0x07), 0, 0))
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        (0x40 if interlaced else 0x00,)
+    )
+    return (
+        b"GIF89a"
+        + lsd
+        + pal.tobytes()
+        + desc
+        + bytes((mcs,))
+        + _gif_subblocks(_gif_lzw_encode(raster, mcs))
+        + b"\x3b"
+    )
+
+
+def resize_gif_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL resize for GIF payloads: nearest-neighbor resample of the
+    INDEX raster (src = (dst * src_dim) // dst_dim — the floor mapping
+    an oracle can replay in integer SQL; the palette rides along
+    untouched), re-encoded as a valid GIF89a preserving the source's
+    interlace mode — so odd doc_ids exercise the interlaced ENCODE
+    path end-to-end."""
+    import numpy as np
+
+    idx, palette, interlaced = _gif_first_raster(payload)
+    h, w = idx.shape
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return _gif_encode(idx[np.ix_(ys, xs)], palette, interlaced)
 
 
 def attach_gif(docs: DataFrame) -> DataFrame:
@@ -1775,3 +1848,26 @@ def decode_gif(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=GIF_FEATURES_SCHEMA)
+
+
+def resize_decode_gif(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL palette-image transform round-trip (the GIF sibling of
+    resize_decode_bmp): decode each GIF, nearest-neighbor resample the
+    index raster via resize_gif_nearest — which RE-ENCODES a valid
+    GIF89a through the real LZW encoder, preserving interlace mode —
+    then decode the re-encoded payload and report its descriptor +
+    exact per-channel plain and position-weighted sums. Both codec
+    directions run for real on every payload, executor-side."""
+
+    def resize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                parse_gif(resize_gif_nearest(p, out_w, out_h))
+                for p in pdf["payload"]
+            ]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in GIF_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize_partition, schema=GIF_FEATURES_SCHEMA)

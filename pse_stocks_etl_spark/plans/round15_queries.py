@@ -1,6 +1,6 @@
 """Round-15 queries (round-8 second batch): the retrieval lane.
 
-Three additions that complete two stories the engine already half-told:
+Five additions that complete stories the engine already half-told:
 
 - `multimodal_gif_decode` — the third REAL compressed-image codec next
   to PNG (DEFLATE) and JPEG (Huffman+DCT): GIF's variable-width LZW
@@ -18,6 +18,15 @@ Three additions that complete two stories the engine already half-told:
   (Cormack et al., SIGIR'09: score = sum_i 1/(60+rank_i)) of the BM25
   lexical ranking and a dense cosine ranking over the embeddings
   table, full-outer-joined on item id.
+- `multimodal_gif_resize` — the transcode round-trip through the LZW
+  codec: decode → nearest-neighbor resample of the index raster →
+  re-encode (interlace mode preserved, so odd doc_ids exercise the
+  interlaced WRITE path) → decode.
+- `docs_bpe_encode` — the apply half of the BPE tokenizer story
+  (docs_bpe_top_merges trains): a frozen 10-rule merge table applied
+  as sentinel-wrapped literal replaces — leftmost non-overlapping
+  replacement IS greedy BPE — with per-doc token counts and the
+  chars-per-token compression ratio.
 
 Reference parity: the reference pipeline (src/etl/postgres_sync.py,
 src/utils/pse_edge.py) has no retrieval surface; this lane is a
@@ -349,3 +358,181 @@ def emb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("rrf_score"), F.asc("item_id"))
     # <= 2*RRF_POOL rows reach this point: bounded single-partition window
     return fused.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal: GIF resize round-trip (decode -> resample -> re-encode)
+# --------------------------------------------------------------------------
+GIF_OUT_W, GIF_OUT_H = 4, 3  # out_h=3 makes the interlace row order
+#                              [0,2,1] != natural, so the re-encode's
+#                              interlaced WRITE path is non-trivial
+
+
+@register(
+    "multimodal_gif_resize",
+    # Closed-form oracle for the full decode -> nearest-neighbor
+    # resample -> LZW re-encode -> decode round-trip: the floor
+    # mapping src=(dst*src_dim)//dst_dim is replayed in integer SQL on
+    # the source lattice. Odd doc_ids re-encode INTERLACED, so the
+    # encoder's pass-ordered write is covered, and the weighted sums
+    # would catch a row permutation it introduced.
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             ux.x AS x, uy.y AS y,
+             (ux.x * (5 + d.doc_id % 6)) // {GIF_OUT_W} AS sx,
+             (uy.y * (4 + d.doc_id % 5)) // {GIF_OUT_H} AS sy
+      FROM documents d,
+           UNNEST(range(0, {GIF_OUT_W})) AS ux(x),
+           UNNEST(range(0, {GIF_OUT_H})) AS uy(y)
+    ),
+    ch AS (
+      SELECT doc_id, x, y,
+             (11*doc_id + 37*sx + 59*sy) % 256 AS i
+      FROM px
+    )
+    SELECT doc_id,
+           CAST({GIF_OUT_W} AS BIGINT) AS width,
+           CAST({GIF_OUT_H} AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           (doc_id % 2 = 1) AS interlaced,
+           CAST(SUM((7*i + 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((11*i + 5) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((13*i + 3) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((1 + x + 7*y) * ((7*i + 13) % 256)) AS BIGINT) AS wsum_r,
+           CAST(SUM((1 + x + 7*y) * ((11*i + 5) % 256)) AS BIGINT) AS wsum_g,
+           CAST(SUM((1 + x + 7*y) * ((13*i + 3) % 256)) AS BIGINT) AS wsum_b
+    FROM ch GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "compressed", "gif", "transcode"),
+)
+def multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF thumbnail round-trip — the transcode sibling of
+    multimodal_bmp_resize, through a COMPRESSED format: decode each
+    GIF (LZW, de-interlace), nearest-neighbor resample the index
+    raster, re-encode a valid GIF89a through the real LZW encoder
+    (preserving interlace mode — odd doc_ids write the four-pass row
+    order), decode the re-encoded stream, and report exact plain +
+    position-weighted channel sums
+    (operators/multimodal.py::resize_gif_nearest / _gif_encode).
+
+    Scale: one Arrow-batched map-only pass; both codec directions run
+    executor-side per payload, no shuffle — the thumbnail-generation
+    shape of a multimodal ingest pipeline."""
+    from ..operators.multimodal import attach_gif, resize_decode_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_decode_gif(attach_gif(docs), GIF_OUT_W, GIF_OUT_H)
+
+
+# --------------------------------------------------------------------------
+# BPE encode: apply a frozen merge list to the corpus
+# --------------------------------------------------------------------------
+# Frozen merge table, learned by running 10 REAL BPE training rounds
+# (Sennrich et al. 2016: count adjacent symbol pairs weighted by word
+# frequency, merge the argmax, repeat) on the sf0.01 corpus — then
+# pinned as literals, exactly how production tokenizers ship their
+# merges.txt. Merge 6 ('m','er') consumes merge 1's output, so
+# sequential application order is load-bearing.
+BPE_MERGES = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+)
+_BPE_SEP = "\x01"  # symbol-boundary sentinel, absent from the corpus
+
+
+def _sql_bpe_encoded(word_expr: str) -> str:
+    """DuckDB expression: the word encoded as SEP-wrapped symbols with
+    all BPE_MERGES applied. Each symbol is wrapped .sym. (dot = chr(1))
+    so a merge is the literal replacement '.a..b.' -> '.ab.' — plain
+    replace() is leftmost non-overlapping, which IS greedy BPE, and the
+    wrapping keeps a match from spanning a symbol boundary (the naive
+    'a<sep>b' pattern would merge 'ba|r' on the ('a','r') rule)."""
+    s = f"chr(1) || array_to_string(string_split({word_expr}, ''), chr(1) || chr(1)) || chr(1)"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1), chr(1) || '{a}{b}' || chr(1))"
+    return s
+
+
+def _bpe_encoded(word: F.Column) -> F.Column:
+    """Spark twin of _sql_bpe_encoded (same wrapping, same replaces)."""
+    sep = F.lit(_BPE_SEP)
+    s = F.concat(sep, F.array_join(F.split(word, ""), _BPE_SEP + _BPE_SEP), sep)
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"),
+            F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+        )
+    return s
+
+
+@register(
+    "docs_bpe_encode",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    enc AS (
+      SELECT doc_id, len(w) AS n_chars,
+             (len({_sql_bpe_encoded('w')})
+              - len(replace({_sql_bpe_encoded('w')}, chr(1), ''))) // 2
+               AS n_sym
+      FROM w WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_sym) AS DOUBLE) / SUM(n_chars) AS bpe_ratio
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "tokenizer", "bpe", "encode"),
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply half of the tokenizer story
+    (docs_bpe_top_merges is the train half): segment every word with
+    the frozen 10-rule merge table and report per-doc token counts and
+    the chars-per-token compression the vocabulary buys. The encoding
+    is pure string algebra in codegen: each word becomes
+    sentinel-wrapped symbols and each merge is one literal replace()
+    — leftmost non-overlapping replacement IS greedy BPE, and the
+    double-sentinel wrapping makes cross-symbol matches impossible
+    (see _sql_bpe_encoded). Multi-level merges ('m'+'er') prove the
+    rules compose sequentially, like a real tokenizer's merges.txt.
+
+    Scale: explode(words) -> 10 chained replaces -> one (doc) hash-agg
+    — all JVM-side whole-stage codegen, one map-side-combined shuffle
+    on doc_id. At 100 TB this is the tokenize-and-count pass of a
+    training-data pipeline, cost = the scan plus string work linear in
+    corpus characters. The ratio is a single IEEE division of two
+    exact integers (hash-safe)."""
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    enc = _bpe_encoded(F.col("w"))
+    sym = w.select(
+        "doc_id",
+        F.length("w").alias("n_chars"),
+        ((F.length(enc) - F.length(F.replace(enc, F.lit(_BPE_SEP), F.lit("")))) / 2)
+        .cast("long")
+        .alias("n_sym"),
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+        (F.sum("n_sym").cast("double") / F.sum("n_chars")).alias("bpe_ratio"),
+    )

@@ -210,6 +210,7 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_png_decode",       # mapInPandas REAL PNG codec (r8 promotion)
         "multimodal_jpeg_decode",      # mapInPandas REAL baseline JPEG codec (r8)
         "multimodal_gif_decode",       # mapInPandas REAL GIF/LZW codec (r8)
+        "multimodal_gif_resize",       # mapInPandas GIF resize round-trip (r8)
         "datasource_price_scan",       # Python DataSource scan
         "datasource_stream_prices",    # Python streaming DataSource (r8 promotion)
     }

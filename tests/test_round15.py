@@ -120,3 +120,128 @@ def test_rrf_rewards_items_surfaced_by_both_rankers(spark, sf_dir):
         assert max(r["rrf_score"] for r in both) > min(
             r["rrf_score"] for r in single
         )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (the apply half) + GIF resize round-trip
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_encode(word: str) -> list[str]:
+    """Independent greedy BPE apply — symbol lists and explicit
+    leftmost merging, no string replacement tricks."""
+    from pse_stocks_etl_spark.plans.round15_queries import BPE_MERGES
+
+    sym = list(word)
+    for a, b in BPE_MERGES:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_pure_python_tokenizer(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round15_queries import docs_bpe_encode
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if text is None:
+            continue
+        words = [w for w in text.strip().lower().split() if w]
+        if not words:
+            continue
+        n_chars = sum(len(w) for w in words)
+        n_tok = sum(len(_py_bpe_encode(w)) for w in words)
+        expected[int(doc_id)] = (len(words), n_chars, n_tok, n_tok / n_chars)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["bpe_ratio"])
+        for r in docs_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_sentinel_wrapping_blocks_cross_symbol_merges(spark):
+    """The known failure mode of replace()-based BPE: a bare
+    'a<sep>r' pattern would merge the boundary of ('ba','r') under the
+    ('a','r') rule. 'bar' tokenizes as b + ar under BPE_MERGES (rule 9
+    fires on the ORIGINAL a,r adjacency) while 'star' must come out as
+    st + ar (rule 5 consumed the s,t pair first) — and a word ending
+    in 'a' followed by one starting with 'r' stays un-merged across
+    the word boundary by construction (words explode to separate
+    rows)."""
+    from pse_stocks_etl_spark.plans.round15_queries import _bpe_encoded, _BPE_SEP
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("bar",), ("star",), ("merger",), ("aaa",)], ["w"]
+    ).select("w", _bpe_encoded(F.col("w")).alias("enc"))
+    got = {r["w"]: r["enc"].strip(_BPE_SEP).split(_BPE_SEP * 2) for r in df.collect()}
+    assert got["bar"] == ["b", "ar"]
+    assert got["star"] == ["st", "ar"]
+    # m+er then mer... no 'mer' merge rule beyond ('m','er'): merger ->
+    # m er g er -> (m er) g (er) -> mer g er
+    assert got["merger"] == ["mer", "g", "er"]
+    assert got["aaa"] == ["a", "a", "a"]  # no ('a','a') rule: untouched
+    for w, sym in got.items():
+        assert sym == _py_bpe_encode(w), w
+
+
+def test_gif_resize_roundtrip_matches_floor_lattice():
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_gif,
+        resize_gif_nearest,
+        synth_gif,
+    )
+
+    OW, OH = 4, 3
+    for d in list(range(12)) + [333, 499]:
+        got = parse_gif(resize_gif_nearest(synth_gif(d), OW, OH))
+        w, h = 5 + d % 6, 4 + d % 5
+        y, x = np.mgrid[0:OH, 0:OW]
+        sx, sy = (x * w) // OW, (y * h) // OH
+        i = (11 * d + 37 * sx + 59 * sy) % 256
+        r, g, b = (7 * i + 13) % 256, (11 * i + 5) % 256, (13 * i + 3) % 256
+        wgt = 1 + x + 7 * y
+        assert got == {
+            "width": OW,
+            "height": OH,
+            "n_pixels": OW * OH,
+            "interlaced": d % 2 == 1,
+            "sum_r": int(r.sum()),
+            "sum_g": int(g.sum()),
+            "sum_b": int(b.sum()),
+            "wsum_r": int((wgt * r).sum()),
+            "wsum_g": int((wgt * g).sum()),
+            "wsum_b": int((wgt * b).sum()),
+        }
+
+
+def test_gif_encode_small_palettes_and_odd_sizes():
+    """_gif_encode must hold for palettes below 256 (table-size
+    exponent + the min-code-size floor of 2) — decode back bit-exact."""
+    import numpy as np
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        _gif_encode,
+        _gif_first_raster,
+    )
+
+    rng = np.random.default_rng(3)
+    for n_colors in (2, 3, 4, 16, 100, 256):
+        pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+        for shape in ((1, 1), (3, 7), (8, 5)):
+            idx = rng.integers(0, n_colors, shape).astype(np.uint8)
+            for interlaced in (False, True):
+                out = _gif_first_raster(_gif_encode(idx, pal, interlaced))
+                assert (out[0] == idx).all(), (n_colors, shape, interlaced)
+                assert (out[1][:n_colors] == pal).all()
+                assert out[2] == interlaced
