@@ -97,14 +97,14 @@ except ImportError:  # pragma: no cover - partial checkouts
 # block-6 queue (round-6 second batch + TPC-H sweep completion), the
 # 22 round-11/12/13 queries promoted out of plans/staging.py this
 # round (stage() → register(); staging is EMPTY again and stays a
-# queue), and this round's six additions (`multimodal_jpeg_decode`,
+# queue), and this round's seven additions (`multimodal_jpeg_decode`,
 # then the retrieval/tokenizer batch: `multimodal_gif_decode`,
 # `docs_bm25_topk`, `emb_hybrid_rrf`, `multimodal_gif_resize`,
-# `docs_bpe_encode`). 53 never-checked > 50 slots, so the stale-green
-# refill dropped to zero and the last three sit in the DECLARED
-# next-window queue (3 / bound 25, drains in round 9) — after the r8
-# AND r9 CORRECTNESS files land green, every query the engine has
-# will hold a driver-green row.
+# `docs_bpe_encode`, `docs_bm25_index_increment`). 54 never-checked
+# > 50 slots, so the stale-green refill dropped to zero and the last
+# four sit in the DECLARED next-window queue (4 / bound 25, drains in
+# round 9) — after the r8 AND r9 CORRECTNESS files land green, every
+# query the engine has will hold a driver-green row.
 #
 # POST-DRAIN ROTATION POLICY (round 9+): with the backlog at zero and
 # staging empty, future windows are pure stale-green refresh. Step
@@ -124,7 +124,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=53, stale refill=0) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=54, stale refill=0) --
     "discount_band_revenue",
     "nation_year_profit",
     "docs_bpe_top_merges",
@@ -175,10 +175,11 @@ _DRIVER_FIRST = [
     "multimodal_jpeg_decode",
     "multimodal_gif_decode",
     "docs_bm25_topk",
-    # -- declared next-window queue (3 / bound 25) --
+    # -- declared next-window queue (4 / bound 25) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
+    "docs_bm25_index_increment",
 ]
 
 

@@ -1,6 +1,6 @@
 """Round-15 queries (round-8 second batch): the retrieval lane.
 
-Five additions that complete stories the engine already half-told:
+Six additions that complete stories the engine already half-told:
 
 - `multimodal_gif_decode` — the third REAL compressed-image codec next
   to PNG (DEFLATE) and JPEG (Huffman+DCT): GIF's variable-width LZW
@@ -27,6 +27,10 @@ Five additions that complete stories the engine already half-told:
   as sentinel-wrapped literal replaces — leftmost non-overlapping
   replacement IS greedy BPE — with per-doc token counts and the
   chars-per-token compression ratio.
+- `docs_bm25_index_increment` — the incremental-lane member: a new
+  crawl shard merges into the standing BM25 index by pure integer
+  algebra (postings union, df adds, totals add) and must reproduce
+  the from-scratch ranking bit-for-bit (oracle = full rebuild).
 
 Reference parity: the reference pipeline (src/etl/postgres_sync.py,
 src/utils/pse_edge.py) has no retrieval surface; this lane is a
@@ -157,25 +161,11 @@ def _sql_bm25_docs() -> str:
     )"""
 
 
-def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BM25 frame (doc_id, n_terms, score) for the fixed query
-    terms — the Spark twin of _sql_bm25_docs()."""
-    d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
-    dl = tk.select("doc_id", F.size("__tk").cast("long").alias("dl"))
-    totals = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        tk.select("doc_id", F.explode("__tk").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    # df via a window on the already-collapsed (doc,term) frame — the
-    # single-scan form the tfidf query measured faster than agg+join.
-    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    joined = wdf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+def _bm25_s20_expr() -> F.Column:
+    """The quantized per-posting BM25 score over columns named
+    (tf, df, dl, n_docs, sum_dl). Factored so the from-scratch plan
+    and the index-increment plan evaluate the IDENTICAL expression
+    tree — bit-identical IEEE results given identical integers."""
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
@@ -189,16 +179,48 @@ def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
         )
     )
-    s20 = F.floor(score * F.lit(float(_BM25_SCALE))).cast("long")
+    return F.floor(score * F.lit(float(_BM25_SCALE))).cast("long")
+
+
+def _bm25_fold_scores(scored: DataFrame) -> DataFrame:
+    """(doc_id, s20) postings -> per-doc (doc_id, n_terms, score)."""
     return (
-        joined.select("doc_id", s20.alias("s20"))
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_terms"), F.sum("s20").alias("s20sum"))
         .select(
             "doc_id",
             "n_terms",
             (F.col("s20sum") / F.lit(float(_BM25_SCALE))).alias("score"),
         )
+    )
+
+
+def _bm25_postings(docs: DataFrame):
+    """(dl frame, 1-row totals frame, query-term postings) for a docs
+    slice — the per-shard building block the increment plan merges."""
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    dl = tk.select("doc_id", F.size("__tk").cast("long").alias("dl"))
+    totals = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    tf = (
+        tk.select("doc_id", F.explode("__tk").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return dl, totals, tf
+
+
+def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 frame (doc_id, n_terms, score) for the fixed query
+    terms — the Spark twin of _sql_bm25_docs()."""
+    d = load_table(spark, sf_dir, "documents")
+    dl, totals, tf = _bm25_postings(d)
+    # df via a window on the already-collapsed (doc,term) frame — the
+    # single-scan form the tfidf query measured faster than agg+join.
+    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    joined = wdf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+    return _bm25_fold_scores(
+        joined.select("doc_id", _bm25_s20_expr().alias("s20"))
     )
 
 
@@ -536,3 +558,107 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sym").alias("n_bpe_tokens"),
         (F.sum("n_sym").cast("double") / F.sum("n_chars")).alias("bpe_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental BM25 index maintenance: merge a new shard, re-rank
+# --------------------------------------------------------------------------
+_BM25_SHARD_MOD = 4  # doc_id % 4 == 3 is the "newly crawled" shard
+
+
+@register(
+    "docs_bm25_index_increment",
+    # Oracle = the FROM-SCRATCH BM25 top-k over the full corpus (token-
+    # identical to docs_bm25_topk's oracle) — the increment plan must
+    # reproduce it bit-for-bit, the same contract as
+    # emb_ann_ivfpq_increment (oracle = full rebuild). All merged
+    # statistics are integers, so the algebraic merge is exact and the
+    # shared scoring expression yields identical doubles.
+    oracle=f"""
+    WITH {_sql_bm25_docs()}
+    SELECT doc_id, n_terms, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rk
+    FROM bm25
+    ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """,
+    tags=("llm", "retrieval", "bm25", "incremental"),
+)
+def docs_bm25_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retrieval-index maintenance — the BM25 member of the
+    incremental lane (docs_incremental_dedup / emb_ann_ivfpq_increment
+    / store_mv_refresh_increment): a standing index over the base
+    corpus (postings, per-term df, corpus totals) absorbs a newly
+    crawled shard (doc_id % {mod} == {shard}) by PURE ALGEBRA — shard
+    postings union in (doc-disjoint, no collision), per-term df adds
+    (full outer on term, COALESCE 0 for terms new to either side),
+    corpus totals add — and the query re-ranks on the merged
+    statistics. The base corpus enters ONLY through its three standing
+    aggregates (postings, per-term df, totals) — algebraically
+    separable, so in production they are a persisted index and the
+    crawl shard is the only text scanned (this self-contained query
+    materializes the base aggregates inline, like
+    docs_incremental_dedup's bucket table).
+
+    The result must equal docs_bm25_topk's from-scratch ranking
+    bit-for-bit: every merged statistic is an exact integer, and the
+    scoring expression is the SAME factored tree (_bm25_s20_expr), so
+    the IEEE arithmetic is identical — the oracle is the from-scratch
+    SQL, making the increment algebra the thing under test.
+
+    Scale: df-merge shuffles at most |query terms| rows; the postings
+    union is partition-preserving; the totals merge is two 1-row
+    frames. BM25's global statistics (df, avgdl) are why naive
+    incremental search engines go stale — this shape keeps them exact
+    at shard-merge cost."""
+    d = load_table(spark, sf_dir, "documents")
+    is_shard = (F.col("doc_id") % _BM25_SHARD_MOD) == (_BM25_SHARD_MOD - 1)
+    base_dl, base_tot, base_tf = _bm25_postings(d.filter(~is_shard))
+    new_dl, new_tot, new_tf = _bm25_postings(d.filter(is_shard))
+
+    # --- the merge: integers only, all exact -----------------------------
+    totals = (
+        base_tot.select(
+            F.col("n_docs").alias("nb"), F.col("sum_dl").alias("sb")
+        )
+        .crossJoin(
+            new_tot.select(
+                F.col("n_docs").alias("nn"), F.col("sum_dl").alias("sn")
+            )
+        )
+        .select(
+            (F.col("nb") + F.col("nn")).alias("n_docs"),
+            (F.col("sb") + F.col("sn")).alias("sum_dl"),
+        )
+    )
+    df_base = base_tf.groupBy("term").agg(F.count("*").alias("df_b"))
+    df_new = new_tf.groupBy("term").agg(F.count("*").alias("df_n"))
+    df_merged = (
+        df_base.join(df_new, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_b"), F.lit(0))
+                + F.coalesce(F.col("df_n"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    postings = base_tf.unionByName(new_tf)  # doc-disjoint by construction
+    dl = base_dl.unionByName(new_dl)
+
+    joined = (
+        postings.join(df_merged, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    scored = _bm25_fold_scores(
+        joined.select("doc_id", _bm25_s20_expr().alias("s20"))
+    )
+    ranked = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+docs_bm25_index_increment.__doc__ = docs_bm25_index_increment.__doc__.format(
+    mod=_BM25_SHARD_MOD, shard=_BM25_SHARD_MOD - 1
+)

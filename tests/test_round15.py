@@ -245,3 +245,78 @@ def test_gif_encode_small_palettes_and_odd_sizes():
                 assert (out[0] == idx).all(), (n_colors, shape, interlaced)
                 assert (out[1][:n_colors] == pal).all()
                 assert out[2] == interlaced
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_increment_equals_from_scratch_bit_for_bit(spark, sf_dir):
+    """The merge algebra (postings union, df adds, totals add) must
+    reproduce the from-scratch ranking EXACTLY — same doubles, not just
+    same order (the emb_ann_ivfpq_increment contract)."""
+    from pse_stocks_etl_spark.plans.round15_queries import (
+        docs_bm25_index_increment,
+        docs_bm25_topk,
+    )
+
+    inc = [tuple(r) for r in docs_bm25_index_increment(spark, sf_dir).collect()]
+    scratch = [tuple(r) for r in docs_bm25_topk(spark, sf_dir).collect()]
+    assert inc == scratch
+
+
+def test_bm25_increment_base_side_is_algebraically_separable(spark, sf_dir):
+    """The base corpus reaches the merged ranking ONLY through
+    (postings, df, totals) — recompute the merge from MATERIALIZED base
+    aggregates (simulating a persisted index: the base text is gone)
+    and check the ranking still comes out identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark.plans.round15_queries import (
+        BM25_TOPK,
+        _BM25_SHARD_MOD,
+        _bm25_fold_scores,
+        _bm25_postings,
+        _bm25_s20_expr,
+        docs_bm25_topk,
+    )
+    from pse_stocks_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    is_shard = (F.col("doc_id") % _BM25_SHARD_MOD) == (_BM25_SHARD_MOD - 1)
+    b_dl, b_tot, b_tf = _bm25_postings(d.filter(~is_shard))
+    # materialize the standing index as plain local data — no lineage
+    # back to the base text can survive createDataFrame
+    base_dl = spark.createDataFrame(b_dl.collect(), b_dl.schema)
+    base_tot = spark.createDataFrame(b_tot.collect(), b_tot.schema)
+    base_tf = spark.createDataFrame(b_tf.collect(), b_tf.schema)
+
+    n_dl, n_tot, n_tf = _bm25_postings(d.filter(is_shard))
+    totals = (
+        base_tot.select(F.col("n_docs").alias("nb"), F.col("sum_dl").alias("sb"))
+        .crossJoin(n_tot.select(F.col("n_docs").alias("nn"), F.col("sum_dl").alias("sn")))
+        .select((F.col("nb") + F.col("nn")).alias("n_docs"),
+                (F.col("sb") + F.col("sn")).alias("sum_dl"))
+    )
+    dfm = (
+        base_tf.groupBy("term").agg(F.count("*").alias("db"))
+        .join(n_tf.groupBy("term").agg(F.count("*").alias("dn")), "term", "full_outer")
+        .select("term", (F.coalesce("db", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("df"))
+    )
+    joined = (
+        base_tf.unionByName(n_tf)
+        .join(dfm, "term")
+        .join(base_dl.unionByName(n_dl), "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    scored = _bm25_fold_scores(joined.select("doc_id", _bm25_s20_expr().alias("s20")))
+    ranked = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+    )
+    assert [tuple(r) for r in ranked.collect()] == [
+        tuple(r) for r in docs_bm25_topk(spark, sf_dir).collect()
+    ]
