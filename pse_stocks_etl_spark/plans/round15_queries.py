@@ -195,30 +195,96 @@ def _bm25_fold_scores(scored: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_postings(docs: DataFrame):
-    """(dl frame, 1-row totals frame, query-term postings) for a docs
-    slice — the per-shard building block the increment plan merges."""
+def _bm25_doc_stats_frame(docs: DataFrame) -> DataFrame:
+    """ONE tokenize pass -> per-doc stats (doc_id, dl, tf0..tf4): the
+    document length plus one occurrence count per query term, counted
+    with array filters over the SAME projected token column. This
+    replaces the two-branch shape (a dl branch and an explode/postings
+    branch, each re-scanning and re-tokenizing the corpus — Spark does
+    not dedupe scans across DAG branches), and shrinks what flows
+    onward to |terms|+2 longs per doc — the index-sized frame."""
     tk = docs.select("doc_id", tokens(F.col("text")).alias("__tk"))
-    dl = tk.select("doc_id", F.size("__tk").cast("long").alias("dl"))
-    totals = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    return tk.select(
+        "doc_id",
+        F.size("__tk").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("__tk"), lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+
+
+def _bm25_split_stats(stats: DataFrame):
+    """Per-doc stats frame -> (dl, 1-row totals, query-term postings).
+    The postings carry dl inline, so the scoring join on doc length
+    disappears entirely."""
+    dl = stats.select("doc_id", "dl")
+    totals = stats.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
     tf = (
-        tk.select("doc_id", F.explode("__tk").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(BM25_TERMS)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     return dl, totals, tf
+
+
+def _bm25_postings(docs: DataFrame):
+    """(dl frame, 1-row totals frame, query-term postings incl. dl)
+    for a docs slice — the per-shard building block the increment plan
+    merges."""
+    return _bm25_split_stats(_bm25_doc_stats_frame(docs))
+
+
+def _bm25_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc stats frame persisted through the engine's shared
+    working-set LRU (the shingle-cache pattern): ~7 longs per doc —
+    index-sized, so at 100 TB the cache holds the INDEX, not the text,
+    and totals/postings both read it without re-tokenizing."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..sources.catalog import load_table as _lt
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _BM25_STATS_CACHE.get_or_build(
+        key,
+        lambda: _bm25_doc_stats_frame(_lt(spark, sf_dir, "documents")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+    )
+
+
+from .llm_queries import EXTRA_WORKING_SET_CACHES, _PersistedLRU  # noqa: E402
+
+_BM25_STATS_CACHE = _PersistedLRU(2)
+EXTRA_WORKING_SET_CACHES.append(_BM25_STATS_CACHE)
 
 
 def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 frame (doc_id, n_terms, score) for the fixed query
     terms — the Spark twin of _sql_bm25_docs()."""
-    d = load_table(spark, sf_dir, "documents")
-    dl, totals, tf = _bm25_postings(d)
+    _dl, totals, tf = _bm25_split_stats(_bm25_stats_cached(spark, sf_dir))
     # df via a window on the already-collapsed (doc,term) frame — the
     # single-scan form the tfidf query measured faster than agg+join.
     wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    joined = wdf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+    joined = wdf.crossJoin(F.broadcast(totals))  # dl rides the postings
     return _bm25_fold_scores(
         joined.select("doc_id", _bm25_s20_expr().alias("s20"))
     )
@@ -611,10 +677,10 @@ def docs_bm25_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames. BM25's global statistics (df, avgdl) are why naive
     incremental search engines go stale — this shape keeps them exact
     at shard-merge cost."""
-    d = load_table(spark, sf_dir, "documents")
+    stats = _bm25_stats_cached(spark, sf_dir)
     is_shard = (F.col("doc_id") % _BM25_SHARD_MOD) == (_BM25_SHARD_MOD - 1)
-    base_dl, base_tot, base_tf = _bm25_postings(d.filter(~is_shard))
-    new_dl, new_tot, new_tf = _bm25_postings(d.filter(is_shard))
+    _bdl, base_tot, base_tf = _bm25_split_stats(stats.filter(~is_shard))
+    _ndl, new_tot, new_tf = _bm25_split_stats(stats.filter(is_shard))
 
     # --- the merge: integers only, all exact -----------------------------
     totals = (
@@ -644,13 +710,10 @@ def docs_bm25_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     postings = base_tf.unionByName(new_tf)  # doc-disjoint by construction
-    dl = base_dl.unionByName(new_dl)
 
-    joined = (
-        postings.join(df_merged, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
-    )
+    # postings carry dl inline (the single-scan stats shape), so the
+    # scoring join on doc length is gone entirely
+    joined = postings.join(df_merged, "term").crossJoin(F.broadcast(totals))
     scored = _bm25_fold_scores(
         joined.select("doc_id", _bm25_s20_expr().alias("s20"))
     )

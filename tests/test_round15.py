@@ -286,14 +286,14 @@ def test_bm25_increment_base_side_is_algebraically_separable(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     is_shard = (F.col("doc_id") % _BM25_SHARD_MOD) == (_BM25_SHARD_MOD - 1)
-    b_dl, b_tot, b_tf = _bm25_postings(d.filter(~is_shard))
+    _bdl, b_tot, b_tf = _bm25_postings(d.filter(~is_shard))
     # materialize the standing index as plain local data — no lineage
-    # back to the base text can survive createDataFrame
-    base_dl = spark.createDataFrame(b_dl.collect(), b_dl.schema)
+    # back to the base text can survive createDataFrame (the postings
+    # carry dl inline, so the index is two frames: totals + postings)
     base_tot = spark.createDataFrame(b_tot.collect(), b_tot.schema)
     base_tf = spark.createDataFrame(b_tf.collect(), b_tf.schema)
 
-    n_dl, n_tot, n_tf = _bm25_postings(d.filter(is_shard))
+    _ndl, n_tot, n_tf = _bm25_postings(d.filter(is_shard))
     totals = (
         base_tot.select(F.col("n_docs").alias("nb"), F.col("sum_dl").alias("sb"))
         .crossJoin(n_tot.select(F.col("n_docs").alias("nn"), F.col("sum_dl").alias("sn")))
@@ -308,7 +308,6 @@ def test_bm25_increment_base_side_is_algebraically_separable(spark, sf_dir):
     joined = (
         base_tf.unionByName(n_tf)
         .join(dfm, "term")
-        .join(base_dl.unionByName(n_dl), "doc_id")
         .crossJoin(F.broadcast(totals))
     )
     scored = _bm25_fold_scores(joined.select("doc_id", _bm25_s20_expr().alias("s20")))
