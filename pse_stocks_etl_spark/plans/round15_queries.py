@@ -279,12 +279,22 @@ EXTRA_WORKING_SET_CACHES.append(_BM25_STATS_CACHE)
 
 def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 frame (doc_id, n_terms, score) for the fixed query
-    terms — the Spark twin of _sql_bm25_docs()."""
+    terms — the Spark twin of _sql_bm25_docs().
+
+    df deliberately does NOT use the tfidf query's window-over-term
+    form: with a |terms|-ary query, PARTITION BY term funnels every
+    posting through at most |terms| reducers — a hot query term (think
+    a stopword) means billions of rows on one partition at 100 TB. The
+    groupBy form map-side-combines to |terms| rows, which then
+    broadcast back onto the postings (bounded by the frozen query-term
+    list). tfidf keeps the window because its partition key is the
+    UNBOUNDED term space — many partitions, none hot by construction
+    of the collapsed frame."""
     _dl, totals, tf = _bm25_split_stats(_bm25_stats_cached(spark, sf_dir))
-    # df via a window on the already-collapsed (doc,term) frame — the
-    # single-scan form the tfidf query measured faster than agg+join.
-    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    joined = wdf.crossJoin(F.broadcast(totals))  # dl rides the postings
+    dfm = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dfm), "term").crossJoin(
+        F.broadcast(totals)
+    )  # dl rides the postings
     return _bm25_fold_scores(
         joined.select("doc_id", _bm25_s20_expr().alias("s20"))
     )
