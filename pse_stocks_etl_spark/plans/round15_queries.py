@@ -722,8 +722,12 @@ def docs_bm25_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = base_tf.unionByName(new_tf)  # doc-disjoint by construction
 
     # postings carry dl inline (the single-scan stats shape), so the
-    # scoring join on doc length is gone entirely
-    joined = postings.join(df_merged, "term").crossJoin(F.broadcast(totals))
+    # scoring join on doc length is gone entirely; df_merged broadcasts
+    # (bounded by the frozen term list) so the postings are never
+    # shuffled on term — the same hot-term guard as _bm25_docs
+    joined = postings.join(F.broadcast(df_merged), "term").crossJoin(
+        F.broadcast(totals)
+    )
     scored = _bm25_fold_scores(
         joined.select("doc_id", _bm25_s20_expr().alias("s20"))
     )

@@ -104,6 +104,7 @@ ALLOWED = {
     ("plans/llm_queries.py", "q"): "frozen query vectors",
     ("plans/round15_queries.py", "totals"): "global corpus totals (1 row)",
     ("plans/round15_queries.py", "dfm"): "per-query-term df (bounded by the frozen 5-term list)",
+    ("plans/round15_queries.py", "df_merged"): "merged per-query-term df (bounded by the frozen 5-term list)",
     ("plans/round15_queries.py", "q"): "single query vector (1 row by literal-id filter)",
     ("plans/llm_queries.py", "qvecs"): "frozen query vectors",
     ("plans/llm_queries.py", "probes"): "per-query probe cells (frozen)",
