@@ -116,6 +116,11 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verbatim with the oracle SQL (the retrieval twin of the fixed
 # ANN_QUERY_IDS convention in llm_queries).
 BM25_TERMS = ("spark", "merge", "window", "vector", "customer")
+# Documentary constants: the plans and oracles inline the derived
+# literals verbatim (2.2 = k1+1, 0.25 = 1-b, 0.75 = b) rather than
+# computing them — float ARITHMETIC on parsed literals can round to a
+# different double than PARSING the derived literal, and the parity
+# contract needs both engines to parse identical tokens.
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20

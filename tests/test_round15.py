@@ -319,3 +319,33 @@ def test_bm25_increment_base_side_is_algebraically_separable(spark, sf_dir):
     assert [tuple(r) for r in ranked.collect()] == [
         tuple(r) for r in docs_bm25_topk(spark, sf_dir).collect()
     ]
+
+
+def test_bm25_postings_are_never_shuffled_on_term(spark, sf_dir):
+    """The hot-term guard, pinned at the PLAN level: df reaches the
+    postings via broadcast (bounded by the frozen query-term list), so
+    the only term-keyed exchanges carry PARTIAL AGGREGATES (at most
+    one row per term per partition), never the postings themselves —
+    with a 5-term query a postings shuffle on term would funnel every
+    posting through at most five reducers (one of them corpus-sized if
+    a query term is hot)."""
+    from pse_stocks_etl_spark.plans.round15_queries import (
+        docs_bm25_index_increment,
+        docs_bm25_topk,
+    )
+
+    for q in (docs_bm25_topk, docs_bm25_index_increment):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, q.__name__
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange hashpartitioning(term" not in line:
+                continue
+            # the exchange's input is the next (deeper) line: it must
+            # be a partial aggregate, i.e. only term-rollup rows move
+            child = lines[i + 1]
+            assert "HashAggregate" in child and "partial_" in child, (
+                q.__name__,
+                line.strip(),
+                child.strip(),
+            )
