@@ -115,3 +115,26 @@ def test_default_null_ordering_diverges_exactly_as_documented(spark_t, duck_t):
     assert [r["id"] for r in spark_t.sql(q2).collect()] == [
         r[0] for r in duck_t.sql(q2).fetchall()
     ]
+
+
+def test_no_oracle_regex_uses_re2_unsupported_constructs():
+    """Regex-engine boundary, made structural: DuckDB's regex engine is
+    RE2 (no lookahead/lookbehind, no backreferences, no atomic or
+    possessive groups), Spark's is java.util.regex (all supported). A
+    pattern using lookaround would silently behave differently — or
+    error — on exactly one engine, so the oracle surface is restricted
+    to the common subset. (?:...) non-capturing groups are RE2-safe
+    and allowed."""
+    import re
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.staging import STAGING
+
+    # (?= (?! (?< (?P and \1..\9 backrefs; (?: is fine
+    bad = re.compile(r"\(\?[=!<P]|\\[1-9]")
+    offenders = []
+    for reg in (plans.REGISTRY, STAGING):
+        for name, q in reg.items():
+            if q.oracle and bad.search(q.oracle):
+                offenders.append(name)
+    assert not offenders, offenders
