@@ -134,20 +134,25 @@ def main() -> None:
         digests[name] = plan_digest(q.fn(spark, sf_dir))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "canary_sec": canary_sec(spark),
-                "plan_digest": digests,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary_sec": canary_sec(spark),
+    }
+    # Plan digests and any future verbose fields go to a side file so
+    # the stdout JSON line stays small enough for the driver's capture
+    # window (BENCH_r08.json overflowed mid-JSON and parsed as null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "plan_digest": digests}, f, indent=1)
     spark.stop()
+    # Print LAST, after spark.stop(), so no JVM shutdown noise can land
+    # between the JSON line and end-of-stream.
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

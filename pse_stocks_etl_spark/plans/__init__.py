@@ -124,62 +124,57 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=54, stale refill=0) --
-    "discount_band_revenue",
-    "nation_year_profit",
-    "docs_bpe_top_merges",
-    "docs_vocab_growth",
-    "emb_matryoshka_recall",
-    "value_mannwhitney_u",
-    "bucketed_colocated_join",
-    "emb_semdedup",
-    "scd2_customer_merge",
-    "docs_dsir_affinity",
-    "docs_trending_terms",
-    "events_cdc_apply",
-    "brand_share_with_others",
-    "emb_knn_classify",
-    "brand_size_supplier_counts",
-    "multimodal_wav_downsample",
-    "streaming_cdc_merge",
-    "emb_ann_recall_report",
-    "store_version_diff",
-    "multimodal_bmp_resize",
-    "value_winsorized_stats",
-    "cohort_ltv_matrix",
-    "min_cost_regional_supplier",
-    "delay_band_priority_counts",
-    "dominant_part_suppliers",
-    "streaming_click_full_join",
-    "docs_incremental_simhash",
-    "docs_source_dup_matrix",
-    "docs_line_dedup",
-    "streaming_click_semi_join",
-    "docs_lsh_recall_report",
-    "rag_chunk_ivf_index",
-    "docs_incremental_line_dedup",
-    "emb_vector_audit",
-    "store_mv_refresh_increment",
-    "copurchase_khop_distance",
-    "customer_k_anonymity",
-    "events_rollup_cascade",
-    "variant_cuped_adjusted",
-    "events_late_arrival_audit",
-    "user_survival_lifetable",
-    "streaming_late_drop_counts",
-    "events_cascade_increment",
-    "events_decayed_hitters",
-    "multimodal_png_decode",
-    "datasource_stream_prices",
-    "compressed_io_roundtrip",
-    "multimodal_jpeg_decode",
-    "multimodal_gif_decode",
-    "docs_bm25_topk",
-    # -- declared next-window queue (4 / bound 25) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=4, stale refill=46) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
     "docs_bm25_index_increment",
+    "anti_join_uptodate",
+    "asof_click_attribution",
+    "broadcast_watermark_join",
+    "classify_freshness",
+    "datasource_price_scan",
+    "date_parse_format",
+    "dedup_argmax",
+    "distinct_count_per_key",
+    "distinct_dims",
+    "docs_bpe_token_stats",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_minhash_lsh_pairs",
+    "docs_near_dup_clusters",
+    "docs_ngram_jaccard_pairs",
+    "docs_pii_scrub",
+    "docs_quality_score",
+    "docs_split_assign",
+    "docs_token_stats",
+    "docs_top_terms",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "emb_kmeans_refine",
+    "emb_near_dup_pairs",
+    "freshness_merge_preview",
+    "hourly_event_rollup",
+    "incremental_windows",
+    "local_supplier_volume",
+    "merge_upsert_preview",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_orders",
+    "select_rename_filter",
+    "semi_join_in",
+    "sessionization",
+    "shipping_priority",
+    "star_join_revenue",
+    "sync_end_to_end",
+    "top_n_orders",
+    "topk_per_group",
+    "union_all_batches",
+    "watermark_per_key",
+    "above_avg_orders",
 ]
 
 

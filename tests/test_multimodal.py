@@ -857,3 +857,44 @@ def test_real_decode_dispatches_gif():
 
     p = synth_gif(11)
     assert real_decode(p) == parse_gif(p)
+
+
+def test_real_resize_dispatches_gif():
+    # r8 verdict item 2: the generic resize entry point must route GIF
+    # magics to the real GIF resample and return a decodable GIF.
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_gif,
+        real_resize,
+        resize_gif_nearest,
+        synth_gif,
+    )
+
+    for doc_id in (4, 11):  # even=progressive, odd=interlaced
+        p = synth_gif(doc_id)
+        out = real_resize(p, 6, 4)
+        assert out == resize_gif_nearest(p, 6, 4)
+        m = parse_gif(out)
+        assert (m["width"], m["height"]) == (6, 4)
+
+
+def test_real_resize_unknown_format_names_video_only():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import real_resize
+
+    with pytest.raises(NotImplementedError, match="MP4/H.264"):
+        real_resize(b"\x00\x00\x00\x18ftypisom", 4, 4)
+
+
+def test_gif_garbage_terminator_rejected():
+    # ADVICE r8: a byte after the image data that is not a trailer,
+    # image separator, or extension introducer must fail loudly.
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_gif, synth_gif
+
+    p = bytearray(synth_gif(6))
+    assert p[-1] == 0x3B
+    p[-1] = 0x7F
+    with pytest.raises(ValueError, match="after image data"):
+        parse_gif(bytes(p))

@@ -343,6 +343,7 @@ def test_bm25_postings_are_never_shuffled_on_term(spark, sf_dir):
                 continue
             # the exchange's input is the next (deeper) line: it must
             # be a partial aggregate, i.e. only term-rollup rows move
+            assert i + 1 < len(lines), (q.__name__, line.strip())
             child = lines[i + 1]
             assert "HashAggregate" in child and "partial_" in child, (
                 q.__name__,
