@@ -88,10 +88,11 @@ def real_decode(payload: bytes) -> dict:
     DEFLATE via stdlib zlib), baseline JPEG (SOF0, canonical Huffman +
     numpy IDCT) and GIF (89a, variable-width LZW) decode for REAL —
     `parse_wav` / `parse_bmp` / `parse_y4m` / `parse_png` /
-    `parse_jpeg` / `parse_gif` below. Video containers (MP4/H.264)
-    genuinely need ffmpeg, which this container lacks, so those stay a
-    marked stub with `decode_features`' deterministic fake carrying
-    the tests."""
+    `parse_jpeg` / `parse_gif` below. MP4 parses at CONTAINER scope
+    for real (`parse_mp4` — box walk + sample tables); H.264 ENTROPY
+    decoding of the samples inside mdat genuinely needs ffmpeg, which
+    this container lacks, and stays the one marked stub with
+    `decode_features`' deterministic fake carrying the tests."""
     if payload[:4] == b"RIFF":
         return parse_wav(payload)
     if payload[:2] == b"BM":
@@ -104,9 +105,11 @@ def real_decode(payload: bytes) -> dict:
         return parse_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return parse_gif(payload)
+    if payload[4:8] == b"ftyp":
+        return parse_mp4(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
-        "MP4/H.264 codecs unavailable; deterministic fake used instead "
-        "(decode_features)"
+        "H.264 sample decode unavailable; deterministic fake used "
+        "instead (decode_features)"
     )
 
 
@@ -2203,42 +2206,59 @@ def parse_mp4(payload: bytes) -> dict:
     minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
     stbl_b, stbl_e = _mp4_child(payload, minf_b, minf_e, b"stbl")
 
+    def _entries(box_b: int, box_e: int, hdr: int, width: int, n: int, what: str):
+        """A declared entry count must fit inside its box body — a lying
+        count is a ValueError, never a struct.error escaping upward."""
+        if box_b + hdr + width * n > box_e:
+            raise ValueError(
+                f"{what} declares {n} entries but box holds "
+                f"{box_e - box_b - hdr} bytes"
+            )
+
     # stts
-    stts_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stts")
+    stts_b, stts_e = _mp4_child(payload, stbl_b, stbl_e, b"stts")
     n_runs = struct.unpack_from(">I", payload, stts_b + 4)[0]
+    _entries(stts_b, stts_e, 8, 8, n_runs, "stts")
     stts_total, stts_dur = 0, 0
     for r in range(n_runs):
         c, d = struct.unpack_from(">II", payload, stts_b + 8 + 8 * r)
         stts_total += c
         stts_dur += c * d
     # stsz
-    stsz_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stsz")
+    stsz_b, stsz_e = _mp4_child(payload, stbl_b, stbl_e, b"stsz")
     uniform, n_samples = struct.unpack_from(">II", payload, stsz_b + 4)
     if uniform:
         sizes = [uniform] * n_samples
     else:
+        _entries(stsz_b, stsz_e, 12, 4, n_samples, "stsz")
         sizes = list(
             struct.unpack_from(f">{n_samples}I", payload, stsz_b + 12)
         )
     # stsc
-    stsc_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stsc")
+    stsc_b, stsc_e = _mp4_child(payload, stbl_b, stbl_e, b"stsc")
     n_stsc = struct.unpack_from(">I", payload, stsc_b + 4)[0]
+    _entries(stsc_b, stsc_e, 8, 12, n_stsc, "stsc")
     stsc_entries = [
         struct.unpack_from(">III", payload, stsc_b + 8 + 12 * r)
         for r in range(n_stsc)
     ]
     # stco or co64
     try:
-        stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stco")
+        stco_b, stco_e = _mp4_child(payload, stbl_b, stbl_e, b"stco")
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
+        _entries(stco_b, stco_e, 8, 4, n_chunks, "stco")
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco_b + 8))
-    except ValueError:
-        stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"co64")
+    except ValueError as err:
+        if "stco declares" in str(err):
+            raise
+        stco_b, stco_e = _mp4_child(payload, stbl_b, stbl_e, b"co64")
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
+        _entries(stco_b, stco_e, 8, 8, n_chunks, "co64")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, stco_b + 8))
     # stss
-    stss_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stss")
+    stss_b, stss_e = _mp4_child(payload, stbl_b, stbl_e, b"stss")
     n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
+    _entries(stss_b, stss_e, 8, 4, n_sync, "stss")
     sync = list(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
 
     # ---- cross-table validation ----

@@ -78,6 +78,12 @@ try:  # round-15 queries (GIF/LZW codec, BM25, RRF hybrid retrieval)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-16 queries (MP4 container, URL canonicalization lane,
+    # end-to-end corpus build, incremental contamination)
+    from . import round16_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -124,11 +130,17 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=4, stale refill=46) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=10, stale refill=40) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
     "docs_bm25_index_increment",
+    "multimodal_mp4_metadata",
+    "docs_url_canonicalize",
+    "docs_url_dedup",
+    "docs_domain_cap",
+    "corpus_build",
+    "docs_incremental_contamination",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -169,12 +181,6 @@ _DRIVER_FIRST = [
     "sessionization",
     "shipping_priority",
     "star_join_revenue",
-    "sync_end_to_end",
-    "top_n_orders",
-    "topk_per_group",
-    "union_all_batches",
-    "watermark_per_key",
-    "above_avg_orders",
 ]
 
 

@@ -123,6 +123,12 @@ ALLOWED = {
     # synthetic split derives it from documents only because the
     # testdata has no second table. Documented in docs_contamination.
     ("plans/corpus_queries.py", "bench"): "benchmark shingles: eval sets are bounded by contract",
+    ("plans/round16_queries.py", "new_bench"): "NEW benchmark slice shingles: eval sets are bounded by contract (same as corpus_queries bench)",
+    # docs_domain_cap: registered domains are NOT a bounded enum (a
+    # real crawl has ~1e8), so ONLY the over-cap hot list broadcasts —
+    # heavy-hitter bound <= n/cap; the under-cap tail routes via
+    # broadcast ANTI join against the same bounded list (r9 review).
+    ("plans/round16_queries.py", "hot_doms"): "over-cap domain list (<= n/cap keys, heavy-hitter bound); used for BOTH semi and anti routing",
     ("plans/round6_queries.py", "du"): None,  # REMOVED r8 — left as tombstone
     ("plans/round6_queries.py", "dv"): None,  # REMOVED r8 — tombstone
 }

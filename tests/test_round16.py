@@ -1,0 +1,284 @@
+"""Round-16 queries: MP4 container parse, URL canonicalization lane,
+end-to-end corpus build, incremental contamination.
+
+The MP4 codec gets the same treatment as the other real codecs
+(tests/test_multimodal.py's conventions): exhaustive round-trip over a
+lattice sweep, an every-cut truncation sweep, and loud-failure checks
+for each cross-table validation. The incremental-contamination
+separability contract (increment + standing == two-slice recompute) is
+pinned here, mirroring the increment-equals-rebuild contracts of the
+BM25/IVFPQ incremental lanes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pse_stocks_etl_spark.operators.multimodal import parse_mp4, synth_mp4
+
+
+# --------------------------------------------------------------------------
+# MP4 codec: pure-Python contracts (no Spark needed)
+# --------------------------------------------------------------------------
+def test_mp4_roundtrip_matches_lattice():
+    for d in range(80):
+        m = parse_mp4(synth_mp4(d))
+        n = 8 + d % 7
+        sizes = [50 + (17 * d + 31 * i) % 100 for i in range(n)]
+        durs = [(100 if i < n // 2 else 120) + d % 9 for i in range(n)]
+        assert m == {
+            "width": 16 * (4 + d % 5),
+            "height": 16 * (3 + d % 4),
+            "timescale": 1000,
+            "duration": sum(durs),
+            "n_samples": n,
+            "n_chunks": (n + 2) // 3,
+            "n_keyframes": (n + 3) // 4,
+            "sum_sample_bytes": sum(sizes),
+            "max_sample_size": max(sizes),
+            "wsum_sample_bytes": sum((i + 1) * s for i, s in enumerate(sizes)),
+            "largesize_mdat": d % 2 == 0,
+        }, d
+
+
+def test_mp4_truncation_sweep_every_cut_fails_loudly():
+    # Every strict prefix must raise ValueError — never return garbage
+    # and never raise a non-ValueError (struct errors escaping would
+    # break the fail-loudly codec contract). Both header widths swept.
+    for d in (6, 7):
+        payload = synth_mp4(d)
+        for cut in range(len(payload)):
+            with pytest.raises(ValueError):
+                parse_mp4(payload[:cut])
+
+
+def test_mp4_bad_magic_and_box_garbage():
+    p = synth_mp4(4)
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free" + p)
+    # impossible 32-bit size in the first box
+    bad = b"\x00\x00\x00\x03ftyp" + p[8:]
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+    with pytest.raises(ValueError):
+        parse_mp4(b"")
+
+
+def _flip(payload: bytes, needle: bytes, off: int, new: bytes) -> bytes:
+    i = payload.index(needle) + off
+    return payload[:i] + new + payload[i + len(new) :]
+
+
+def test_mp4_cross_table_validation_catches_lies():
+    p = synth_mp4(9)
+    # stsz sample count +1: stts total no longer matches
+    i = p.index(b"stsz") + 4 + 4 + 4  # fourcc, version/flags, uniform
+    n = int.from_bytes(p[i : i + 4], "big")
+    with pytest.raises(ValueError, match="stts total|stsz"):
+        parse_mp4(p[:i] + (n + 1).to_bytes(4, "big") + p[i + 4 :])
+    # first sample size +1: mdat byte accounting breaks
+    j = p.index(b"stsz") + 16
+    s0 = int.from_bytes(p[j : j + 4], "big")
+    with pytest.raises(ValueError, match="mdat|chunk"):
+        parse_mp4(p[:j] + (s0 + 1).to_bytes(4, "big") + p[j + 4 :])
+    # corrupt the first chunk offset (co64 for odd doc_id): not
+    # increasing / escapes mdat
+    k = p.index(b"co64") + 12  # 4 fourcc-relative hdr + 4 vflags + 4 count
+    with pytest.raises(ValueError, match="chunk|increasing"):
+        parse_mp4(p[:k] + (1 << 40).to_bytes(8, "big") + p[k + 8 :])
+    # a lying entry count must be a ValueError, never a struct.error
+    k2 = p.index(b"co64") + 8
+    with pytest.raises(ValueError, match="declares"):
+        parse_mp4(p[:k2] + (1 << 40).to_bytes(8, "big") + p[k2 + 8 :])
+    # stss sample number beyond n_samples
+    q = p.index(b"stss") + 8 + 4
+    with pytest.raises(ValueError, match="stss"):
+        parse_mp4(p[:q] + (10_000).to_bytes(4, "big") + p[q + 4 :])
+
+
+def test_mp4_unknown_boxes_are_skipped_and_stale_offsets_caught():
+    p = synth_mp4(8)
+    inject = b"\x00\x00\x00\x10skip" + b"\x00" * 8
+    # a trailing unknown box does not shift mdat: parse is unchanged
+    assert parse_mp4(p + inject) == parse_mp4(p)
+    # an unknown box injected BEFORE moov shifts mdat while stco stays
+    # stale — the byte-accounting validation must catch it, not guess
+    i = p.index(b"free") - 4  # start of the free box header
+    with pytest.raises(ValueError, match="chunk|mdat"):
+        parse_mp4(p[:i] + inject + p[i:])
+
+
+def test_real_decode_dispatches_mp4():
+    from pse_stocks_etl_spark.operators.multimodal import real_decode
+
+    p = synth_mp4(13)
+    assert real_decode(p) == parse_mp4(p)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization: variant-collapse contracts
+# --------------------------------------------------------------------------
+def test_url_canonicalization_collapses_known_variants(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round16_queries import docs_url_canonicalize
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in docs_url_canonicalize(spark, sf_dir).collect()
+        if r["doc_id"] is not None and r["doc_id"] < 1000
+    }
+    for d, r in rows.items():
+        # canonical identity is exactly (host residue, path residue,
+        # rare explicit port) — every noise axis must be gone
+        assert "#" not in r["canonical_url"], r
+        assert "utm_" not in r["canonical_url"], r
+        assert "www." not in r["canonical_url"], r
+        assert ":80/" not in r["canonical_url"], r
+        exp_host = f"site{d % 7}.example." + ("com" if d % 7 < 4 else "org")
+        if d % 6 != 0 and d % 77 == 1:  # the :80 branch wins at d=78 etc.
+            exp_host += ":8080"
+        assert r["host"] == exp_host, r
+        assert r["registered_domain"] == "example." + (
+            "com" if d % 7 < 4 else "org"
+        ), r
+        assert r["tld"] == ("com" if d % 7 < 4 else "org"), r
+        exp_path = f"/articles/{d % 11}"
+        assert r["canonical_url"] == f"http://{exp_host}{exp_path}", r
+    # raw variants genuinely differed before canonicalization
+    assert any("WWW." in r["url"] or "#"
+               in r["url"] or "utm_" in r["url"] for r in rows.values())
+
+
+def test_url_dedup_groups_absorb_variants(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round16_queries import docs_url_dedup
+
+    rows = docs_url_dedup(spark, sf_dir).collect()
+    groups = {r["canonical_url"]: r for r in rows if r["canonical_url"]}
+    # duplicate groups exist and absorbed multiple raw spellings
+    multi = [g for g in groups.values() if g["n_docs"] > 1]
+    assert multi, "no duplicate canonical groups at this SF"
+    assert any(g["n_variants"] > 1 for g in multi)
+    for g in rows:
+        assert g["n_variants"] <= g["n_docs"]
+
+
+def test_domain_cap_and_canonicalize_are_map_only(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round16_queries import (
+        docs_url_canonicalize,
+        multimodal_mp4_metadata,
+    )
+
+    for q in (docs_url_canonicalize, multimodal_mp4_metadata):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, (q.__name__, plan)
+
+
+def test_domain_cap_hot_path_windows_only_capped_domains(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round16_queries import (
+        DOMAIN_CAP_K,
+        docs_domain_cap,
+    )
+
+    out = docs_domain_cap(spark, sf_dir)
+    counts = {}
+    for r in out.collect():
+        counts.setdefault(r["registered_domain"], [0, 0])
+        counts[r["registered_domain"]][0] += 1
+        counts[r["registered_domain"]][1] += bool(r["kept"])
+    for dom, (n, kept) in counts.items():
+        assert kept == min(n, DOMAIN_CAP_K), (dom, n, kept)
+
+
+# --------------------------------------------------------------------------
+# corpus_build: stage-consistency contracts
+# --------------------------------------------------------------------------
+def test_corpus_build_is_consistent_with_its_stages(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    build = {r["doc_id"]: r.asDict()
+             for r in REGISTRY["corpus_build"].fn(spark, sf_dir).collect()}
+    keep = {
+        r["doc_id"]
+        for r in REGISTRY["docs_pipeline_keep"].fn(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    assert set(build) == keep  # exactly the survivors are packed
+    split = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["docs_split_assign"].fn(spark, sf_dir).collect()
+    }
+    from pse_stocks_etl_spark.plans.corpus_queries import PACK_CAPACITY
+
+    shards = {}
+    for d, r in build.items():
+        assert r["split"] == split[d]  # split matches the stage query
+        assert r["first_chunk"] == r["start_off"] // PACK_CAPACITY
+        assert r["last_chunk"] >= r["first_chunk"]
+        shards.setdefault((r["split"], r["source"]), []).append(r)
+    # within a shard, offsets tile back-to-back with no gaps
+    for rows in shards.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_off"] == off, r
+            off += r["n_tokens"]
+
+
+# --------------------------------------------------------------------------
+# incremental contamination: separability contract
+# --------------------------------------------------------------------------
+def test_incremental_contamination_equals_recompute_delta(spark, sf_dir):
+    """increment (train x NEW-bench) + standing (train x OLD-bench,
+    train excluding the new slice) == full recompute against both
+    slices — the property that makes per-eval-suite decontamination
+    sound without rescanning the corpus."""
+    from pse_stocks_etl_spark.plans.corpus_queries import (
+        BENCH_MOD,
+        BENCH_REM,
+        CONTAM_MIN_SHARED,
+    )
+    from pse_stocks_etl_spark.plans.llm_queries import _shingles_cached
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+    from pse_stocks_etl_spark.plans.round16_queries import NEW_BENCH_REM
+
+    import pyspark.sql.functions as F
+
+    inc = {
+        (r["doc_id"], r["bench_doc_id"], r["n_shared"])
+        for r in REGISTRY["docs_incremental_contamination"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    sh = _shingles_cached(spark, sf_dir)
+    is_new = (F.col("doc_id") % BENCH_MOD) == NEW_BENCH_REM
+    is_old = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
+    bench = sh.filter(is_new | is_old).withColumnRenamed("doc_id", "bench_doc_id")
+    train = sh.filter(~is_new & ~is_old)
+    full = {
+        (r["doc_id"], r["bench_doc_id"], r["n_shared"])
+        for r in train.join(bench, "sh")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .collect()
+    }
+    standing = {
+        t for t in full if t[1] % BENCH_MOD == BENCH_REM
+    }
+    assert inc | standing == full
+    assert inc.isdisjoint(standing)
+    assert all(b % BENCH_MOD == NEW_BENCH_REM for _, b, _n in inc)
+
+
+def test_incremental_contamination_broadcasts_only_the_new_slice(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    plan = (
+        REGISTRY["docs_incremental_contamination"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles on sh
