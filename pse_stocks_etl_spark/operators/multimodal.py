@@ -2344,3 +2344,114 @@ def decode_mp4(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=MP4_FEATURES_SCHEMA)
+
+
+MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_no", T.LongType()),  # 0-based decode order
+        T.StructField("chunk_no", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("is_keyframe", T.BooleanType()),
+        T.StructField("rel_offset", T.LongType()),  # bytes into mdat
+    ]
+)
+
+
+def mp4_sample_rows(payload: bytes) -> list[dict]:
+    """Resolve the sample tables into one row PER SAMPLE — the
+    stsc/stco/stts resolution a video pipeline runs to seek: expand
+    stts runs to per-sample durations, walk stsc to assign samples to
+    chunks, and derive each sample's byte offset from its chunk's
+    stco/co64 offset plus the intra-chunk prefix of stsz sizes
+    (expressed relative to mdat so the layout is position-independent).
+    Reuses parse_mp4's validation by re-walking the same boxes — a
+    payload that fails parse_mp4 fails here identically."""
+    import struct
+
+    parse_mp4(payload)  # full cross-table validation first
+    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    top = {fc: (b, e) for fc, b, e, _h in boxes}
+    moov_b, moov_e = top[b"moov"]
+    mdat_b, _mdat_e = top[b"mdat"]
+    trak_b, trak_e = _mp4_child(payload, moov_b, moov_e, b"trak")
+    mdia_b, mdia_e = _mp4_child(payload, trak_b, trak_e, b"mdia")
+    minf_b, minf_e = _mp4_child(payload, mdia_b, mdia_e, b"minf")
+    stbl_b, stbl_e = _mp4_child(payload, minf_b, minf_e, b"stbl")
+
+    stts_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stts")
+    n_runs = struct.unpack_from(">I", payload, stts_b + 4)[0]
+    durs: list[int] = []
+    for r in range(n_runs):
+        c, d = struct.unpack_from(">II", payload, stts_b + 8 + 8 * r)
+        durs.extend([d] * c)
+    stsz_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stsz")
+    uniform, n_samples = struct.unpack_from(">II", payload, stsz_b + 4)
+    sizes = (
+        [uniform] * n_samples
+        if uniform
+        else list(struct.unpack_from(f">{n_samples}I", payload, stsz_b + 12))
+    )
+    stsc_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stsc")
+    n_stsc = struct.unpack_from(">I", payload, stsc_b + 4)[0]
+    stsc_entries = [
+        struct.unpack_from(">III", payload, stsc_b + 8 + 12 * r)
+        for r in range(n_stsc)
+    ]
+    try:
+        stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stco")
+        n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco_b + 8))
+    except ValueError:
+        stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"co64")
+        n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, stco_b + 8))
+    stss_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stss")
+    n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
+    sync = set(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
+
+    per_chunk: list[int] = []
+    for idx, (first, spc, _sdi) in enumerate(stsc_entries):
+        last = (
+            stsc_entries[idx + 1][0] - 1 if idx + 1 < len(stsc_entries) else n_chunks
+        )
+        per_chunk.extend([spc] * (last - first + 1))
+    rows, si = [], 0
+    for c, cnt in enumerate(per_chunk):
+        intra = 0
+        for _ in range(cnt):
+            rows.append(
+                {
+                    "sample_no": si,
+                    "chunk_no": c,
+                    "size": sizes[si],
+                    "duration": durs[si],
+                    "is_keyframe": (si + 1) in sync,  # stss is 1-based
+                    "rel_offset": offsets[c] - mdat_b + intra,
+                }
+            )
+            intra += sizes[si]
+            si += 1
+    return rows
+
+
+def sample_mp4_keyframes(media: DataFrame) -> DataFrame:
+    """Arrow-batched sample-table resolution + keyframe selection: one
+    output row per SYNC sample (stss), with its chunk assignment, byte
+    extent relative to mdat, and duration — what a frame-sampling
+    ingest job materializes before fetching the actual bytes."""
+
+    def sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in MP4_SAMPLE_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for r in mp4_sample_rows(payload):
+                    if not r["is_keyframe"]:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    for k, v in r.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample_partition, schema=MP4_SAMPLE_SCHEMA)

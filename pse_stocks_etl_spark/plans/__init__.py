@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=10, stale refill=40) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=13, stale refill=37) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -141,6 +141,9 @@ _DRIVER_FIRST = [
     "docs_domain_cap",
     "corpus_build",
     "docs_incremental_contamination",
+    "docs_url_filter",
+    "docs_incremental_url_dedup",
+    "multimodal_mp4_frame_sample",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -178,9 +181,6 @@ _DRIVER_FIRST = [
     "rollup_orders",
     "select_rename_filter",
     "semi_join_in",
-    "sessionization",
-    "shipping_priority",
-    "star_join_revenue",
 ]
 
 

@@ -112,8 +112,10 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variants differ in scheme/host case, a www. prefix, a default port,
 # a trailing slash, utm_* tracking params and a fragment — precisely
 # the noise canonicalization removes — while the canonical identity
-# depends only on (doc_id % 7, doc_id % 11) plus a rare explicit
-# non-default port, so real duplicate groups exist at every SF.
+# depends only on small residues of doc_id (host d%7, path d%11, a
+# surviving ?page param, a rare explicit port), so real duplicate
+# groups exist at every SF; one doc in ten (d%10==9) is a genuinely
+# new per-doc article so recrawl admission is non-degenerate.
 DOMAIN_CAP_K = 25
 
 
@@ -136,14 +138,34 @@ def _url_col() -> Column:
         .when(d % 77 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
-    path = F.concat(
-        F.lit("/articles/"),
-        (d % 11).cast("string"),
-        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    # extension and the canonicalization-SURVIVING query param are
+    # functions of the residues that already define canonical identity
+    # (d%11, d%7), so adding them does not thin the duplicate groups
+    ext = (
+        F.when(d % 11 == 7, F.lit(".js"))
+        .when(d % 11 == 8, F.lit(".jpg"))
+        .when(d % 11 == 9, F.lit(".xml"))
+        .when(d % 11 == 10, F.lit(""))
+        .otherwise(F.lit(".html"))
+    )
+    # one doc in ten is a genuinely NEW article (unique per-doc path) —
+    # without this slice the shared residue space saturates and any
+    # sizable standing corpus would reject EVERY recrawled URL, making
+    # the incremental-admission query degenerate (0 rows at any SF)
+    path = F.when(
+        d % 10 == 9, F.concat(F.lit("/articles/new-"), d.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("/articles/"),
+            (d % 11).cast("string"),
+            ext,
+            F.when((d % 11 == 10) & (d % 5 == 0), F.lit("/")).otherwise(F.lit("")),
+        )
     )
     qs = (
         F.when(d % 3 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
         .when(d % 3 == 1, F.lit("?utm_campaign=x"))
+        .when(d % 7 == 5, F.lit("?page=2"))
         .otherwise(F.lit(""))
     )
     frag = F.when(d % 9 == 0, F.lit("#section-2")).otherwise(F.lit(""))
@@ -158,10 +180,19 @@ _SQL_URL = """
     || CASE WHEN doc_id % 7 < 4 THEN 'COM' ELSE 'org' END
     || CASE WHEN doc_id % 6 = 0 THEN ':80'
             WHEN doc_id % 77 = 1 THEN ':8080' ELSE '' END
-    || '/articles/' || CAST(doc_id % 11 AS VARCHAR)
-    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 10 = 9
+            THEN '/articles/new-' || CAST(doc_id AS VARCHAR)
+            ELSE '/articles/' || CAST(doc_id % 11 AS VARCHAR)
+              || CASE WHEN doc_id % 11 = 7 THEN '.js'
+                      WHEN doc_id % 11 = 8 THEN '.jpg'
+                      WHEN doc_id % 11 = 9 THEN '.xml'
+                      WHEN doc_id % 11 = 10 THEN '' ELSE '.html' END
+              || CASE WHEN doc_id % 11 = 10 AND doc_id % 5 = 0 THEN '/'
+                      ELSE '' END
+       END
     || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
-            WHEN doc_id % 3 = 1 THEN '?utm_campaign=x' ELSE '' END
+            WHEN doc_id % 3 = 1 THEN '?utm_campaign=x'
+            WHEN doc_id % 7 = 5 THEN '?page=2' ELSE '' END
     || CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END
 """
 
@@ -547,3 +578,153 @@ def _late_bind_incremental_oracle() -> None:
 
 
 _late_bind_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Batch 2: URL filtering, incremental URL dedup, MP4 keyframe sampling
+# --------------------------------------------------------------------------
+@register(
+    "docs_url_filter",
+    # C4/CCNet-style URL-level filtering on the CANONICAL url: asset
+    # extensions (js/jpg/xml — non-text fetches), dynamic URLs (a query
+    # string that SURVIVED canonicalization, i.e. not tracking junk),
+    # and non-standard ports. First matching rule is the drop reason.
+    oracle=f"""
+    WITH c AS ({_sql_canonical()}),
+    x AS (
+      SELECT doc_id, canonical_url,
+             regexp_extract(regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?]*)', 1),
+                            '\\.([a-z0-9]+)$', 1) AS ext,
+             (strpos(canonical_url, '?') > 0) AS has_query,
+             (regexp_extract(canonical_url, '^[a-z]+://([^/]+)', 1) LIKE '%:%')
+               AS odd_port
+      FROM c
+    )
+    SELECT doc_id, canonical_url, ext,
+           CASE WHEN ext IN ('js', 'jpg', 'xml') THEN 'asset_extension'
+                WHEN has_query THEN 'dynamic_url'
+                WHEN odd_port THEN 'nonstandard_port'
+           END AS drop_reason,
+           (ext NOT IN ('js', 'jpg', 'xml') AND NOT has_query AND NOT odd_port)
+             AS keep
+    FROM x
+    """,
+    tags=("llm", "url", "filtering"),
+)
+def docs_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus filtering (the C4/CCNet pre-fetch gate): drop
+    asset extensions, dynamic URLs whose query string survived
+    canonicalization, and non-standard ports — each document gets a
+    keep flag and its first matching drop reason. Runs on the
+    CANONICAL url so tracking junk never triggers the dynamic-url rule.
+
+    Scale: map-only on top of the canonicalization chain — one fused
+    projection stage, no shuffle, no UDF."""
+    c = docs_url_canonicalize(spark, sf_dir).select("doc_id", "canonical_url")
+    path = F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://[^/]+(/[^?]*)", 1)
+    ext = F.regexp_extract(path, r"\.([a-z0-9]+)$", 1)
+    has_query = F.instr(F.col("canonical_url"), "?") > 0
+    odd_port = F.regexp_extract(
+        F.col("canonical_url"), r"^[a-z]+://([^/]+)", 1
+    ).contains(":")
+    is_asset = ext.isin("js", "jpg", "xml")
+    reason = (
+        F.when(is_asset, "asset_extension")
+        .when(has_query, "dynamic_url")
+        .when(odd_port, "nonstandard_port")
+    )
+    return c.select(
+        "doc_id",
+        "canonical_url",
+        ext.alias("ext"),
+        reason.alias("drop_reason"),
+        (~is_asset & ~has_query & ~odd_port).alias("keep"),
+    )
+
+
+@register(
+    "docs_incremental_url_dedup",
+    # Recrawl admission: the NEW shard (odd doc_ids, the
+    # docs_incremental_dedup split convention) is admitted only where
+    # its canonical URL was never seen in the standing corpus (even
+    # doc_ids) — first-seen-wins at the URL level, plus within-shard
+    # self-dedup (keep the smallest new doc_id per canonical URL).
+    oracle=f"""
+    WITH c AS ({_sql_canonical()}),
+    nw AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 2 = 1),
+    ex AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 2 = 0)
+    SELECT n.canonical_url, MIN(n.doc_id) AS admit_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shard_dupes
+    FROM nw n LEFT JOIN ex e ON n.canonical_url = e.canonical_url
+    WHERE e.canonical_url IS NULL
+    GROUP BY n.canonical_url
+    """,
+    tags=("llm", "url", "dedup-exact", "incremental"),
+)
+def docs_incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental URL-level dedup: admit a newly-crawled page only if
+    its canonical URL is absent from the standing corpus (anti-join),
+    then self-dedup the new shard (min doc_id per canonical URL). This
+    is the recrawl admission gate a pipeline runs BEFORE fetching/
+    processing content — URL dedup is free, content dedup is not.
+
+    Scale: the standing side contributes only its DISTINCT canonical
+    URLs (an append-only URL-set table in production, never the docs);
+    the anti-join shuffles on the high-cardinality URL key (AQE sizes
+    the sides), and the admit groupBy rides the same partitioning."""
+    c = docs_url_canonicalize(spark, sf_dir).select("doc_id", "canonical_url")
+    nw = c.filter(F.col("doc_id") % 2 == 1)
+    ex = c.filter(F.col("doc_id") % 2 == 0).select("canonical_url").distinct()
+    return (
+        nw.join(ex, "canonical_url", "left_anti")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("admit_id"),
+            F.count("*").cast("long").alias("n_shard_dupes"),
+        )
+    )
+
+
+@register(
+    "multimodal_mp4_frame_sample",
+    # Sample-table RESOLUTION oracle: per-sample durations/sizes/chunk
+    # assignment/intra-mdat offsets are closed-form lattices of
+    # (doc_id, i), replayed with a window prefix-sum; only sync samples
+    # (every 4th) are emitted — the keyframe-sampling ingest pass.
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, u.i AS i,
+             50 + (17*d.doc_id + 31*u.i) % 100 AS sz,
+             CASE WHEN u.i < (8 + d.doc_id % 7) // 2
+                  THEN 100 + d.doc_id % 9 ELSE 120 + d.doc_id % 9 END AS dur
+      FROM documents d, UNNEST(range(0, 8 + d.doc_id % 7)) AS u(i)
+    ),
+    o AS (
+      SELECT doc_id, i, sz, dur,
+             CAST(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i) - sz AS BIGINT)
+               AS rel_offset
+      FROM s
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS sample_no,
+           CAST(i // 3 AS BIGINT) AS chunk_no,
+           CAST(sz AS BIGINT) AS size, CAST(dur AS BIGINT) AS duration,
+           TRUE AS is_keyframe, rel_offset
+    FROM o WHERE i % 4 = 0
+    """,
+    tags=("llm", "multimodal", "video", "container", "mp4", "frame-sample"),
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling from the MP4 container: resolve stts/stsz/
+    stsc/stco into one row per sample (decode order, chunk assignment,
+    byte extent relative to mdat, duration), keep only stss sync
+    samples — the exact materialization a video ingest job builds to
+    fetch keyframes WITHOUT decoding anything (the video sibling of
+    multimodal_frame_sample's Y4M stride).
+
+    Scale: Arrow-batched mapInPandas, map-only (the explode happens
+    inside the batch — ~n/4 output rows per doc), zero shuffle; at
+    100 TB the sample index this emits is what the fetch planner
+    shuffles, never the media bytes."""
+    from ..operators.multimodal import attach_mp4, sample_mp4_keyframes
+
+    return sample_mp4_keyframes(attach_mp4(_docs(spark, sf_dir)))

@@ -141,8 +141,15 @@ def test_url_canonicalization_collapses_known_variants(spark, sf_dir):
             "com" if d % 7 < 4 else "org"
         ), r
         assert r["tld"] == ("com" if d % 7 < 4 else "org"), r
-        exp_path = f"/articles/{d % 11}"
-        assert r["canonical_url"] == f"http://{exp_host}{exp_path}", r
+        if d % 10 == 9:
+            exp_path = f"/articles/new-{d}"
+        else:
+            exp_ext = {7: ".js", 8: ".jpg", 9: ".xml", 10: ""}.get(
+                d % 11, ".html"
+            )
+            exp_path = f"/articles/{d % 11}{exp_ext}"
+        exp_qs = "?page=2" if (d % 3 == 2 and d % 7 == 5) else ""
+        assert r["canonical_url"] == f"http://{exp_host}{exp_path}{exp_qs}", r
     # raw variants genuinely differed before canonicalization
     assert any("WWW." in r["url"] or "#"
                in r["url"] or "utm_" in r["url"] for r in rows.values())
@@ -282,3 +289,57 @@ def test_incremental_contamination_broadcasts_only_the_new_slice(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles on sh
+
+
+# --------------------------------------------------------------------------
+# Batch 2: URL filter, incremental URL dedup, MP4 keyframe sampling
+# --------------------------------------------------------------------------
+def test_mp4_sample_rows_resolve_chunks_offsets_keyframes():
+    from pse_stocks_etl_spark.operators.multimodal import mp4_sample_rows
+
+    for d in (0, 5, 9, 14):
+        rows = mp4_sample_rows(synth_mp4(d))
+        n = 8 + d % 7
+        assert len(rows) == n
+        off = 0
+        for i, r in enumerate(rows):
+            sz = 50 + (17 * d + 31 * i) % 100
+            assert r["chunk_no"] == i // 3
+            assert r["size"] == sz
+            assert r["is_keyframe"] == (i % 4 == 0)
+            assert r["rel_offset"] == off
+            off += sz
+
+
+def test_url_filter_rules_and_precedence(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.round16_queries import docs_url_filter
+
+    rows = [
+        r.asDict()
+        for r in docs_url_filter(spark, sf_dir).collect()
+        if r["doc_id"] is not None
+    ]
+    assert any(r["drop_reason"] == "asset_extension" for r in rows)
+    assert any(r["drop_reason"] == "dynamic_url" for r in rows)
+    assert any(r["drop_reason"] == "nonstandard_port" for r in rows)
+    assert any(r["keep"] for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        if d % 10 != 9 and d % 11 in (7, 8, 9):  # asset ext wins first
+            assert r["drop_reason"] == "asset_extension", r
+        assert r["keep"] == (r["drop_reason"] is None), r
+
+
+def test_incremental_url_dedup_admits_exactly_the_new_articles(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    admitted = {
+        r["admit_id"]
+        for r in REGISTRY["docs_incremental_url_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert admitted, "recrawl admission is degenerate (0 rows)"
+    # the synth's recrawl story: the genuinely-new per-doc articles in
+    # the odd shard are admitted; every shared-path odd doc collides
+    # with a standing canonical URL (saturated residue space) and is
+    # rejected
+    assert all(d % 2 == 1 and d % 10 == 9 for d in admitted)
