@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=13, stale refill=37) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=16, stale refill=34) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -144,6 +144,9 @@ _DRIVER_FIRST = [
     "docs_url_filter",
     "docs_incremental_url_dedup",
     "multimodal_mp4_frame_sample",
+    "docs_cdc_chunks",
+    "corpus_shard_manifest",
+    "docs_phrase_match",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -178,9 +181,6 @@ _DRIVER_FIRST = [
     "multimodal_frame_sample",
     "pivot_event_counts",
     "pricing_summary",
-    "rollup_orders",
-    "select_rename_filter",
-    "semi_join_in",
 ]
 
 

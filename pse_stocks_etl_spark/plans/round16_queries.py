@@ -728,3 +728,253 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_mp4, sample_mp4_keyframes
 
     return sample_mp4_keyframes(attach_mp4(_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Batch 3: CDC chunk dedup, shard manifest, positional phrase match
+# --------------------------------------------------------------------------
+CDC_MOD = 16  # expected chunk length ~CDC_MOD tokens
+PHRASE = ("window", "join")  # fixed phrase, shared verbatim with the oracle
+
+
+@register(
+    "docs_cdc_chunks",
+    # Content-defined chunking: a chunk boundary falls AFTER any token
+    # whose salted portable hash ≡ 0 (mod CDC_MOD) — the gear/Rabin CDC
+    # idea at token granularity. Boundaries depend only on LOCAL
+    # content, so an insertion resynchronizes within one chunk (the
+    # property fixed-size packing lacks, and why CDC is the standard
+    # binary/incremental dedup cut). Chunks are fingerprinted (md5 of
+    # the space-joined tokens) and deduped ACROSS documents.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, tk[i] AS t, i
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS s(i)
+    ),
+    flagged AS (
+      SELECT doc_id, t, i,
+             ({sql_portable_hash64("'cdc:' || t")} % {CDC_MOD} = 0) AS b
+      FROM pos
+    ),
+    assigned AS (
+      SELECT doc_id, t, i,
+             COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk, md5(string_agg(t, ' ' ORDER BY i)) AS fp,
+             COUNT(*) AS n_tok
+      FROM assigned GROUP BY doc_id, chunk
+    ),
+    fpd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN c.n_tok ELSE 0 END) AS BIGINT)
+             AS n_dup_tokens
+    FROM chunks c JOIN fpd f ON c.fp = f.fp
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup-near", "cdc", "chunking"),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-document chunk dedup: cut each
+    document at content-determined boundaries (salted token hash ≡ 0
+    mod CDC_MOD — boundaries resynchronize after edits, unlike fixed
+    windows), fingerprint each chunk, and report per document how many
+    of its chunks (and tokens) also appear verbatim in OTHER documents
+    — the chunk-level shared-content measure behind incremental
+    storage dedup and partial-overlap detection that whole-doc
+    fingerprints (docs_fingerprint) and span sampling (docs_span_dedup)
+    both miss.
+
+    Scale: the explode shuffles once on doc_id for the per-doc
+    boundary prefix-sum (each doc sorts locally); chunk fingerprints
+    shuffle once on fp (high-cardinality key, map-side combine) for
+    the cross-doc counts; the rejoin rides the fp partitioning. No
+    all-pairs stage anywhere — dedup cost is linear in corpus size."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t")
+    )
+    b = (
+        portable_hash64(F.concat(F.lit("cdc:"), F.col("t"))) % CDC_MOD == 0
+    ).cast("long")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    assigned = pos.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum(b).over(w_doc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    w_chunk = (
+        Window.partitionBy("doc_id", "chunk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    chunks = (
+        assigned.withColumn(
+            "fp", F.md5(F.concat_ws(" ", F.collect_list("t").over(w_chunk)))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "chunk").orderBy("i")
+            ),
+        )
+        .withColumn("n_tok", F.count("*").over(w_chunk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk", "fp", "n_tok")
+    )
+    fpd = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        chunks.join(fpd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(dup * F.col("n_tok")).cast("long").alias("n_dup_tokens"),
+        )
+    )
+
+
+def _sql_shard_manifest() -> str:
+    from .corpus_queries import PACK_CAPACITY
+
+    return f"""
+    WITH b AS ({_sql_corpus_build()}),
+    x AS (
+      SELECT b.split, b.source, b.doc_id, b.n_tokens, b.start_off, u.c AS chunk_no
+      FROM b, UNNEST(range(b.first_chunk, b.last_chunk + 1)) AS u(c)
+    )
+    SELECT split, source, CAST(chunk_no AS BIGINT) AS chunk_no,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(start_off + n_tokens, (chunk_no + 1) * {PACK_CAPACITY})
+                    - greatest(start_off, chunk_no * {PACK_CAPACITY}))
+                AS BIGINT) AS n_tokens
+    FROM x GROUP BY split, source, chunk_no
+    """
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=_sql_shard_manifest(),
+    tags=("llm", "packing", "composition", "manifest"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest a packed-corpus writer materializes: one row
+    per (split, source, training-window), with how many documents
+    touch the window and exactly how many of its tokens each window
+    holds (PACK_CAPACITY when full; only each shard's final window may
+    be short). Composes corpus_build — a doc spanning chunks
+    [first, last] contributes clamp-intersected token counts to each.
+
+    Scale: corpus_build's audited plan + one explode of per-doc chunk
+    RANGES (≈ n_tokens/CAPACITY rows per doc, i.e. the corpus token
+    count over 512 — small) + one groupBy riding on (split, source,
+    chunk_no). The manifest is what downstream loaders shuffle, never
+    the text."""
+    from .corpus_queries import PACK_CAPACITY
+
+    b = corpus_build(spark, sf_dir)
+    cap = F.lit(PACK_CAPACITY).cast("long")
+    x = b.select(
+        "split",
+        "source",
+        "n_tokens",
+        "start_off",
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_no"),
+    )
+    tok_in = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("chunk_no") + 1) * cap
+    ) - F.greatest(F.col("start_off"), F.col("chunk_no") * cap)
+    return x.groupBy("split", "source", "chunk_no").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(tok_in).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "docs_phrase_match",
+    # Positional-index phrase retrieval: adjacent-position join of the
+    # two phrase terms' postings. Positions are 1-based in BOTH engines
+    # (Spark's 0-based posexplode is shifted in the plan).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, tk[i] AS t, i
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS s(i)
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.i) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    WHERE a.t = '{PHRASE[0]}' AND b.t = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    tags=("llm", "retrieval", "phrase", "positional"),
+)
+def docs_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over a positional index: explode tokens
+    with positions, keep only the two phrase terms' postings, and join
+    on (doc_id, adjacent position) — the positional-posting
+    intersection every search engine runs for quoted queries, and the
+    missing precision step above docs_bm25_topk's bag-of-words
+    scoring. Emits per-doc match count and first occurrence.
+
+    Scale: the postings FILTER lands before the join — only the two
+    terms' rows survive the explode (at 100 TB this is a pre-built
+    positional posting list, keyed by term); the adjacency join
+    shuffles on doc_id, i.e. matched docs only, with AQE sizing the
+    sides."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pos = d.select(
+        "doc_id",
+        (F.posexplode(tokens(F.col("text")))).alias("i0", "t"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "t")
+    a = pos.filter(F.col("t") == PHRASE[0]).select("doc_id", F.col("i").alias("ia"))
+    bb = pos.filter(F.col("t") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("doc_id") == F.col("doc_b")) & (F.col("ib") == F.col("ia") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("ia").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def _late_bind_toks_oracles() -> None:
+    """docs_cdc_chunks / docs_phrase_match oracles defer the tokenizer
+    twin so it stays single-sourced in functions.text."""
+    from ..functions.text import sql_tokens
+    from .registry import REGISTRY
+
+    for name in ("docs_cdc_chunks", "docs_phrase_match"):
+        REGISTRY[name].oracle = REGISTRY[name].oracle.replace(
+            "{toks}", sql_tokens("text")
+        )
+
+
+_late_bind_toks_oracles()

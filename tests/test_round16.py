@@ -343,3 +343,127 @@ def test_incremental_url_dedup_admits_exactly_the_new_articles(spark, sf_dir):
     # with a standing canonical URL (saturated residue space) and is
     # rejected
     assert all(d % 2 == 1 and d % 10 == 9 for d in admitted)
+
+
+# --------------------------------------------------------------------------
+# Batch 3: CDC chunking, shard manifest, phrase match
+# --------------------------------------------------------------------------
+def _py_hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cdc_chunks(text: str) -> list[tuple[str, int]]:
+    """Independent pure-Python CDC: (chunk fingerprint, n_tokens) per
+    chunk — same tokenizer contract and boundary rule, written against
+    the SPEC (boundary after any token with hash%16==0), not the plan."""
+    import hashlib
+
+    from pse_stocks_etl_spark.plans.round16_queries import CDC_MOD
+
+    toks = text.strip().lower().split()
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if _py_hash60("cdc:" + t) % CDC_MOD == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        (hashlib.md5(" ".join(c).encode()).hexdigest(), len(c)) for c in chunks
+    ]
+
+
+def test_cdc_chunks_match_pure_python_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = {
+        int(i): t
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t is not None and i is not None
+    }
+    fp_docs: dict[str, set[int]] = {}
+    per_doc = {}
+    for d, t in texts.items():
+        ch = _py_cdc_chunks(t)
+        per_doc[d] = ch
+        for fp, _n in ch:
+            fp_docs.setdefault(fp, set()).add(d)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["docs_cdc_chunks"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(texts)
+    for d, ch in per_doc.items():
+        dup = [(fp, n) for fp, n in ch if len(fp_docs[fp]) > 1]
+        assert got[d]["n_chunks"] == len(ch), d
+        assert got[d]["n_dup_chunks"] == len(dup), d
+        assert got[d]["n_tokens"] == sum(n for _, n in ch), d
+        assert got[d]["n_dup_tokens"] == sum(n for _, n in dup), d
+    # the corpus genuinely exercises cross-doc chunk sharing
+    assert any(v["n_dup_chunks"] > 0 for v in got.values())
+    assert any(v["n_dup_chunks"] < v["n_chunks"] for v in got.values())
+
+
+def test_cdc_boundaries_resynchronize_after_edits():
+    # THE property that justifies CDC over fixed windows: a single
+    # token inserted at the front changes only the chunks up to the
+    # first boundary at/after the edit; everything after is identical.
+    base = "alpha bravo charlie delta echo foxtrot golf hotel " * 20
+    edited = "inserted " + base
+    a = _py_cdc_chunks(base)
+    b = _py_cdc_chunks(edited)
+    # compare as multisets of fingerprints: all but O(1) chunks shared
+    from collections import Counter
+
+    ca, cb = Counter(fp for fp, _ in a), Counter(fp for fp, _ in b)
+    shared = sum((ca & cb).values())
+    assert shared >= len(a) - 1, (len(a), len(b), shared)
+
+
+def test_shard_manifest_windows_are_full_except_the_tail(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.corpus_queries import PACK_CAPACITY
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["corpus_shard_manifest"].fn(spark, sf_dir).collect()
+    last = {}
+    for r in rows:
+        key = (r["split"], r["source"])
+        last[key] = max(last.get(key, -1), r["chunk_no"])
+    for r in rows:
+        if r["chunk_no"] < last[(r["split"], r["source"])]:
+            assert r["n_tokens"] == PACK_CAPACITY, r
+        else:
+            assert 0 < r["n_tokens"] <= PACK_CAPACITY, r
+        assert r["n_docs"] >= 1
+
+
+def test_phrase_match_counts_against_pure_python(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+    from pse_stocks_etl_spark.plans.round16_queries import PHRASE
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if t is None or i is None:
+            continue
+        toks = t.strip().lower().split()
+        hits = [
+            p + 1
+            for p in range(len(toks) - 1)
+            if toks[p] == PHRASE[0] and toks[p + 1] == PHRASE[1]
+        ]
+        if hits:
+            exp[int(i)] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in REGISTRY["docs_phrase_match"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp and exp, (len(got), len(exp))
