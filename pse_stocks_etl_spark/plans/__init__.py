@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=16, stale refill=34) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=18, stale refill=32) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -147,6 +147,8 @@ _DRIVER_FIRST = [
     "docs_cdc_chunks",
     "corpus_shard_manifest",
     "docs_phrase_match",
+    "docs_url_content_drift",
+    "multimodal_pair_filter",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -179,8 +181,6 @@ _DRIVER_FIRST = [
     "merge_upsert_preview",
     "multimodal_decode",
     "multimodal_frame_sample",
-    "pivot_event_counts",
-    "pricing_summary",
 ]
 
 

@@ -795,11 +795,15 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (docs_fingerprint) and span sampling (docs_span_dedup)
     both miss.
 
-    Scale: the explode shuffles once on doc_id for the per-doc
-    boundary prefix-sum (each doc sorts locally); chunk fingerprints
-    shuffle once on fp (high-cardinality key, map-side combine) for
-    the cross-doc counts; the rejoin rides the fp partitioning. No
-    all-pairs stage anywhere — dedup cost is linear in corpus size."""
+    Scale: ONE pass — explode shuffles once on doc_id for the per-doc
+    boundary prefix-sum (each doc sorts locally), chunks collapse to
+    (fp, doc_id) grain, docs-per-fingerprint is a count window RIDING
+    the fp shuffle (the grain is already distinct per doc, so a plain
+    COUNT(*) OVER (PARTITION BY fp) IS the distinct-doc count — no
+    count-distinct, no groupBy+self-join that would make Catalyst
+    compute the whole explode subtree twice, which the first draft of
+    this plan did), then one re-aggregate per doc. No all-pairs stage
+    anywhere — dedup cost is linear in corpus size."""
     from ..functions.text import tokens
 
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -836,16 +840,25 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "chunk", "fp", "n_tok")
     )
-    fpd = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    # (fp, doc_id) grain: a doc may hold the same chunk content twice
+    per_fp_doc = chunks.groupBy("fp", "doc_id").agg(
+        F.count("*").alias("n_ch"), F.sum("n_tok").alias("tok")
+    )
+    nd = F.count("*").over(Window.partitionBy("fp"))  # distinct by grain
+    dup = F.when(nd > 1, 1).otherwise(0)
     return (
-        chunks.join(fpd, "fp")
+        per_fp_doc.select(
+            "doc_id",
+            F.col("n_ch"),
+            F.col("tok"),
+            dup.alias("is_dup"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(dup).cast("long").alias("n_dup_chunks"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.sum(dup * F.col("n_tok")).cast("long").alias("n_dup_tokens"),
+            F.sum("n_ch").cast("long").alias("n_chunks"),
+            F.sum(F.col("is_dup") * F.col("n_ch")).cast("long").alias("n_dup_chunks"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("is_dup") * F.col("tok")).cast("long").alias("n_dup_tokens"),
         )
     )
 
@@ -978,3 +991,131 @@ def _late_bind_toks_oracles() -> None:
 
 
 _late_bind_toks_oracles()
+
+
+# --------------------------------------------------------------------------
+# Batch 4: recrawl change detection, multimodal pair curation
+# --------------------------------------------------------------------------
+@register(
+    "docs_url_content_drift",
+    # Same canonical URL, different CONTENT fingerprint across crawls —
+    # the change-detection signal a recrawl scheduler feeds on (and the
+    # complement of docs_url_dedup: n_variants counts raw SPELLINGS,
+    # n_versions counts distinct page content at one URL).
+    oracle=f"""
+    WITH c AS ({_sql_canonical()})
+    SELECT c.canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_crawls,
+           CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_versions,
+           (COUNT(DISTINCT md5(d.text)) > 1) AS changed
+    FROM c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.canonical_url
+    """,
+    tags=("llm", "url", "freshness", "change-detection"),
+)
+def docs_url_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection: for each canonical URL, how many
+    crawls landed on it and how many DISTINCT content versions they
+    carried — changed=true URLs are where a freshness-aware scheduler
+    spends its budget, and where downstream dedup must keep more than
+    one doc (same URL ≠ same content).
+
+    Scale: one groupBy on the canonical key with a distinct-fingerprint
+    sub-aggregate riding the same shuffle; fingerprints are md5(text)
+    computed map-side, so the text itself never shuffles."""
+    c = docs_url_canonicalize(spark, sf_dir).select("doc_id", "canonical_url")
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    return (
+        c.join(d, "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_crawls"),
+            F.countDistinct("fp").cast("long").alias("n_versions"),
+            (F.countDistinct("fp") > 1).alias("changed"),
+        )
+    )
+
+
+# pair-admission bounds (documentary constants, inlined verbatim in the
+# oracle; all comparisons are on exact integers / the lang enum)
+PAIR_MIN_TOKENS, PAIR_MAX_TOKENS = 20, 400
+PAIR_MAX_DURATION = 1500
+
+
+@register(
+    "multimodal_pair_filter",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, CAST(SUM(dur) AS BIGINT) AS duration
+      FROM (
+        SELECT d.doc_id,
+               CASE WHEN u.i < (8 + d.doc_id % 7) // 2
+                    THEN 100 + d.doc_id % 9 ELSE 120 + d.doc_id % 9 END AS dur
+        FROM documents d, UNNEST(range(0, 8 + d.doc_id % 7)) AS u(i)
+      ) GROUP BY doc_id
+    ),
+    t AS (
+      SELECT d.doc_id, d.lang, {sql_token_count('d.text')} AS n_tokens,
+             CAST(16*(4 + d.doc_id % 5) AS BIGINT) AS width,
+             CAST(16*(3 + d.doc_id % 4) AS BIGINT) AS height,
+             v.duration
+      FROM documents d JOIN v ON d.doc_id = v.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, duration,
+           CASE WHEN lang IS NULL OR lang <> 'en' THEN 'lang'
+                WHEN n_tokens < {PAIR_MIN_TOKENS}
+                  OR n_tokens > {PAIR_MAX_TOKENS} THEN 'text_length'
+                WHEN duration > {PAIR_MAX_DURATION} THEN 'duration'
+                WHEN width * 3 < height * 4 THEN 'aspect'
+           END AS drop_reason,
+           (lang = 'en' AND n_tokens >= {PAIR_MIN_TOKENS}
+            AND n_tokens <= {PAIR_MAX_TOKENS}
+            AND duration <= {PAIR_MAX_DURATION}
+            AND width * 3 >= height * 4) AS admit
+    FROM t
+    """,
+    tags=("llm", "multimodal", "pair-curation", "composition"),
+)
+def multimodal_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text, video) training-pair curation: join each document's text
+    signals (lang, exact token count) with its video's container
+    metadata (duration, dimensions from the REAL MP4 parse) and admit
+    the pair only if every rule passes — language, text-length band,
+    duration cap, aspect-ratio floor — with the first failing rule as
+    the drop reason. This is the multimodal-alignment gate a
+    web-video corpus runs BEFORE paying for sample decode.
+
+    Scale: the text side is a map-only projection; the video side is
+    the map-only container parse (no shuffle); the join keys both on
+    doc_id — co-partitioned by AQE, no skew (1:1). NULL lang fails the
+    language rule explicitly, so the NULL-matrix docs route to a
+    deterministic reason rather than a NULL admit."""
+    from ..operators.multimodal import attach_mp4, decode_mp4
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    v = decode_mp4(attach_mp4(_docs(spark, sf_dir))).select(
+        "doc_id", "duration", "width", "height"
+    )
+    j = d.join(v, "doc_id")
+    lang_ok = F.col("lang") == "en"
+    len_ok = (F.col("n_tokens") >= PAIR_MIN_TOKENS) & (
+        F.col("n_tokens") <= PAIR_MAX_TOKENS
+    )
+    dur_ok = F.col("duration") <= PAIR_MAX_DURATION
+    aspect_ok = F.col("width") * 3 >= F.col("height") * 4
+    reason = (
+        F.when(F.col("lang").isNull() | (F.col("lang") != "en"), "lang")
+        .when(~len_ok, "text_length")
+        .when(~dur_ok, "duration")
+        .when(~aspect_ok, "aspect")
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "duration",
+        reason.alias("drop_reason"),
+        (lang_ok & len_ok & dur_ok & aspect_ok).alias("admit"),
+    )

@@ -211,6 +211,9 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_jpeg_decode",      # mapInPandas REAL baseline JPEG codec (r8)
         "multimodal_gif_decode",       # mapInPandas REAL GIF/LZW codec (r8)
         "multimodal_gif_resize",       # mapInPandas GIF resize round-trip (r8)
+        "multimodal_mp4_metadata",     # mapInPandas REAL MP4 container parse (r9)
+        "multimodal_mp4_frame_sample", # mapInPandas MP4 sample-table explode (r9)
+        "multimodal_pair_filter",      # joins the MP4 container parse (r9)
         "datasource_price_scan",       # Python DataSource scan
         "datasource_stream_prices",    # Python streaming DataSource (r8 promotion)
     }

@@ -467,3 +467,75 @@ def test_phrase_match_counts_against_pure_python(spark, sf_dir):
         for r in REGISTRY["docs_phrase_match"].fn(spark, sf_dir).collect()
     }
     assert got == exp and exp, (len(got), len(exp))
+
+
+def test_cdc_plan_scans_the_corpus_exactly_once(spark, sf_dir):
+    # The first draft used groupBy(fp)+join, which made Catalyst
+    # compute the whole explode/window subtree TWICE (two parquet
+    # scans). The count-window form must keep it at one scan and
+    # introduce no join.
+    from pse_stocks_etl_spark.plans.round16_queries import docs_cdc_chunks
+
+    plan = (
+        docs_cdc_chunks(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# Batch 4: content drift, multimodal pair curation
+# --------------------------------------------------------------------------
+def test_url_content_drift_flags_multi_version_urls(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["docs_url_content_drift"].fn(spark, sf_dir).collect()
+    by_url = {r["canonical_url"]: r for r in rows if r["canonical_url"]}
+    assert any(r["changed"] for r in by_url.values())
+    for r in by_url.values():
+        assert 1 <= r["n_versions"] <= r["n_crawls"]
+        assert r["changed"] == (r["n_versions"] > 1)
+    # drift and url-dedup agree on the crawl counts per canonical URL
+    dd = {
+        r["canonical_url"]: r["n_docs"]
+        for r in REGISTRY["docs_url_dedup"].fn(spark, sf_dir).collect()
+        if r["canonical_url"]
+    }
+    assert {u: r["n_crawls"] for u, r in by_url.items()} == dd
+
+
+def test_pair_filter_rules_and_reason_precedence(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+    from pse_stocks_etl_spark.plans.round16_queries import (
+        PAIR_MAX_DURATION,
+        PAIR_MAX_TOKENS,
+        PAIR_MIN_TOKENS,
+    )
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["multimodal_pair_filter"].fn(spark, sf_dir).collect()
+    ]
+    assert any(r["admit"] for r in rows)
+    assert any(r["drop_reason"] == "duration" for r in rows)
+    assert any(r["drop_reason"] == "aspect" for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        # duration must equal the MP4 container's mdhd total (lattice)
+        n = 8 + d % 7
+        exp_dur = sum(
+            (100 if i < n // 2 else 120) + d % 9 for i in range(n)
+        )
+        assert r["duration"] == exp_dur, r
+        if r["lang"] != "en":
+            assert r["drop_reason"] == "lang" and not r["admit"], r
+        elif not (PAIR_MIN_TOKENS <= r["n_tokens"] <= PAIR_MAX_TOKENS):
+            assert r["drop_reason"] == "text_length" and not r["admit"], r
+        elif r["duration"] > PAIR_MAX_DURATION:
+            assert r["drop_reason"] == "duration" and not r["admit"], r
+        w, h = 16 * (4 + d % 5), 16 * (3 + d % 4)
+        if r["drop_reason"] is None:
+            assert r["admit"] and w * 3 >= h * 4, r
