@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=18, stale refill=32) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=20, stale refill=30) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -149,6 +149,8 @@ _DRIVER_FIRST = [
     "docs_phrase_match",
     "docs_url_content_drift",
     "multimodal_pair_filter",
+    "docs_robots_filter",
+    "docs_warc_records",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -179,8 +181,6 @@ _DRIVER_FIRST = [
     "incremental_windows",
     "local_supplier_volume",
     "merge_upsert_preview",
-    "multimodal_decode",
-    "multimodal_frame_sample",
 ]
 
 

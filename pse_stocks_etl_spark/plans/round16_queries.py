@@ -1119,3 +1119,187 @@ def multimodal_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
         (lang_ok & len_ok & dur_ok & aspect_ok).alias("admit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: robots.txt longest-match filtering
+# --------------------------------------------------------------------------
+# Per-host robots rules derived deterministically from the host residue
+# r (the rules-table ingest stand-in): r blocks its own path residue,
+# hosts with r%3==0 block the new-articles space, and hosts with r%2==0
+# carve an Allow back out for the .html page of the blocked residue —
+# which only the LONGEST-match semantics resolves correctly (the Allow
+# is more specific than the Disallow it overrides).
+
+
+def _robots_rules(c: DataFrame) -> DataFrame:
+    """(host, prefix, is_allow) — the per-host rule table, built from
+    the distinct hosts of the canonicalized corpus."""
+    hosts = c.select("host").distinct()
+    r = F.regexp_extract(F.col("host"), r"^site([0-9]+)\.", 1).cast("long")
+    rules = F.array_compact(
+        F.array(
+            F.struct(
+                F.concat(F.lit("/articles/"), r.cast("string")).alias("prefix"),
+                F.lit(False).alias("is_allow"),
+            ),
+            F.when(
+                r % 3 == 0,
+                F.struct(
+                    F.lit("/articles/new-").alias("prefix"),
+                    F.lit(False).alias("is_allow"),
+                ),
+            ),
+            F.when(
+                r % 2 == 0,
+                F.struct(
+                    F.concat(
+                        F.lit("/articles/"), r.cast("string"), F.lit(".html")
+                    ).alias("prefix"),
+                    F.lit(True).alias("is_allow"),
+                ),
+            ),
+        )
+    )
+    return hosts.select("host", F.explode(rules).alias("rule")).select(
+        "host", F.col("rule.prefix").alias("prefix"), F.col("rule.is_allow").alias("is_allow")
+    )
+
+
+_SQL_ROBOTS_RULES = """
+      SELECT host,
+             '/articles/' || CAST(r AS VARCHAR) AS prefix, FALSE AS is_allow
+      FROM hosts
+      UNION ALL
+      SELECT host, '/articles/new-', FALSE FROM hosts WHERE r % 3 = 0
+      UNION ALL
+      SELECT host, '/articles/' || CAST(r AS VARCHAR) || '.html', TRUE
+      FROM hosts WHERE r % 2 = 0
+"""
+
+
+@register(
+    "docs_robots_filter",
+    oracle=f"""
+    WITH c AS ({_sql_canonical()}),
+    u AS (
+      SELECT doc_id, host,
+             regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path
+      FROM c
+    ),
+    hosts AS (
+      SELECT DISTINCT host,
+             CAST(regexp_extract(host, '^site([0-9]+)\\.', 1) AS BIGINT) AS r
+      FROM c
+    ),
+    rules AS ({_SQL_ROBOTS_RULES}),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, r.prefix, r.is_allow,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.prefix) DESC,
+                        CASE WHEN r.is_allow THEN 0 ELSE 1 END, r.prefix
+             ) AS rn
+      FROM u JOIN rules r
+        ON u.host = r.host AND strpos(u.path, r.prefix) = 1
+    )
+    SELECT u.doc_id, u.host, u.path,
+           m.prefix AS matched_rule,
+           COALESCE(m.is_allow, TRUE) AS crawlable
+    FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      ON u.doc_id = m.doc_id
+    """,
+    tags=("llm", "url", "robots", "filtering"),
+)
+def docs_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-semantics crawl filtering: each host's rule set is
+    applied to every URL with Google's LONGEST-MATCH resolution — the
+    most specific matching prefix wins, Allow beats Disallow on ties,
+    no match means crawlable. The synthetic rule table includes the
+    case only longest-match gets right: an Allow carved out INSIDE a
+    Disallowed prefix (/articles/4.html inside /articles/4).
+
+    Scale: the rule table is per-host (tiny rows, built once — in
+    production an ingested robots snapshot); URLs join rules on host
+    (equi, AQE-sized — a Zipfian crawl is exactly the skew AQE's skew
+    join handles), prefix match filters within the host group, and the
+    longest-match winner is a per-doc row_number over the few matched
+    rules. NULL-host docs match no rules and default to crawlable."""
+    c = docs_url_canonicalize(spark, sf_dir)
+    u = c.select(
+        "doc_id",
+        "host",
+        F.regexp_extract(
+            F.col("canonical_url"), r"^[a-z]+://[^/]+(/[^?]*)", 1
+        ).alias("path"),
+    )
+    rules = _robots_rules(c)
+    j = u.join(rules, "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        F.when(F.col("is_allow"), 0).otherwise(1).asc(),
+        F.col("prefix").asc(),
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("m_doc"),
+            F.col("prefix").alias("matched_rule"),
+            F.col("is_allow").alias("m_allow"),
+        )
+    )
+    return u.join(best, u["doc_id"] == best["m_doc"], "left").select(
+        "doc_id",
+        "host",
+        "path",
+        "matched_rule",
+        F.coalesce(F.col("m_allow"), F.lit(True)).alias("crawlable"),
+    )
+
+
+@register(
+    "docs_warc_records",
+    # FULL hash oracle for the WARC walk: record count, type split,
+    # and content-length aggregates are closed-form lattices of
+    # (doc_id, i); wsum is record-ORDER sensitive so a walk that lost
+    # framing and resynced cannot hide behind commutative sums.
+    oracle="""
+    WITH r AS (
+      SELECT d.doc_id, u.i AS i,
+             40 + (13*d.doc_id + 29*u.i) % 80 AS clen,
+             (u.i % 4 = 3) AS is_req
+      FROM documents d, UNNEST(range(0, 2 + d.doc_id % 3)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN is_req THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_responses,
+           CAST(SUM(CASE WHEN is_req THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_requests,
+           CAST(SUM(clen) AS BIGINT) AS sum_content_bytes,
+           CAST(MAX(clen) AS BIGINT) AS max_content_bytes,
+           CAST(SUM((i + 1) * clen) AS BIGINT) AS wsum_content_bytes
+    FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "sources", "warc", "container"),
+)
+def docs_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record walk — the CommonCrawl container a training-data
+    pipeline actually reads: synthesize a genuine multi-record WARC per
+    document executor-side, then parse it back (version line, CRLF
+    header block with required exact Content-Length framing, record
+    separators, request/response type split) via Arrow-batched
+    mapInPandas (operators/multimodal.py::parse_warc). Completes the
+    ingest-container trio next to MP4 (video) and the image codecs.
+
+    Scale: identical plumbing to the codec lanes — bytes live and die
+    executor-side in Arrow batches, one map-only pass, zero shuffle;
+    at 100 TB this IS the first pass over a crawl dump, and
+    content-length framing (never regex resync) is what makes it
+    splittable-safe per file."""
+    from ..operators.multimodal import attach_warc, decode_warc
+
+    return decode_warc(attach_warc(_docs(spark, sf_dir)))

@@ -539,3 +539,82 @@ def test_pair_filter_rules_and_reason_precedence(spark, sf_dir):
         w, h = 16 * (4 + d % 5), 16 * (3 + d % 4)
         if r["drop_reason"] is None:
             assert r["admit"] and w * 3 >= h * 4, r
+
+
+# --------------------------------------------------------------------------
+# Batch 5: robots.txt longest-match, WARC record walk
+# --------------------------------------------------------------------------
+def test_robots_longest_match_allow_overrides_disallow(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["docs_robots_filter"].fn(spark, sf_dir).collect()
+        if r["doc_id"] is not None
+    ]
+    assert any(not r["crawlable"] for r in rows)
+    assert any(r["crawlable"] and r["matched_rule"] is None for r in rows)
+    carved = [
+        r
+        for r in rows
+        if r["matched_rule"] and r["matched_rule"].endswith(".html")
+    ]
+    # the Allow carved out INSIDE a Disallowed prefix: only correct
+    # longest-match resolution reaches it
+    assert carved and all(r["crawlable"] for r in carved)
+    for r in rows:
+        d = r["doc_id"]
+        hr = d % 7
+        if d % 10 == 9:  # new- article space
+            exp = hr % 3 == 0 and not r["crawlable"] or hr % 3 != 0 and r["crawlable"]
+            assert exp, r
+        elif d % 11 == hr:  # own-residue path: blocked unless .html carve-out
+            if hr % 2 == 0 and r["path"].endswith(".html"):
+                assert r["crawlable"], r
+            else:
+                assert not r["crawlable"], r
+
+
+def test_warc_truncation_and_framing_fail_loudly():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import parse_warc, synth_warc
+
+    p = synth_warc(7)
+    # record boundaries are the ONE legal truncation point (a prefix of
+    # concatenated records is itself a valid WARC file — that's what
+    # self-delimiting framing means); every cut INSIDE a record fails
+    bounds, pos = set(), 0
+    while pos < len(p):
+        end_hdr = p.find(b"\r\n\r\n", pos)
+        clen = int(p[p.index(b"Content-Length: ", pos) + 16 : end_hdr].split(b"\r\n")[0])
+        pos = end_hdr + 4 + clen + 4
+        bounds.add(pos)
+    assert len(p) in bounds and len(bounds) == 2 + 7 % 3
+    for cut in range(1, len(p)):
+        if cut in bounds:
+            assert parse_warc(p[:cut])["n_records"] >= 1
+            continue
+        with pytest.raises(ValueError):
+            parse_warc(p[:cut])
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"WARC/0.9\r\n\r\n\r\n\r\n")
+    # lying Content-Length: framing must break loudly, not resync
+    i = p.index(b"Content-Length: ")
+    j = p.index(b"\r\n", i)
+    bad = p[:i] + b"Content-Length: 9999" + p[j:]
+    with pytest.raises(ValueError, match="truncated|separator"):
+        parse_warc(bad)
+    with pytest.raises(ValueError, match="empty"):
+        parse_warc(b"")
+
+
+def test_warc_roundtrip_matches_lattice():
+    from pse_stocks_etl_spark.operators.multimodal import parse_warc, synth_warc
+
+    for d in range(40):
+        m = parse_warc(synth_warc(d))
+        n = 2 + d % 3
+        lens = [40 + (13 * d + 29 * i) % 80 for i in range(n)]
+        assert m["n_records"] == n and m["sum_content_bytes"] == sum(lens)
+        assert m["n_responses"] + m["n_requests"] == n
