@@ -2586,3 +2586,116 @@ def decode_warc(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_partition, schema=WARC_FEATURES_SCHEMA)
+
+
+GZWARC_FEATURES_SCHEMA = T.StructType(
+    WARC_FEATURES_SCHEMA.fields
+    + [T.StructField("n_members", T.LongType())]
+)
+
+
+def synth_warc_gz(doc_id: int) -> bytes:
+    """The CommonCrawl .warc.gz convention: each WARC record is its OWN
+    gzip member, members concatenated — that per-record framing is what
+    makes a crawl dump seekable/splittable without decompressing the
+    whole file. Members are real gzip (zlib wbits=31, CRC32 + ISIZE
+    trailers verified on decode), mtime pinned to 0 for determinism."""
+    import zlib
+
+    n = _WARC_N_BASE + doc_id % _WARC_N_MOD
+    full = synth_warc(doc_id)
+    # split the uncompressed stream back into its records
+    out, pos = bytearray(), 0
+    for _ in range(n):
+        end_hdr = full.find(b"\r\n\r\n", pos)
+        clen = int(
+            full[full.index(b"Content-Length: ", pos) + 16 : end_hdr].split(
+                b"\r\n"
+            )[0]
+        )
+        rec_end = end_hdr + 4 + clen + 4
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        out += co.compress(full[pos:rec_end]) + co.flush()
+        pos = rec_end
+    assert pos == len(full)
+    return bytes(out)
+
+
+def parse_warc_gz(payload: bytes) -> dict:
+    """REAL multi-member gzip walk + per-record WARC parse: each gzip
+    member (zlib wbits=31 — header, CRC32, ISIZE all verified by zlib)
+    must decompress to EXACTLY ONE WARC record (the CommonCrawl
+    contract that makes records independently seekable). Raises
+    ValueError on a short/corrupt member, trailing garbage, or a
+    member holding zero or multiple records."""
+    import zlib
+
+    pos, n = 0, len(payload)
+    n_members = 0
+    agg = None
+    while pos < n:
+        d = zlib.decompressobj(31)
+        try:
+            rec = d.decompress(payload[pos:])
+            rec += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at {pos}: {e}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at {pos}")
+        one = parse_warc(rec)
+        if one["n_records"] != 1:
+            raise ValueError(
+                f"gzip member holds {one['n_records']} records, expected 1"
+            )
+        n_members += 1
+        if agg is None:
+            agg = dict(one)
+        else:
+            agg["n_records"] += 1
+            agg["n_responses"] += one["n_responses"]
+            agg["n_requests"] += one["n_requests"]
+            agg["sum_content_bytes"] += one["sum_content_bytes"]
+            agg["max_content_bytes"] = max(
+                agg["max_content_bytes"], one["max_content_bytes"]
+            )
+            # position weight: this member is record number n_members
+            agg["wsum_content_bytes"] += n_members * one["sum_content_bytes"]
+        consumed = len(payload) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+    if n_members == 0:
+        raise ValueError("empty warc.gz file")
+    agg["n_members"] = n_members
+    return agg
+
+
+def decode_warc_gz(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL .warc.gz walk (gzip members + record parse)."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_warc_gz(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in GZWARC_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=GZWARC_FEATURES_SCHEMA)
+
+
+def attach_warc_gz(docs: DataFrame) -> DataFrame:
+    """Synthesize one .warc.gz file per document, executor-side."""
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_warc_gz(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )

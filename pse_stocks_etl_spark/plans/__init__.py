@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=20, stale refill=30) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=22, stale refill=28) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -151,6 +151,8 @@ _DRIVER_FIRST = [
     "multimodal_pair_filter",
     "docs_robots_filter",
     "docs_warc_records",
+    "docs_warc_gz_records",
+    "docs_html_extract",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -179,8 +181,6 @@ _DRIVER_FIRST = [
     "freshness_merge_preview",
     "hourly_event_rollup",
     "incremental_windows",
-    "local_supplier_volume",
-    "merge_upsert_preview",
 ]
 
 

@@ -1303,3 +1303,148 @@ def docs_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_warc, decode_warc
 
     return decode_warc(attach_warc(_docs(spark, sf_dir)))
+
+
+@register(
+    "docs_warc_gz_records",
+    # Identical lattice to docs_warc_records plus the member count —
+    # the gzip layer must be TRANSPARENT: decompression bugs cannot
+    # hide because every aggregate must match the uncompressed walk.
+    oracle="""
+    WITH r AS (
+      SELECT d.doc_id, u.i AS i,
+             40 + (13*d.doc_id + 29*u.i) % 80 AS clen,
+             (u.i % 4 = 3) AS is_req
+      FROM documents d, UNNEST(range(0, 2 + d.doc_id % 3)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN is_req THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_responses,
+           CAST(SUM(CASE WHEN is_req THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_requests,
+           CAST(SUM(clen) AS BIGINT) AS sum_content_bytes,
+           CAST(MAX(clen) AS BIGINT) AS max_content_bytes,
+           CAST(SUM((i + 1) * clen) AS BIGINT) AS wsum_content_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "sources", "warc", "gzip", "container"),
+)
+def docs_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .warc.gz convention CommonCrawl actually ships: each record
+    is its OWN gzip member, members concatenated — per-record framing
+    is what makes a 100 TB crawl dump seekable and splittable without
+    decompressing whole files. REAL multi-member gzip walk (zlib
+    wbits=31; header, CRC32 and ISIZE verified per member) + the same
+    record parse as docs_warc_records, with the contract that each
+    member holds exactly one record enforced loudly
+    (operators/multimodal.py::parse_warc_gz).
+
+    Scale: map-only Arrow walk, zero shuffle; decompression is
+    executor-side CPU on bytes that never leave the task."""
+    from ..operators.multimodal import attach_warc_gz, decode_warc_gz
+
+    return decode_warc_gz(attach_warc_gz(_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (the first step of every crawl pipeline)
+# --------------------------------------------------------------------------
+@register(
+    "docs_html_extract",
+    # The page wraps the document text in markup with two traps the
+    # extraction ORDER must get right: (1) the <script> body contains a
+    # bare '<' (real-world JS), so scripts must be removed as BLOCKS
+    # (non-greedy, RE2-safe) BEFORE the generic tag strip — a naive
+    # tag-strip-first pass leaves script fragments in the text; (2)
+    # inline <b> tags inside the prose must strip WITHOUT disturbing
+    # the words. Extraction is self-validating: the whitespace-
+    # normalized fingerprint of the extracted text must equal the
+    # fingerprint of the original document text.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             '<html><head><script>if(x<y){{z=1;}}</script></head><body><p>'
+             || replace(text, ' table ', ' <b>table</b> ')
+             || '</p></body></html>' AS html,
+             {{fp}} AS want_fp
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, n_chars, want_fp, length(html) AS n_chars_html,
+             regexp_replace(
+               regexp_replace(html, '<script>.*?</script>', '', 'g'),
+               '<[^>]*>', '', 'g') AS extracted
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(n_chars_html AS BIGINT) AS n_chars_html,
+           CAST(length(extracted) AS BIGINT) AS n_chars_text,
+           md5(regexp_replace(trim(lower(extracted)), '\\s+', ' ', 'g'))
+             AS text_fp,
+           (md5(regexp_replace(trim(lower(extracted)), '\\s+', ' ', 'g'))
+              = want_fp) AS recovered
+    FROM x
+    """,
+    tags=("llm", "sources", "html", "extraction"),
+)
+def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction, the step every crawl pipeline runs first:
+    wrap each document's text in a synthetic page (head with a script
+    whose body contains a bare '<' — the real-world trap — plus inline
+    <b> markup in the prose), then extract by removing script BLOCKS
+    first (non-greedy match) and stripping tags second. The recovered
+    flag proves round-trip exactness: the normalized fingerprint of
+    the extracted text equals the original text's fingerprint — an
+    extraction that strips tags before scripts, or eats words with
+    tags, turns it false.
+
+    Scale: map-only JVM regexp chain (codegen, RE2-safe) — a free
+    rider on the ingest scan, like canonicalization."""
+    from ..functions.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><script>if(x<y){z=1;}</script></head><body><p>"),
+        F.regexp_replace(F.col("text"), F.lit(" table "), F.lit(" <b>table</b> ")),
+        F.lit("</p></body></html>"),
+    )
+    base = d.select(
+        "doc_id",
+        html.alias("html"),
+        fingerprint(F.col("text")).alias("want_fp"),
+    )
+    extracted = F.regexp_replace(
+        F.regexp_replace(F.col("html"), r"<script>.*?</script>", ""),
+        r"<[^>]*>",
+        "",
+    )
+    x = base.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_chars_html"),
+        extracted.alias("extracted"),
+        "want_fp",
+    )
+    text_fp = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("extracted"))), r"\s+", " ")
+    )
+    return x.select(
+        "doc_id",
+        "n_chars_html",
+        F.length("extracted").cast("long").alias("n_chars_text"),
+        text_fp.alias("text_fp"),
+        (text_fp == F.col("want_fp")).alias("recovered"),
+    )
+
+
+def _late_bind_html_oracle() -> None:
+    from ..functions.text import sql_fingerprint
+    from .registry import REGISTRY
+
+    REGISTRY["docs_html_extract"].oracle = REGISTRY[
+        "docs_html_extract"
+    ].oracle.replace("{fp}", sql_fingerprint("text"))
+
+
+_late_bind_html_oracle()

@@ -215,6 +215,7 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_mp4_frame_sample", # mapInPandas MP4 sample-table explode (r9)
         "multimodal_pair_filter",      # joins the MP4 container parse (r9)
         "docs_warc_records",           # mapInPandas REAL WARC record walk (r9)
+        "docs_warc_gz_records",        # mapInPandas gzip-member .warc.gz walk (r9)
         "datasource_price_scan",       # Python DataSource scan
         "datasource_stream_prices",    # Python streaming DataSource (r8 promotion)
     }

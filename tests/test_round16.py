@@ -618,3 +618,82 @@ def test_warc_roundtrip_matches_lattice():
         lens = [40 + (13 * d + 29 * i) % 80 for i in range(n)]
         assert m["n_records"] == n and m["sum_content_bytes"] == sum(lens)
         assert m["n_responses"] + m["n_requests"] == n
+
+
+# --------------------------------------------------------------------------
+# Batch 6: .warc.gz member walk, HTML extraction
+# --------------------------------------------------------------------------
+def test_warc_gz_members_match_uncompressed_walk():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_warc,
+        parse_warc_gz,
+        synth_warc,
+        synth_warc_gz,
+    )
+
+    for d in range(30):
+        m = parse_warc_gz(synth_warc_gz(d))
+        base = parse_warc(synth_warc(d))
+        assert m.pop("n_members") == base["n_records"]
+        assert m == base, d
+
+
+def test_warc_gz_corruption_fails_loudly():
+    import pytest
+
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_warc_gz,
+        synth_warc_gz,
+    )
+
+    p = synth_warc_gz(5)
+    # flip a byte mid-member: CRC32 must catch it
+    bad = bytearray(p)
+    bad[len(p) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt|truncated|version|separator|header"):
+        parse_warc_gz(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_gz(p[: len(p) - 3])
+    with pytest.raises(ValueError, match="empty"):
+        parse_warc_gz(b"")
+    # a member holding TWO records violates the CommonCrawl contract
+    import zlib
+
+    from pse_stocks_etl_spark.operators.multimodal import synth_warc
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    two = co.compress(synth_warc(0)) + co.flush()  # doc 0 has 2 records
+    with pytest.raises(ValueError, match="expected 1"):
+        parse_warc_gz(two)
+
+
+def test_html_extract_recovers_every_document(spark, sf_dir):
+    from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["docs_html_extract"].fn(spark, sf_dir).collect()
+    non_null = [r for r in rows if r["recovered"] is not None]
+    assert non_null and all(r["recovered"] for r in non_null)
+    for r in non_null:
+        assert r["n_chars_html"] > r["n_chars_text"]
+
+
+def test_html_extract_order_dependency_is_real(spark):
+    # tag-strip-FIRST leaves script fragments: the bare '<' inside the
+    # script body breaks the naive pass — proving the query's
+    # script-blocks-first order is load-bearing, not stylistic.
+    import pyspark.sql.functions as F
+
+    html = "<html><head><script>if(x<y){z=1;}</script></head><body><p>hi</p></body></html>"
+    df = spark.range(1).select(F.lit(html).alias("h"))
+    naive = df.select(
+        F.regexp_replace(
+            F.regexp_replace("h", r"<[^>]*>", ""), r"<script>.*?</script>", ""
+        ).alias("t")
+    ).first()["t"]
+    correct = df.select(
+        F.regexp_replace(
+            F.regexp_replace("h", r"<script>.*?</script>", ""), r"<[^>]*>", ""
+        ).alias("t")
+    ).first()["t"]
+    assert correct == "hi"
+    assert naive != "hi" and "if(x" in naive
