@@ -2699,3 +2699,249 @@ def attach_warc_gz(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         synth_partition, schema="doc_id long, payload binary"
     )
+
+
+# --------------------------------------------------------------------------
+# UTF-8 byte-level validation (crawl ingest: mislabeled encodings)
+# --------------------------------------------------------------------------
+UTF8_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("defect", T.StringType()),
+        T.StructField("defect_at", T.LongType()),  # byte offset, -1 if valid
+        T.StructField("n_codepoints", T.LongType()),
+        T.StructField("n_multibyte", T.LongType()),
+    ]
+)
+
+# defect classes injected by the synth lattice (doc_id % 6):
+#   0,1 -> valid (1: includes multibyte); 2 -> overlong; 3 -> surrogate;
+#   4 -> truncated sequence at EOF; 5 -> bare continuation byte
+
+
+def synth_utf8(doc_id: int) -> bytes:
+    base = f"doc {doc_id} ".encode() * (2 + doc_id % 3)
+    k = doc_id % 6
+    if k == 0:
+        return base
+    if k == 1:  # valid 2/3/4-byte sequences
+        return base + "é€𝄞".encode() + base
+    if k == 2:  # overlong '/' (C0 AF)
+        return base + b"\xc0\xaf" + base
+    if k == 3:  # CESU-8 surrogate half (ED A0 80 = U+D800)
+        return base + b"\xed\xa0\x80" + base
+    if k == 4:  # truncated 3-byte sequence at EOF
+        return base + b"\xe2\x82"
+    return base + b"\x80" + base  # bare continuation
+
+
+def validate_utf8(payload: bytes) -> dict:
+    """REAL byte-level UTF-8 validation — a hand-rolled state machine
+    (no decode(), no external lib) enforcing RFC 3629: continuation
+    ranges per position, the overlong shortest-form rule (incl. the
+    C0/C1 and E0/F0 special lower bounds), the surrogate hole
+    (ED A0..BF), the U+10FFFF ceiling (F4 90+), and end-of-input
+    truncation. Reports the FIRST defect and its byte offset — what an
+    ingest pipeline logs before falling back to replacement decoding."""
+    i, n = 0, len(payload)
+    n_cp = n_multi = 0
+    while i < n:
+        b0 = payload[i]
+        if b0 < 0x80:
+            i += 1
+            n_cp += 1
+            continue
+        if 0xC2 <= b0 <= 0xDF:
+            need, lo, hi = 1, 0x80, 0xBF
+        elif b0 in (0xC0, 0xC1):
+            return _utf8_defect(payload, i, "overlong", n_cp, n_multi)
+        elif b0 == 0xE0:
+            need, lo, hi = 2, 0xA0, 0xBF
+        elif b0 == 0xED:
+            need, lo, hi = 2, 0x80, 0x9F  # exclude surrogates
+        elif 0xE1 <= b0 <= 0xEF:
+            need, lo, hi = 2, 0x80, 0xBF
+        elif b0 == 0xF0:
+            need, lo, hi = 3, 0x90, 0xBF
+        elif 0xF1 <= b0 <= 0xF3:
+            need, lo, hi = 3, 0x80, 0xBF
+        elif b0 == 0xF4:
+            need, lo, hi = 3, 0x80, 0x8F  # cap at U+10FFFF
+        elif 0x80 <= b0 <= 0xBF:
+            return _utf8_defect(payload, i, "bare_continuation", n_cp, n_multi)
+        else:
+            return _utf8_defect(payload, i, "invalid_byte", n_cp, n_multi)
+        if i + need > n - 1:
+            return _utf8_defect(payload, i, "truncated", n_cp, n_multi)
+        first = payload[i + 1]
+        if not (lo <= first <= hi):
+            kind = (
+                "surrogate"
+                if b0 == 0xED and first > hi
+                else "overlong"
+                if b0 in (0xE0, 0xF0) and first < lo
+                else "out_of_range"
+                if b0 == 0xF4 and first > hi
+                else "bad_continuation"
+            )
+            return _utf8_defect(payload, i, kind, n_cp, n_multi)
+        for j in range(2, need + 1):
+            if not (0x80 <= payload[i + j] <= 0xBF):
+                return _utf8_defect(payload, i, "bad_continuation", n_cp, n_multi)
+        i += need + 1
+        n_cp += 1
+        n_multi += 1
+    return {
+        "n_bytes": n,
+        "valid": True,
+        "defect": None,
+        "defect_at": -1,
+        "n_codepoints": n_cp,
+        "n_multibyte": n_multi,
+    }
+
+
+def _utf8_defect(payload: bytes, at: int, kind: str, n_cp: int, n_multi: int) -> dict:
+    return {
+        "n_bytes": len(payload),
+        "valid": False,
+        "defect": kind,
+        "defect_at": at,
+        "n_codepoints": n_cp,
+        "n_multibyte": n_multi,
+    }
+
+
+def attach_utf8(docs: DataFrame) -> DataFrame:
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_utf8(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_utf8_report(media: DataFrame) -> DataFrame:
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [validate_utf8(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in UTF8_FEATURES_SCHEMA.fieldNames()[1:]:
+                out[c] = [r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_partition, schema=UTF8_FEATURES_SCHEMA)
+
+
+# n_bytes is deliberately NOT in the census schema: compressed formats'
+# (PNG/JPEG/GIF/gzip) have DEFLATE-dependent sizes no SQL oracle can
+# replay; mime and parse_ok are closed-form in doc_id.
+MIME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("parse_ok", T.BooleanType()),
+    ]
+)
+
+
+def sniff_mime(payload: bytes) -> str:
+    """Magic-byte MIME detection over every container/codec the engine
+    parses — the modality census an ingest pipeline runs on a mixed
+    crawl payload column before routing to decoders."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    if payload[:2] == b"BM":
+        return "image/bmp"
+    if payload[:9] == b"YUV4MPEG2":
+        return "video/y4m"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if payload[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if payload[4:8] == b"ftyp":
+        return "video/mp4"
+    if payload[:9] == b"WARC/1.0\r":
+        return "application/warc"
+    if payload[:2] == b"\x1f\x8b":
+        return "application/gzip"
+    return "application/octet-stream"
+
+
+def attach_mixed(docs: DataFrame) -> DataFrame:
+    """One payload per doc, modality by doc_id % 9 — every synth the
+    engine has, plus a deliberately unknown blob."""
+
+    def synth_one(d: int) -> bytes:
+        k = d % 9
+        if k == 0:
+            return synth_wav(d)
+        if k == 1:
+            return synth_bmp(d)
+        if k == 2:
+            return synth_y4m(d)
+        if k == 3:
+            return synth_png(d)
+        if k == 4:
+            return synth_jpeg(d)
+        if k == 5:
+            return synth_gif(d)
+        if k == 6:
+            return synth_mp4(d)
+        if k == 7:
+            return synth_warc(d)
+        return b"\x00unknown" + bytes((d % 256,)) * 8
+
+    def synth_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth_partition, schema="doc_id long, payload binary"
+    )
+
+
+def decode_mime_census(media: DataFrame) -> DataFrame:
+    """Sniff + verify: route each payload to its REAL parser and report
+    whether the parse succeeds — sniffing alone is a guess; the census
+    only counts a modality when its decoder actually accepts the bytes."""
+
+    def census_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, oks = [], []
+            for p in pdf["payload"]:
+                m = sniff_mime(p)
+                ok = True
+                try:
+                    if m == "application/warc":
+                        parse_warc(p)
+                    elif m == "application/gzip":
+                        parse_warc_gz(p)
+                    elif m == "application/octet-stream":
+                        ok = False
+                    else:
+                        real_decode(p)
+                except (ValueError, NotImplementedError):
+                    ok = False
+                mimes.append(m)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": mimes, "parse_ok": oks}
+            )
+
+    return media.mapInPandas(census_partition, schema=MIME_SCHEMA)

@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=22, stale refill=28) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=24, stale refill=26) --
     "emb_hybrid_rrf",
     "multimodal_gif_resize",
     "docs_bpe_encode",
@@ -153,6 +153,8 @@ _DRIVER_FIRST = [
     "docs_warc_records",
     "docs_warc_gz_records",
     "docs_html_extract",
+    "docs_utf8_validate",
+    "docs_mime_census",
     "anti_join_uptodate",
     "asof_click_attribution",
     "broadcast_watermark_join",
@@ -179,8 +181,6 @@ _DRIVER_FIRST = [
     "emb_kmeans_refine",
     "emb_near_dup_pairs",
     "freshness_merge_preview",
-    "hourly_event_rollup",
-    "incremental_windows",
 ]
 
 

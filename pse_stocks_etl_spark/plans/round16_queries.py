@@ -1448,3 +1448,92 @@ def _late_bind_html_oracle() -> None:
 
 
 _late_bind_html_oracle()
+
+
+# --------------------------------------------------------------------------
+# Batch 7: UTF-8 validation, MIME census
+# --------------------------------------------------------------------------
+@register(
+    "docs_utf8_validate",
+    # The synth injects one defect class per doc_id % 6 residue (two
+    # valid classes incl. 2/3/4-byte sequences; overlong C0 AF; CESU-8
+    # surrogate ED A0 80; 3-byte sequence truncated at EOF; bare
+    # continuation byte) at a lattice-known offset, so the oracle
+    # recomputes every column — including the exact defect offset and
+    # the codepoint count at the point of failure — without seeing a
+    # byte. The validator itself is cross-checked against CPython's
+    # decoder over the full 2-byte space and structured 3/4-byte sweeps
+    # in tests/test_round16.py.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 6 AS k,
+             (5 + length(CAST(doc_id AS VARCHAR))) * (2 + doc_id % 3) AS blen
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE k WHEN 0 THEN blen WHEN 1 THEN 2*blen + 9
+                WHEN 2 THEN 2*blen + 2 WHEN 3 THEN 2*blen + 3
+                WHEN 4 THEN blen + 2 ELSE 2*blen + 1 END AS BIGINT)
+             AS n_bytes,
+           (k < 2) AS valid,
+           CASE k WHEN 2 THEN 'overlong' WHEN 3 THEN 'surrogate'
+                WHEN 4 THEN 'truncated' WHEN 5 THEN 'bare_continuation'
+           END AS defect,
+           CAST(CASE WHEN k < 2 THEN -1 ELSE blen END AS BIGINT)
+             AS defect_at,
+           CAST(CASE WHEN k = 1 THEN 2*blen + 3 ELSE blen END AS BIGINT)
+             AS n_codepoints,
+           CAST(CASE WHEN k = 1 THEN 3 ELSE 0 END AS BIGINT) AS n_multibyte
+    FROM b
+    """,
+    tags=("llm", "sources", "encoding", "validation"),
+)
+def docs_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level UTF-8 validation at ingest — mislabeled encodings are
+    endemic in web crawls, and a pipeline must detect (and log the
+    offset of) malformed bytes BEFORE replacement-decoding corrupts
+    content hashes. Hand-rolled RFC 3629 state machine (no decode(),
+    no external lib): shortest-form/overlong rules incl. the E0/F0
+    lower bounds, the ED surrogate hole, the F4 U+10FFFF ceiling, and
+    EOF truncation; first defect + byte offset reported
+    (operators/multimodal.py::validate_utf8, CPython-cross-checked).
+
+    Scale: map-only Arrow pass, zero shuffle — rides the ingest scan."""
+    from ..operators.multimodal import attach_utf8, decode_utf8_report
+
+    return decode_utf8_report(attach_utf8(_docs(spark, sf_dir)))
+
+
+@register(
+    "docs_mime_census",
+    # Modality census: mime by doc_id % 9 (every synth the engine has
+    # plus a deliberately unknown blob); parse_ok is true exactly when
+    # a REAL parser accepts the bytes — sniffing is a guess, the
+    # census only counts verified modalities.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 9
+                WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                WHEN 2 THEN 'video/y4m' WHEN 3 THEN 'image/png'
+                WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'image/gif'
+                WHEN 6 THEN 'video/mp4' WHEN 7 THEN 'application/warc'
+                ELSE 'application/octet-stream' END AS mime,
+           (doc_id % 9 <> 8) AS parse_ok
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "sources", "mime"),
+)
+def docs_mime_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection + parser verification over a MIXED
+    payload column (one modality per doc_id % 9 — all eight real
+    formats the engine decodes plus an unknown blob): sniff the magic,
+    then route to the REAL decoder and record whether it accepts the
+    bytes. This is the routing census an ingest pipeline runs on a
+    heterogeneous crawl before fanning out to modality lanes — and an
+    end-to-end exercise of every codec dispatch in one query.
+
+    Scale: map-only Arrow pass, zero shuffle; the census output (not
+    the payloads) is what downstream routing shuffles."""
+    from ..operators.multimodal import attach_mixed, decode_mime_census
+
+    return decode_mime_census(attach_mixed(_docs(spark, sf_dir)))

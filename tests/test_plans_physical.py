@@ -216,6 +216,8 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "multimodal_pair_filter",      # joins the MP4 container parse (r9)
         "docs_warc_records",           # mapInPandas REAL WARC record walk (r9)
         "docs_warc_gz_records",        # mapInPandas gzip-member .warc.gz walk (r9)
+        "docs_utf8_validate",          # mapInPandas byte-level UTF-8 validation (r9)
+        "docs_mime_census",            # mapInPandas magic-sniff + parser routing (r9)
         "datasource_price_scan",       # Python DataSource scan
         "datasource_stream_prices",    # Python streaming DataSource (r8 promotion)
     }

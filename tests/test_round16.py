@@ -697,3 +697,78 @@ def test_html_extract_order_dependency_is_real(spark):
     ).first()["t"]
     assert correct == "hi"
     assert naive != "hi" and "if(x" in naive
+
+
+# --------------------------------------------------------------------------
+# Batch 7: UTF-8 validation, MIME census
+# --------------------------------------------------------------------------
+def test_utf8_state_machine_matches_cpython_decoder():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        synth_utf8,
+        validate_utf8,
+    )
+
+    # synth classes
+    for d in range(60):
+        p = synth_utf8(d)
+        m = validate_utf8(p)
+        try:
+            s = p.decode("utf-8")
+            py_valid = True
+        except UnicodeDecodeError:
+            py_valid = False
+        assert m["valid"] == py_valid, (d, m)
+        if py_valid:
+            assert m["n_codepoints"] == len(s)
+            assert m["n_multibyte"] == sum(1 for ch in s if ord(ch) >= 0x80)
+    # exhaustive 2-byte leading space
+    for b0 in range(0xC0, 0xE0):
+        for b1 in range(0x100):
+            p = bytes((b0, b1))
+            try:
+                p.decode("utf-8")
+                py = True
+            except UnicodeDecodeError:
+                py = False
+            assert validate_utf8(p)["valid"] == py, p.hex()
+    # structured 3/4-byte boundary sweep (E0/ED/F0/F4 special rows)
+    for b0 in (0xE0, 0xE1, 0xED, 0xEF, 0xF0, 0xF2, 0xF4, 0xF5, 0xFF):
+        for b1 in (0x7F, 0x80, 0x8F, 0x90, 0x9F, 0xA0, 0xBF, 0xC0):
+            for b2 in (0x7F, 0x80, 0xBF, 0xC0):
+                for b3 in ((), (0x80,), (0xC0,)):
+                    p = bytes((b0, b1, b2) + b3)
+                    try:
+                        p.decode("utf-8")
+                        py = True
+                    except UnicodeDecodeError:
+                        py = False
+                    assert validate_utf8(p)["valid"] == py, p.hex()
+
+
+def test_utf8_defect_offsets_and_kinds():
+    from pse_stocks_etl_spark.operators.multimodal import validate_utf8
+
+    assert validate_utf8(b"ok\xc0\xafok")["defect"] == "overlong"
+    assert validate_utf8(b"ok\xc0\xafok")["defect_at"] == 2
+    assert validate_utf8(b"\xed\xa0\x80")["defect"] == "surrogate"
+    assert validate_utf8(b"a\xe2\x82")["defect"] == "truncated"
+    assert validate_utf8(b"\x80")["defect"] == "bare_continuation"
+    assert validate_utf8(b"\xf4\x90\x80\x80")["defect"] == "out_of_range"
+    ok = validate_utf8("héllo 𝄞".encode())
+    assert ok["valid"] and ok["defect_at"] == -1 and ok["n_multibyte"] == 2
+
+
+def test_mime_census_routes_every_modality():
+    from pse_stocks_etl_spark.operators.multimodal import (
+        sniff_mime,
+        synth_gif,
+        synth_mp4,
+        synth_warc,
+        synth_warc_gz,
+    )
+
+    assert sniff_mime(synth_mp4(3)) == "video/mp4"
+    assert sniff_mime(synth_warc(3)) == "application/warc"
+    assert sniff_mime(synth_warc_gz(3)) == "application/gzip"
+    assert sniff_mime(synth_gif(3)) == "image/gif"
+    assert sniff_mime(b"\x00nope") == "application/octet-stream"
