@@ -772,3 +772,73 @@ def test_mime_census_routes_every_modality():
     assert sniff_mime(synth_warc_gz(3)) == "application/gzip"
     assert sniff_mime(synth_gif(3)) == "image/gif"
     assert sniff_mime(b"\x00nope") == "application/octet-stream"
+
+
+# --------------------------------------------------------------------------
+# Property tests (hypothesis): the validators against their specs
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=24))
+def test_utf8_validator_agrees_with_cpython_on_random_bytes(p):
+    from pse_stocks_etl_spark.operators.multimodal import validate_utf8
+
+    try:
+        s = p.decode("utf-8")
+        py_valid = True
+    except UnicodeDecodeError:
+        py_valid = False
+    m = validate_utf8(p)
+    assert m["valid"] == py_valid, p.hex()
+    if py_valid:
+        assert m["n_codepoints"] == len(s)
+        assert m["n_multibyte"] == sum(1 for ch in s if ord(ch) >= 0x80)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=16))
+def test_utf8_validator_accepts_every_real_unicode_string(s):
+    from pse_stocks_etl_spark.operators.multimodal import validate_utf8
+
+    m = validate_utf8(s.encode("utf-8"))
+    assert m["valid"] and m["n_codepoints"] == len(s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_warc_gz_equals_uncompressed_for_any_doc_id(d):
+    from pse_stocks_etl_spark.operators.multimodal import (
+        parse_warc,
+        parse_warc_gz,
+        synth_warc,
+        synth_warc_gz,
+    )
+
+    m = parse_warc_gz(synth_warc_gz(d))
+    base = parse_warc(synth_warc(d))
+    assert m.pop("n_members") == base["n_records"]
+    assert m == base
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.sampled_from("alpha bravo charlie delta echo".split()),
+             min_size=1, max_size=120),
+    st.integers(min_value=0, max_value=120),
+)
+def test_cdc_resynchronizes_after_any_single_insertion(tokens, at):
+    # CDC's defining property, for ANY text and ANY edit position:
+    # chunks strictly after the boundary-chunk containing the edit are
+    # byte-identical (boundaries depend only on local content).
+    from collections import Counter
+
+    at = min(at, len(tokens))
+    edited = tokens[:at] + ["zulu"] + tokens[at:]
+    a = _py_cdc_chunks(" ".join(tokens))
+    b = _py_cdc_chunks(" ".join(edited))
+    ca, cb = Counter(fp for fp, _ in a), Counter(fp for fp, _ in b)
+    # at most ONE chunk of the original is lost (the edited chunk)
+    assert sum((ca - cb).values()) <= 1, (tokens, at)
