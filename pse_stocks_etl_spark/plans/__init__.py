@@ -88,43 +88,36 @@ except ImportError:  # pragma: no cover - partial checkouts
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. CORRECTNESS_r07.json came back 50/50 green (rows +
-# schema + hash, zero err), draining the whole round-7 window: the
-# round-7 second batch, every round-8/9 addition, the store-lifecycle
-# and incremental-IVFPQ queries, and three stale-green refreshers are
-# all driver-confirmed. Cumulatively 192/239 queries held a driver-green
-# row entering round 8 (COVERAGE.md's driver map is the authoritative
-# ledger).
+# order each round. CORRECTNESS_r08.json came back 50/50 green (rows +
+# schema + hash, zero err), draining all 25 block-6 queries, all 22
+# round-11/12/13 promotions, and 3 of round-8's late additions;
+# cumulatively 242/246 pre-round-9 queries hold a driver-green row
+# (COVERAGE.md's driver map is the authoritative ledger).
 #
-# The round-8 window below was WRITTEN BY `python scripts/plan_rotation.py
-# --apply` (new this round — the planner rewrites this block in place;
-# no more hand-pasting). It derives from the CORRECTNESS_r*.json files
-# on disk: the never-driver-checked queries lead — the 25-query
-# block-6 queue (round-6 second batch + TPC-H sweep completion), the
-# 22 round-11/12/13 queries promoted out of plans/staging.py this
-# round (stage() → register(); staging is EMPTY again and stays a
-# queue), and this round's seven additions (`multimodal_jpeg_decode`,
-# then the retrieval/tokenizer batch: `multimodal_gif_decode`,
-# `docs_bm25_topk`, `emb_hybrid_rrf`, `multimodal_gif_resize`,
-# `docs_bpe_encode`, `docs_bm25_index_increment`). 54 never-checked
-# > 50 slots, so the stale-green refill dropped to zero and the last
-# four sit in the DECLARED next-window queue (4 / bound 25, drains in
-# round 9) — after the r8 AND r9 CORRECTNESS files land green, every
-# query the engine has will hold a driver-green row.
+# The round-9 window below was WRITTEN BY `python scripts/plan_rotation.py
+# --apply` (re-run after every addition batch; the planner rewrites
+# this block in place). It derives from the CORRECTNESS_r*.json files
+# on disk: never-driver-checked queries lead — the 4-query r8 queue
+# (`emb_hybrid_rrf`, `multimodal_gif_resize`, `docs_bpe_encode`,
+# `docs_bm25_index_increment`) followed by round 9's 20 additions (MP4
+# container + frame sampling, the URL lane, corpus_build + shard
+# manifest, incremental contamination, CDC chunking, phrase match,
+# content drift, pair filter, robots, WARC + .warc.gz, UTF-8
+# validation, MIME census) — 24 never-checked, inside the 25 bound —
+# and the remaining 26 slots refill with the STALEST greens (the
+# r1/r2-era flagship/watermark/dedup/core block). After CORRECTNESS_r09
+# lands green, the r8 queue is drained and stale-refresh resumes at
+# full width.
 #
-# POST-DRAIN ROTATION POLICY (round 9+): with the backlog at zero and
-# staging empty, future windows are pure stale-green refresh. Step
-# zero of every round is now two commands:
+# ROTATION POLICY (standing): step zero of every round is two commands:
 #   python scripts/plan_rotation.py --apply
 #   python scripts/gen_driver_map.py --write
-# (the planner emits the 50 queries whose most-recent driver-green row
-# is OLDEST — r1/r2 first; the flagship/watermark/dedup/ANN block has
-# not been re-confirmed since round 2 — breaking ties by registry
+# (the planner emits never-checked first, then the 50 queries whose
+# most-recent driver-green row is OLDEST, breaking ties by registry
 # order). New queries go straight to REGISTRY + the front of
 # _DRIVER_FIRST (they are never-checked by definition and outrank any
 # refresh); staging is only for overflow beyond the 25-query
-# never-checked bound, which a zero backlog makes unlikely. The
-# rotation guards (tests/test_parity.py::
+# never-checked bound. The rotation guards (tests/test_parity.py::
 # test_driver_window_covers_unverified_queries and
 # ::test_refresh_slots_are_the_stalest_greens) read the actual
 # CORRECTNESS files, never this prose.
