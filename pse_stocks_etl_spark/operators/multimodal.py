@@ -144,17 +144,20 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 
 def real_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Real image resample integration point: BMP and GIF resize for
+    """Real image resample integration point: BMP and GIF resize are
     REAL (nearest-neighbor, `resize_bmp_nearest` / `resize_gif_nearest`
-    below); only video (MP4/H.264) still lacks a decoder in this
-    container."""
+    below). Every other payload format falls through here — PNG/JPEG
+    would need a re-ENCODE path (decoders exist below but no encoders),
+    and MP4/H.264 lacks an entropy decoder in this container — so the
+    error names the sniffed format instead of blaming one codec."""
     if payload[:2] == b"BM":
         return resize_bmp_nearest(payload, w, h)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return resize_gif_nearest(payload, w, h)
+    fmt = sniff_mime(payload)
     raise NotImplementedError(  # pragma: no cover - integration point
-        "MP4/H.264 resample unavailable; deterministic fake used "
-        "instead (resize_media)"
+        f"no real resample for format {fmt!r} (only BMP/GIF have "
+        "encoders here); deterministic fake used instead (resize_media)"
     )
 
 
@@ -2102,11 +2105,13 @@ def synth_mp4(doc_id: int) -> bytes:
     return ftyp + free + moov + mdat + payload
 
 
-def _mp4_boxes(buf: bytes, start: int, end: int):
+def _mp4_boxes(buf: bytes, start: int, end: int, top_level: bool = False):
     """Iterate (fourcc, body_start, body_end, header_len) over a box
     sequence, handling 64-bit largesize (size==1, header_len 16) and
-    to-end (size==0) headers. Raises ValueError on truncation or an
-    impossible size."""
+    to-end (size==0) headers. ISO 14496-12 §4.2 permits size==0 only
+    for the LAST box at the top level of the file, so nested walks
+    reject it — a nested to-end box would silently swallow its
+    siblings. Raises ValueError on truncation or an impossible size."""
     import struct
 
     pos = start
@@ -2124,7 +2129,11 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
             if size < 16:
                 raise ValueError(f"impossible largesize {size}")
         elif size == 0:
-            size = end - pos
+            if not top_level:
+                raise ValueError(
+                    f"to-end box {fourcc!r} only permitted at top level"
+                )
+            size = end - pos  # runs to EOF, so it is the last box
         elif size < 8:
             raise ValueError(f"impossible box size {size}")
         if pos + size > end:
@@ -2136,10 +2145,21 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
 
 
 def _mp4_child(buf: bytes, start: int, end: int, fourcc: bytes):
+    found = _mp4_child_opt(buf, start, end, fourcc)
+    if found is None:
+        raise ValueError(f"missing required box {fourcc!r}")
+    return found
+
+
+def _mp4_child_opt(buf: bytes, start: int, end: int, fourcc: bytes):
+    """Probe for a child box; None when genuinely absent. Walk errors
+    (truncation, corrupt sibling) still propagate — absence and
+    corruption must stay distinguishable (the stco→co64 fallback and
+    the optional-stss rule both depend on that distinction)."""
     for fc, b, e, _hdr in _mp4_boxes(buf, start, end):
         if fc == fourcc:
             return b, e
-    raise ValueError(f"missing required box {fourcc!r}")
+    return None
 
 
 def parse_mp4(payload: bytes) -> dict:
@@ -2157,7 +2177,7 @@ def parse_mp4(payload: bytes) -> dict:
 
     if len(payload) < 16:
         raise ValueError("not an MP4 payload (too short)")
-    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    boxes = list(_mp4_boxes(payload, 0, len(payload), top_level=True))
     if boxes[0][0] != b"ftyp":
         raise ValueError("first box must be ftyp")
     top = {fc: (b, e, hdr) for fc, b, e, hdr in boxes}
@@ -2242,24 +2262,32 @@ def parse_mp4(payload: bytes) -> dict:
         struct.unpack_from(">III", payload, stsc_b + 8 + 12 * r)
         for r in range(n_stsc)
     ]
-    # stco or co64
-    try:
-        stco_b, stco_e = _mp4_child(payload, stbl_b, stbl_e, b"stco")
+    # stco or co64: probe for stco explicitly and fall back to co64 only
+    # when stco is genuinely ABSENT — a corrupt stco (or corrupt sibling
+    # hit during the walk) propagates with its own diagnosis instead of
+    # being re-reported as a co64 problem.
+    stco = _mp4_child_opt(payload, stbl_b, stbl_e, b"stco")
+    if stco is not None:
+        stco_b, stco_e = stco
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
         _entries(stco_b, stco_e, 8, 4, n_chunks, "stco")
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco_b + 8))
-    except ValueError as err:
-        if "stco declares" in str(err):
-            raise
+    else:
         stco_b, stco_e = _mp4_child(payload, stbl_b, stbl_e, b"co64")
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
         _entries(stco_b, stco_e, 8, 8, n_chunks, "co64")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, stco_b + 8))
-    # stss
-    stss_b, stss_e = _mp4_child(payload, stbl_b, stbl_e, b"stss")
-    n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
-    _entries(stss_b, stss_e, 8, 4, n_sync, "stss")
-    sync = list(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
+    # stss is OPTIONAL (ISO 14496-12 §8.6.2): absence means every sample
+    # is a sync sample.
+    stss = _mp4_child_opt(payload, stbl_b, stbl_e, b"stss")
+    if stss is not None:
+        stss_b, stss_e = stss
+        n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
+        _entries(stss_b, stss_e, 8, 4, n_sync, "stss")
+        sync = list(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
+    else:
+        n_sync = n_samples
+        sync = list(range(1, n_samples + 1))
 
     # ---- cross-table validation ----
     if stts_total != n_samples:
@@ -2371,7 +2399,7 @@ def mp4_sample_rows(payload: bytes) -> list[dict]:
     import struct
 
     parse_mp4(payload)  # full cross-table validation first
-    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    boxes = list(_mp4_boxes(payload, 0, len(payload), top_level=True))
     top = {fc: (b, e) for fc, b, e, _h in boxes}
     moov_b, moov_e = top[b"moov"]
     mdat_b, _mdat_e = top[b"mdat"]
@@ -2399,17 +2427,22 @@ def mp4_sample_rows(payload: bytes) -> list[dict]:
         struct.unpack_from(">III", payload, stsc_b + 8 + 12 * r)
         for r in range(n_stsc)
     ]
-    try:
-        stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stco")
+    stco = _mp4_child_opt(payload, stbl_b, stbl_e, b"stco")
+    if stco is not None:
+        stco_b, _ = stco
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco_b + 8))
-    except ValueError:
+    else:
         stco_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"co64")
         n_chunks = struct.unpack_from(">I", payload, stco_b + 4)[0]
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, stco_b + 8))
-    stss_b, _ = _mp4_child(payload, stbl_b, stbl_e, b"stss")
-    n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
-    sync = set(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
+    stss = _mp4_child_opt(payload, stbl_b, stbl_e, b"stss")
+    if stss is not None:
+        stss_b, _ = stss
+        n_sync = struct.unpack_from(">I", payload, stss_b + 4)[0]
+        sync = set(struct.unpack_from(f">{n_sync}I", payload, stss_b + 8))
+    else:  # optional stss: every sample is a sync sample
+        sync = set(range(1, n_samples + 1))
 
     per_chunk: list[int] = []
     for idx, (first, spc, _sdi) in enumerate(stsc_entries):

@@ -88,26 +88,21 @@ except ImportError:  # pragma: no cover - partial checkouts
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. CORRECTNESS_r08.json came back 50/50 green (rows +
-# schema + hash, zero err), draining all 25 block-6 queries, all 22
-# round-11/12/13 promotions, and 3 of round-8's late additions;
-# cumulatively 242/246 pre-round-9 queries hold a driver-green row
-# (COVERAGE.md's driver map is the authoritative ledger).
+# order each round. CORRECTNESS_r09.json came back 50/50 green (rows +
+# schema + hash, zero err), draining the 4-query r8 queue plus all 20
+# round-9 additions and refreshing 26 of the stalest r1/r2-era greens;
+# cumulatively ALL 266 registry queries hold a driver-green row — the
+# never-checked backlog is empty for the first time (COVERAGE.md's
+# driver map is the authoritative ledger).
 #
-# The round-9 window below was WRITTEN BY `python scripts/plan_rotation.py
+# The round-10 window below was WRITTEN BY `python scripts/plan_rotation.py
 # --apply` (re-run after every addition batch; the planner rewrites
 # this block in place). It derives from the CORRECTNESS_r*.json files
-# on disk: never-driver-checked queries lead — the 4-query r8 queue
-# (`emb_hybrid_rrf`, `multimodal_gif_resize`, `docs_bpe_encode`,
-# `docs_bm25_index_increment`) followed by round 9's 20 additions (MP4
-# container + frame sampling, the URL lane, corpus_build + shard
-# manifest, incremental contamination, CDC chunking, phrase match,
-# content drift, pair filter, robots, WARC + .warc.gz, UTF-8
-# validation, MIME census) — 24 never-checked, inside the 25 bound —
-# and the remaining 26 slots refill with the STALEST greens (the
-# r1/r2-era flagship/watermark/dedup/core block). After CORRECTNESS_r09
-# lands green, the r8 queue is drained and stale-refresh resumes at
-# full width.
+# on disk: with zero never-checked queries remaining, round 10's new
+# additions (substring dedup, BPE training, skewed-domain stress
+# lanes, ...) lead as they land, and the rest of the window is pure
+# stalest-green refresh — the r3/r4-era roundtrip/store/window block
+# whose most-recent green rows are oldest.
 #
 # ROTATION POLICY (standing): step zero of every round is two commands:
 #   python scripts/plan_rotation.py --apply
@@ -123,57 +118,57 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=24, stale refill=26) --
-    "emb_hybrid_rrf",
-    "multimodal_gif_resize",
-    "docs_bpe_encode",
-    "docs_bm25_index_increment",
-    "multimodal_mp4_metadata",
-    "docs_url_canonicalize",
-    "docs_url_dedup",
-    "docs_domain_cap",
-    "corpus_build",
-    "docs_incremental_contamination",
-    "docs_url_filter",
-    "docs_incremental_url_dedup",
-    "multimodal_mp4_frame_sample",
-    "docs_cdc_chunks",
-    "corpus_shard_manifest",
-    "docs_phrase_match",
-    "docs_url_content_drift",
-    "multimodal_pair_filter",
-    "docs_robots_filter",
-    "docs_warc_records",
-    "docs_warc_gz_records",
-    "docs_html_extract",
-    "docs_utf8_validate",
-    "docs_mime_census",
-    "anti_join_uptodate",
-    "asof_click_attribution",
-    "broadcast_watermark_join",
-    "classify_freshness",
-    "datasource_price_scan",
-    "date_parse_format",
-    "dedup_argmax",
-    "distinct_count_per_key",
-    "distinct_dims",
-    "docs_bpe_token_stats",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_minhash_lsh_pairs",
-    "docs_near_dup_clusters",
-    "docs_ngram_jaccard_pairs",
-    "docs_pii_scrub",
-    "docs_quality_score",
-    "docs_split_assign",
-    "docs_token_stats",
-    "docs_top_terms",
-    "emb_ann_ivf",
-    "emb_ann_lsh",
-    "emb_kmeans_refine",
-    "emb_near_dup_pairs",
-    "freshness_merge_preview",
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=0, stale refill=50) --
+    "hourly_event_rollup",
+    "incremental_windows",
+    "local_supplier_volume",
+    "merge_upsert_preview",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rollup_orders",
+    "select_rename_filter",
+    "semi_join_in",
+    "sessionization",
+    "shipping_priority",
+    "star_join_revenue",
+    "sync_end_to_end",
+    "top_n_orders",
+    "topk_per_group",
+    "union_all_batches",
+    "watermark_per_key",
+    "above_avg_orders",
+    "concat_key_distinct",
+    "csv_roundtrip_counts",
+    "cube_order_stats",
+    "delta_cdf_preview",
+    "docs_contamination",
+    "docs_global_index",
+    "docs_pack_chunks",
+    "docs_pipeline_keep",
+    "docs_repetition_stats",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_token_outliers",
+    "emb_centroid_per_label",
+    "empty_relation_clone",
+    "except_lapsed_customers",
+    "flagship_latest_price",
+    "funnel_stages",
+    "gapfill_locf_daily",
+    "grouped_rollup_store_roundtrip",
+    "grouping_sets_revenue",
+    "intersect_trading_nations",
+    "json_extract_props",
+    "jsonl_roundtrip_stats",
+    "kmv_distinct_users",
+    "lateral_top_orders",
+    "median_price_per_flag",
+    "moving_avg_price",
+    "multimodal_wav_decode",
+    "nation_trade_volume",
+    "orc_roundtrip_counts",
 ]
 
 

@@ -367,6 +367,22 @@ _CC_PAIRS_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)
 EXTRA_WORKING_SET_CACHES: list[_PersistedLRU] = []
 
 
+def register_working_set_cache(owner: str, cap: int | None = None) -> _PersistedLRU:
+    """Create + register a per-module working-set cache, reload-safe:
+    importlib.reload re-executes the caller with a FRESH cache object,
+    so registration dedupes by owner tag (the caller's __name__), never
+    by identity — a previous execution's cache is dropped, not stacked.
+    The single registration path for every module-level cache (VERDICT
+    r9: three sites had hand-rolled this inconsistently)."""
+    cache = _PersistedLRU(SHINGLE_CACHE_CAP if cap is None else cap)
+    cache._owner = owner
+    EXTRA_WORKING_SET_CACHES[:] = [
+        c for c in EXTRA_WORKING_SET_CACHES if getattr(c, "_owner", None) != owner
+    ]
+    EXTRA_WORKING_SET_CACHES.append(cache)
+    return cache
+
+
 def clear_working_set_caches() -> None:
     """Unpersist + forget every session working-set cache (shingles,
     capped shingles, CC pairs, registered extras). For harnesses that

@@ -60,11 +60,9 @@ _MV_PRICE_BUMP_CENTS = 10_000
 
 
 def _make_fact_cache():
-    from .llm_queries import EXTRA_WORKING_SET_CACHES, _PersistedLRU, SHINGLE_CACHE_CAP
+    from .llm_queries import register_working_set_cache
 
-    cache = _PersistedLRU(SHINGLE_CACHE_CAP)
-    EXTRA_WORKING_SET_CACHES.append(cache)
-    return cache
+    return register_working_set_cache(__name__)
 
 
 _MV_FACT_CACHE = _make_fact_cache()

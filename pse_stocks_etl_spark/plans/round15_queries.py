@@ -276,17 +276,10 @@ def _bm25_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .llm_queries import EXTRA_WORKING_SET_CACHES, _PersistedLRU  # noqa: E402
+from .llm_queries import register_working_set_cache  # noqa: E402
 
-_BM25_STATS_CACHE = _PersistedLRU(2)
-# Reload-safe registration: importlib.reload re-executes this module
-# with a FRESH cache object, so dedupe by owner tag, not identity —
-# drop any cache a previous execution of this module registered.
-_BM25_STATS_CACHE._owner = __name__
-EXTRA_WORKING_SET_CACHES[:] = [
-    c for c in EXTRA_WORKING_SET_CACHES if getattr(c, "_owner", None) != __name__
-]
-EXTRA_WORKING_SET_CACHES.append(_BM25_STATS_CACHE)
+# Reload-safe registration (dedupe by owner tag) via the shared helper.
+_BM25_STATS_CACHE = register_working_set_cache(__name__, cap=2)
 
 
 def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

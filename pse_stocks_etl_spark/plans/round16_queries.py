@@ -499,15 +499,16 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum", F.sum("n").over(w))
     )
-    cap = F.lit(PACK_CAPACITY).cast("long")
     return out.select(
         "doc_id",
         "source",
         "split",
         F.col("n").alias("n_tokens"),
         (F.col("cum") - F.col("n")).alias("start_off"),
-        ((F.col("cum") - F.col("n")) / cap).cast("long").alias("first_chunk"),
-        ((F.col("cum") - 1) / cap).cast("long").alias("last_chunk"),
+        # integer `div`, matching the oracle's `//` token-for-token — a
+        # float intermediate would only be exact for power-of-two caps
+        F.expr(f"(cum - n) div {PACK_CAPACITY}").alias("first_chunk"),
+        F.expr(f"(cum - 1) div {PACK_CAPACITY}").alias("last_chunk"),
     )
 
 

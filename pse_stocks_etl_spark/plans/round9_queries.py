@@ -1565,11 +1565,9 @@ def _sql_simhash_pairs() -> str:
 # is exactly the fingerprint table a production dedup service maintains
 # incrementally. Registered with clear_working_set_caches().
 def _make_simhash_cache():
-    from .llm_queries import EXTRA_WORKING_SET_CACHES, _PersistedLRU, SHINGLE_CACHE_CAP
+    from .llm_queries import register_working_set_cache
 
-    cache = _PersistedLRU(SHINGLE_CACHE_CAP)
-    EXTRA_WORKING_SET_CACHES.append(cache)
-    return cache
+    return register_working_set_cache(__name__)
 
 
 _SIMHASH60_CACHE = _make_simhash_cache()

@@ -877,13 +877,17 @@ def test_real_resize_dispatches_gif():
         assert (m["width"], m["height"]) == (6, 4)
 
 
-def test_real_resize_unknown_format_names_video_only():
+def test_real_resize_error_names_the_sniffed_format():
+    # ADVICE r9: the error must name the format that actually lacks a
+    # resample path, not blame MP4/H.264 for every fall-through.
     import pytest
 
     from pse_stocks_etl_spark.operators.multimodal import real_resize
 
-    with pytest.raises(NotImplementedError, match="MP4/H.264"):
+    with pytest.raises(NotImplementedError, match="video/mp4"):
         real_resize(b"\x00\x00\x00\x18ftypisom", 4, 4)
+    with pytest.raises(NotImplementedError, match="image/png"):
+        real_resize(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, 4, 4)
 
 
 def test_gif_garbage_terminator_rejected():

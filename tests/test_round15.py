@@ -350,3 +350,27 @@ def test_bm25_postings_are_never_shuffled_on_term(spark, sf_dir):
                 line.strip(),
                 child.strip(),
             )
+
+
+def test_working_set_cache_registration_is_reload_safe():
+    # VERDICT r9: all module-level caches must register through the
+    # shared owner-tagged helper so importlib.reload never stacks a
+    # second cache for the same module.
+    import importlib
+
+    from pse_stocks_etl_spark.plans import llm_queries
+    from pse_stocks_etl_spark.plans import round13_queries, round15_queries
+    from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
+
+    def owners():
+        return sorted(
+            getattr(c, "_owner", "<untagged>")
+            for c in llm_queries.EXTRA_WORKING_SET_CACHES
+        )
+
+    before = owners()
+    assert "<untagged>" not in before
+    assert len(before) == len(set(before))  # one cache per owner module
+    importlib.reload(round13_queries)
+    importlib.reload(round15_queries)
+    assert owners() == before

@@ -115,6 +115,98 @@ def test_real_decode_dispatches_mp4():
     assert real_decode(p) == parse_mp4(p)
 
 
+def _minimal_mp4_without_stss() -> bytes:
+    """A spec-minimal ISO BMFF file with NO stss box: two samples
+    (10+20 bytes, 100 ticks each) in one chunk. Per 14496-12 §8.6.2 a
+    missing stss means every sample is a sync sample."""
+    import struct
+
+    from pse_stocks_etl_spark.operators.multimodal import _box, _full_box
+
+    timescale, duration, w, h = 1000, 200, 64, 48
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 2, 100))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">IIII", 0, 2, 10, 20))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 2, 1))
+
+    def moov_bytes(off: int) -> bytes:
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, off))
+        stbl = _box(b"stbl", stts + stsz + stsc + stco)
+        mdhd = _full_box(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        mdia = _box(b"mdia", mdhd + _box(b"minf", stbl))
+        tkhd = _full_box(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mvhd = _full_box(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">I", 0x00010000)
+            + struct.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        return _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+    off = len(ftyp) + len(moov_bytes(0)) + 8  # mdat body start
+    return ftyp + moov_bytes(off) + _box(b"mdat", b"\x01" * 30)
+
+
+def test_mp4_missing_stss_means_all_samples_sync():
+    from pse_stocks_etl_spark.operators.multimodal import mp4_sample_rows
+
+    p = _minimal_mp4_without_stss()
+    m = parse_mp4(p)
+    assert m["n_samples"] == 2
+    assert m["n_keyframes"] == 2  # optional stss absent -> all sync
+    assert m["width"] == 64 and m["height"] == 48
+    rows = mp4_sample_rows(p)
+    assert [r["is_keyframe"] for r in rows] == [True, True]
+    assert [r["rel_offset"] for r in rows] == [0, 10]
+
+
+def test_mp4_nested_to_end_box_rejected_top_level_allowed():
+    # A size==0 box nested inside stbl must be rejected (it would
+    # swallow its siblings); the same header on the LAST top-level box
+    # (mdat) is the spec's one legitimate use and parses identically.
+    p = _minimal_mp4_without_stss()
+    i = p.index(b"stts") - 4
+    nested = p[:i] + b"\x00\x00\x00\x00" + p[i + 4 :]
+    with pytest.raises(ValueError, match="top level"):
+        parse_mp4(nested)
+    j = p.rindex(b"mdat") - 4
+    to_end = p[:j] + b"\x00\x00\x00\x00" + p[j + 4 :]
+    assert parse_mp4(to_end) == parse_mp4(p)
+
+
+def test_mp4_corrupt_stco_reported_as_stco_not_co64():
+    # The stco->co64 fallback fires only on genuine ABSENCE: a lying
+    # stco entry count must surface as an stco diagnosis, never be
+    # re-reported as a missing/bad co64.
+    p = _minimal_mp4_without_stss()
+    i = p.index(b"stco") + 4 + 4  # fourcc, version/flags
+    bad = p[:i] + (10**6).to_bytes(4, "big") + p[i + 4 :]
+    with pytest.raises(ValueError, match="stco declares"):
+        parse_mp4(bad)
+
+
 # --------------------------------------------------------------------------
 # URL canonicalization: variant-collapse contracts
 # --------------------------------------------------------------------------
