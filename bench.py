@@ -40,25 +40,32 @@ sys.path.insert(0, REPO)
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
-def canary_sec(spark) -> float:
-    """Host-speed calibration canary: a fixed, parquet-free, shuffle +
-    hash-aggregate workload over spark.range, timed exactly like a
-    headline query (warm-up + best of RUNS). Round-over-round absolute
-    comparisons on this box showed a 1.3-1.9x session-to-session drift
-    with byte-identical plans (r5 VERDICT: driver 30.33s vs same-day
-    same-code re-run 23.04s; SCALE.md r9 calibration experiment), so
-    each BENCH_r*.json now carries the canary and cross-round deltas
-    are read as query_sec / canary_sec ratios, not raw seconds.
+def canaries_sec(spark) -> dict[str, float]:
+    """Host-speed calibration canaries: three fixed, parquet-free
+    workloads of DISTINCT shapes over spark.range, each timed exactly
+    like a headline query (warm-up + best of RUNS). Round-over-round
+    absolute comparisons on this box showed a 1.3-1.9x session-to-
+    session drift with byte-identical plans (r5 VERDICT: driver 30.33s
+    vs same-day same-code re-run 23.04s; SCALE.md r9 calibration), and
+    a SINGLE canary drifted 1.5x session-to-session itself (r9 VERDICT
+    item 7) — so BENCH_r*.json carries all three and cross-round deltas
+    are read as query_sec / median(canaries) ratios, not raw seconds.
 
-    Shape: 50M rows x (mod-1000 key) -> groupBy sum/count, one
-    exchange, whole-stage codegen throughout — CPU + shuffle bound,
-    zero I/O, no data dependence, so its wall time tracks the host,
-    never the engine."""
+    Shapes (zero I/O, no data dependence — wall time tracks the host,
+    never the engine):
+      scan_agg:     50M rows -> mod-1000 key -> groupBy sum/count
+                    (one exchange, hash-aggregate bound)
+      shuffle_join: 20M x 20M SortMergeJoin on a mod-100k key
+                    (two exchanges + sorts, shuffle bound)
+      window:       20M rows -> row_number over mod-1000 partitions
+                    -> filter top-3 (one exchange + sort, window bound)
+    """
     import time as _time
 
     from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
 
-    def run() -> None:
+    def scan_agg() -> None:
         df = spark.range(0, 50_000_000, 1, 32).select(
             (F.col("id") % 1000).alias("k"), "id"
         )
@@ -70,13 +77,49 @@ def canary_sec(spark) -> float:
             .save()
         )
 
-    run()  # warm-up (codegen compile, JIT)
-    best = float("inf")
-    for _ in range(RUNS):
-        t0 = _time.perf_counter()
-        run()
-        best = min(best, _time.perf_counter() - t0)
-    return round(best, 4)
+    def shuffle_join() -> None:
+        a = spark.range(0, 20_000_000, 1, 32).select(
+            (F.col("id") % 100_000).alias("k"), F.col("id").alias("va")
+        )
+        b = spark.range(0, 20_000_000, 1, 32).select(
+            (F.col("id") % 100_000).alias("k"), F.col("id").alias("vb")
+        )
+        (
+            a.join(b.groupBy("k").agg(F.sum("vb").alias("sb")), "k")
+            .groupBy((F.col("k") % 100).alias("g"))
+            .agg(F.sum(F.col("va") + F.col("sb")).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def window() -> None:
+        df = spark.range(0, 20_000_000, 1, 32).select(
+            (F.col("id") % 1000).alias("k"), "id"
+        )
+        w = W.partitionBy("k").orderBy(F.desc("id"))
+        (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    out: dict[str, float] = {}
+    for name, run in (
+        ("scan_agg", scan_agg),
+        ("shuffle_join", shuffle_join),
+        ("window", window),
+    ):
+        run()  # warm-up (codegen compile, JIT)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = _time.perf_counter()
+            run()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
 
 
 def main() -> None:
@@ -114,6 +157,8 @@ def main() -> None:
             len(re.findall(r"SortMergeJoin|BroadcastHashJoin", plan)),
         )
 
+    from pse_stocks_etl_spark.plans import pipeline_queries as _pq
+
     timings: dict[str, float] = {}
     digests: dict[str, str] = {}
     for name, q in bench_queries.items():
@@ -131,16 +176,26 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Streaming drives return a memory-table frame whose batch plan
+        # is vacuous (e0s0w0j0); the runner records the last executed
+        # micro-batch's digest instead (r9 VERDICT item 4).
+        _pq.LAST_STREAM_PLAN_DIGEST = None
         digests[name] = plan_digest(q.fn(spark, sf_dir))
+        if _pq.LAST_STREAM_PLAN_DIGEST is not None:
+            digests[name] = "stream:" + _pq.LAST_STREAM_PLAN_DIGEST
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    canaries = canaries_sec(spark)
     summary = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "canary_sec": canary_sec(spark),
+        # median of the three shape canaries — the normalization
+        # denominator for cross-round comparisons (r9 VERDICT item 7)
+        "canary_sec": sorted(canaries.values())[1],
+        "canaries": canaries,
     }
     # Plan digests and any future verbose fields go to a side file so
     # the stdout JSON line stays small enough for the driver's capture

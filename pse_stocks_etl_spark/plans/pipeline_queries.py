@@ -34,6 +34,39 @@ from .registry import register
 _STREAM_STATE_PARTITIONS = 8
 
 
+# Streaming plan capture (r9 VERDICT item 4): batch plan digests come
+# from the returned DataFrame, but a streaming drive returns a memory-
+# table frame whose plan says nothing about the stream — BENCH_DETAIL
+# read e0s0w0j0 for every streaming headliner, so streaming plan
+# regressions were unguarded. Runners call record_stream_plan(q) after
+# processAllAvailable; bench.py (and the plan-guard tests) read the
+# slot. The digest walks the LAST micro-batch's executed physical plan
+# (explainInternal), which carries the stateful operators.
+LAST_STREAM_PLAN_DIGEST: str | None = None
+
+
+def record_stream_plan(q) -> None:
+    """Capture a compact shape digest of a streaming query's last
+    executed micro-batch plan: eN exchanges, sN file-source scans, wN
+    windows, jN joins (incl. StreamingSymmetricHashJoin), tN stateful
+    state-store operators."""
+    global LAST_STREAM_PLAN_DIGEST
+    import re
+
+    plan = q._jsq.explainInternal(False)
+    LAST_STREAM_PLAN_DIGEST = "e{}s{}w{}j{}t{}".format(
+        len(re.findall(r"\bExchange\b", plan)),
+        len(re.findall(r"FileScan parquet|StreamingRelation|MicroBatchScan", plan)),
+        len(re.findall(r"\bWindow\b", plan)),
+        len(
+            re.findall(
+                r"SortMergeJoin|BroadcastHashJoin|StreamingSymmetricHashJoin", plan
+            )
+        ),
+        len(re.findall(r"StateStoreSave|StateStoreRestore|SessionWindowState", plan)),
+    )
+
+
 @contextmanager
 def _stream_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
     """Temporarily size shuffle/state partitions for a bounded stream
@@ -75,6 +108,7 @@ def run_click_join_stream(
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -313,6 +347,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -493,6 +528,7 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -556,6 +592,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -611,6 +648,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -675,6 +713,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     return spark.table(name)

@@ -1477,7 +1477,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/incremental.py::foreach_batch_merge)."""
     import uuid
 
-    from .pipeline_queries import _stream_partitions
+    from .pipeline_queries import _stream_partitions, record_stream_plan
     from ..streaming.incremental import foreach_batch_merge, stream_events
 
     # Shard the change feed so the stream replays as multiple epochs.
@@ -1529,6 +1529,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     # epoch micros -> NTZ wall clock, session-tz-free

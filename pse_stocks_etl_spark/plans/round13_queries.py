@@ -932,7 +932,7 @@ def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from .pipeline_queries import _stream_partitions
+    from .pipeline_queries import _stream_partitions, record_stream_plan
     from ..streaming.incremental import stream_events
 
     ev0 = load_table(spark, sf_dir, "events").filter(
@@ -979,6 +979,7 @@ def streaming_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     out = spark.table(name)
@@ -1363,7 +1364,7 @@ def datasource_stream_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     killer the reference's backfill/sync split approximates)."""
     import uuid
 
-    from .pipeline_queries import _stream_partitions
+    from .pipeline_queries import _stream_partitions, record_stream_plan
     from ..sources import pse_datasource
 
     pse_datasource.register(spark)
@@ -1384,6 +1385,7 @@ def datasource_stream_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            record_stream_plan(q)
         finally:
             q.stop()
     return spark.table(name)

@@ -438,6 +438,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming.incremental import stream_events
+    from .pipeline_queries import record_stream_plan
 
     events = stream_events(spark, os.path.join(sf_dir, "events.parquet"))
     cust = _t(spark, sf_dir, "customer").select(
@@ -453,6 +454,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        record_stream_plan(q)
     finally:
         q.stop()
     return spark.table(name)

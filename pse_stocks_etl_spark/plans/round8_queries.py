@@ -437,46 +437,23 @@ def docs_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Corpus prep: asymmetric containment pairs (subset-duplicate detection)
+# Corpus prep: capped containment screen (non-registry helper)
 # --------------------------------------------------------------------------
-@register(
-    "docs_containment_pairs",
-    oracle=f"""
-    WITH sh0 AS (
-      SELECT doc_id, {sql_portable_hash64('sh')} AS sh
-      FROM (SELECT doc_id, unnest({{shingles}}) AS sh FROM documents)
-    ),
-    sh AS (
-      SELECT doc_id, sh FROM sh0
-      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {{df_cap}}
-    ),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           (c.n_common * 1.0 / sa.n_sh) AS containment
-    FROM common c
-    JOIN sizes sa ON c.doc_a = sa.doc_id
-    WHERE (c.n_common * 1.0 / sa.n_sh) >= {CONTAINMENT_THRESHOLD}
-    """,
-    tags=("llm", "dedup-containment", "corpus"),
-)
-def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs: C(A,B) = |sh(A) n sh(B)| / |sh(A)|
     >= {CONTAINMENT_THRESHOLD} flags doc_a as a subset-duplicate of
     doc_b — excerpts, quotes, and chunk-of-a-larger-page duplicates
     that symmetric Jaccard misses whenever |B| >> |A| (Broder 1997).
     Both orientations are emitted (containment is directional).
 
-    Scale: rides the SAME persisted df-capped shingle working set as
-    docs_ngram_jaccard_pairs (one tokenize/shingle/hash pass per
-    session; hot corpus-boilerplate shingles anti-joined out, bounding
-    the self-join at O(sum min(df,cap)^2)) — see llm_queries. The only
-    deltas are the <> pair predicate (both directions) and the
-    single-side size denominator."""
+    DEMOTED from the registry (r9 VERDICT item 3): the df-capped
+    shingle working set drops true pairs BY CONSTRUCTION whenever a
+    pair's overlap lives in corpus-boilerplate shingles, so the
+    registry's canonical containment query is the LOSSLESS
+    `docs_containment_prefix_pairs` below. This screen stays as a
+    helper for pipelines that accept the cap's recall loss in exchange
+    for the O(sum min(df,cap)^2) self-join bound, and keeps its ×8
+    stress history in SCALE.md."""
     from .llm_queries import _shingles_capped_cached
 
     sh = _shingles_capped_cached(spark, sf_dir)
@@ -494,19 +471,6 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
-
-
-def _finalize_containment_oracle() -> None:
-    """Inject the shared shingle SQL + df cap from llm_queries so the
-    oracle and the Spark plan provably share one working-set definition."""
-    from .llm_queries import NGRAM_DF_CAP, _SQL_SHINGLES
-    from .registry import REGISTRY
-
-    q = REGISTRY["docs_containment_pairs"]
-    q.oracle = q.oracle.format(shingles=_SQL_SHINGLES, df_cap=NGRAM_DF_CAP)
-
-
-_finalize_containment_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -889,7 +853,7 @@ def emb_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Lossless prefix-filtered containment join (the scale path for
-# docs_containment_pairs when exact output is still required)
+# the capped containment screen when exact output is still required)
 # --------------------------------------------------------------------------
 @register(
     "docs_containment_prefix_pairs",
@@ -909,7 +873,7 @@ def docs_containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     FULL postings (containment puts no constraint on B's extras, so B
     cannot be prefixed — the asymmetry of the measure shows up as an
     asymmetric join). Candidates verify by exact intersection count.
-    LOSSLESS, unlike the df-capped docs_containment_pairs (which drops
+    LOSSLESS, unlike the df-capped containment_pairs_capped helper (which drops
     corpus-boilerplate shingles) — the oracle is the independent
     all-pairs definition on uncapped sets, so the hash check proves no
     pair escapes.

@@ -212,7 +212,11 @@ def test_nation_pair_trade_single_big_join(spark):
 
 
 def test_containment_threshold_holds(spark):
-    rows = plans.REGISTRY["docs_containment_pairs"].fn(spark, SF_DIR).collect()
+    # The capped screen is a non-registry helper since r10 (the lossy
+    # df-cap demoted it; docs_containment_prefix_pairs is canonical).
+    from pse_stocks_etl_spark.plans.round8_queries import containment_pairs_capped
+
+    rows = containment_pairs_capped(spark, SF_DIR).collect()
     assert rows, "sf0.001 corpus should contain subset-duplicates"
     assert all(r["containment"] >= 0.9 for r in rows)
     # directional: a pair may appear in one orientation only

@@ -570,3 +570,32 @@ def test_outer_join_one_sided_stream_emits_nothing(spark, tmp_path):
     finally:
         q.stop()
     assert spark.table(name).count() == 0
+
+
+def test_streaming_plan_digests_are_captured(spark, sf_dir):
+    # r9 VERDICT item 4: BENCH_DETAIL read e0s0w0j0 for every streaming
+    # headliner because the digest harness only walked the returned
+    # batch frame. The runners now record the last micro-batch's
+    # executed-plan digest; each headliner must produce a NON-vacuous
+    # digest whose stateful operators match its shape (stream-stream
+    # joins -> j >= 1; windowed/dedup aggs -> state stores t >= 1).
+    import re
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans import pipeline_queries as pq
+
+    expectations = {
+        "streaming_hourly_counts": lambda d: d["t"] >= 1 and d["e"] >= 1,
+        "streaming_click_semi_join": lambda d: d["j"] >= 1,
+        "streaming_click_outer_join": lambda d: d["j"] >= 1,
+        "streaming_late_drop_counts": lambda d: d["t"] >= 1,
+    }
+    for name, ok in expectations.items():
+        pq.LAST_STREAM_PLAN_DIGEST = None
+        plans.REGISTRY[name].fn(spark, sf_dir)  # fn drives the stream
+        digest = pq.LAST_STREAM_PLAN_DIGEST
+        assert digest is not None, f"{name}: no streaming digest recorded"
+        parts = dict(
+            zip("eswjt", (int(x) for x in re.findall(r"\d+", digest)))
+        )
+        assert ok(parts), (name, digest)
