@@ -84,6 +84,11 @@ try:  # round-16 queries (MP4 container, URL canonicalization lane,
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-17 queries (exact substring dedup, BPE training)
+    from . import round17_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -118,7 +123,9 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=0, stale refill=50) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=2, stale refill=48) --
+    "docs_substring_dedup",
+    "docs_bpe_train",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -167,8 +174,6 @@ _DRIVER_FIRST = [
     "median_price_per_flag",
     "moving_avg_price",
     "multimodal_wav_decode",
-    "nation_trade_volume",
-    "orc_roundtrip_counts",
 ]
 
 
