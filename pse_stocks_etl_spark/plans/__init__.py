@@ -123,9 +123,10 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=2, stale refill=48) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=3, stale refill=47) --
     "docs_substring_dedup",
     "docs_bpe_train",
+    "docs_bpe_train_encode",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -173,7 +174,6 @@ _DRIVER_FIRST = [
     "lateral_top_orders",
     "median_price_per_flag",
     "moving_avg_price",
-    "multimodal_wav_decode",
 ]
 
 

@@ -904,16 +904,51 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     usually broadcast (drop sets are typically small relative to the
     corpus) but never FORCED, because a dirty crawl can drop most of
     its docs. The shingle working set is shared via the session cache,
-    so LSH + contamination pay one explode."""
+    so LSH + contamination pay one explode.
+
+    Near-dup runs on EXACT-DEDUP SURVIVORS only (the C4/RefinedWeb
+    stage order; r10 finding: on a duplicate-dense corpus the verified
+    PAIR LIST is quadratic in clone-cluster size — 64 exact twins alone
+    make 2016 true pairs — so composing the full-corpus pair query made
+    corpus_build super-linear under ×64 twin replication). This is a
+    pure evaluation-order change, bit-identical to the full-corpus
+    composed oracle: (a) an exact-dropped doc's reason is 'exact_dup'
+    by precedence, so its near flag is never read; (b) a survivor s is
+    flagged iff some verified (a,s), a<s exists, and a's exact keeper
+    t=min(group) has IDENTICAL text ⇒ identical signature ⇒ sits in
+    every bucket a does with t<a<s and Jaccard(t,s)=Jaccard(a,s), so
+    the survivor pair (t,s) witnesses s whenever any full-corpus pair
+    does; (c) the bucket-width cap is computed on FULL-corpus widths
+    BEFORE the survivor filter, so the candidate universe is capped
+    exactly as the oracle caps it (a survivors-width cap would admit
+    buckets the oracle kills)."""
+    from .llm_queries import (
+        _capped_band_buckets,
+        _exact_jaccard,
+        _minhash_sig,
+        _shingles_cached,
+    )
     from .registry import REGISTRY
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     keepers = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("keep_id")
     )
+    sh = _shingles_cached(spark, sf_dir)
+    buckets = _capped_band_buckets(_minhash_sig(sh))  # cap on FULL widths
+    survivors = keepers.select(F.col("keep_id").alias("doc_id"))
+    sb = buckets.join(survivors, "doc_id", "left_semi")
+    x, y = sb.alias("x"), sb.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
     near = (
-        REGISTRY["docs_minhash_lsh_pairs"]
-        .fn(spark, sf_dir)
+        _exact_jaccard(sh, candidates)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near", F.lit(True))
@@ -925,9 +960,31 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("rep", F.lit(True))
     )
+    # Contamination, survivor-scoped with distinct-text BENCH
+    # representatives (same r10 finding, second quadratic composition:
+    # train-x-bench shingle matches grow as twin² under duplicate
+    # densification). Bit-identical to the composed full oracle: the
+    # flag is EXISTS(some bench doc sharing >= K shingles), identical
+    # bench twins have identical shingle sets so one representative
+    # witnesses exactly when any twin does, and exact-dropped train
+    # docs never read their cont flag ('exact_dup' precedence).
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
+    bench_reps = (
+        d.filter(is_bench)
+        .groupBy(F.md5("text").alias("bh"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bench_sh = (
+        sh.join(bench_reps, "doc_id", "left_semi")
+        .withColumnRenamed("doc_id", "bench_doc_id")
+    )
+    train_sh = sh.filter(~is_bench).join(survivors, "doc_id", "left_semi")
     cont = (
-        REGISTRY["docs_contamination"]
-        .fn(spark, sf_dir)
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
         .select("doc_id")
         .distinct()
         .withColumn("cont", F.lit(True))

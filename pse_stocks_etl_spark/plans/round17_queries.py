@@ -169,7 +169,10 @@ BPE_TRAIN_MERGES = 6
 _SYM_RE = r"\(([^()]+)\)"
 
 
-def _sql_bpe_train() -> str:
+def _sql_bpe_chain() -> str:
+    """The shared unrolled CTE chain: words -> s0 -> (p_k, b_k, s_k)*N.
+    Every state carries `word` so the encode query can report per-word
+    results; the train query simply never selects it."""
     parts = [
         f"""WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f
@@ -178,7 +181,7 @@ def _sql_bpe_train() -> str:
       WHERE regexp_matches(w, '^[a-z]+$')
       GROUP BY w
     )""",
-        r"s0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS s, f FROM words)",
+        r"s0 AS (SELECT word, regexp_replace(word, '(.)', '(\1)', 'g') AS s, f FROM words)",
     ]
     for k in range(1, BPE_TRAIN_MERGES + 1):
         parts.append(
@@ -193,15 +196,19 @@ def _sql_bpe_train() -> str:
             f"b{k} AS (SELECT x, y, cnt FROM p{k} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"
         )
         parts.append(
-            f"s{k} AS (SELECT replace(s, '('||x||')('||y||')', '('||x||y||')') AS s, f "
+            f"s{k} AS (SELECT word, replace(s, '('||x||')('||y||')', '('||x||y||')') AS s, f "
             f"FROM s{k - 1}, b{k})"
         )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_train() -> str:
     sel = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, x AS left_sym, y AS right_sym, "
         f"x||y AS merged, cnt AS pair_count FROM b{k}"
         for k in range(1, BPE_TRAIN_MERGES + 1)
     )
-    return ",\n".join(parts) + "\n" + sel
+    return _sql_bpe_chain() + "\n" + sel
 
 
 @register(
@@ -234,6 +241,18 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the N-deep best/state DAG stays flat and each state computes
     exactly once. The Python `for` only stacks plans — no driver loop
     over rows (cf. emb_kmeans_refine, llm_queries.py)."""
+    merges, _ = _bpe_chain(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    """Shared train chain: returns ([per-step merge frames], final
+    word-level state). Lazy localCheckpoints mean a consumer that only
+    reads the merge frames never computes the final state and vice
+    versa."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -242,7 +261,7 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("f"))
     )
     state = words.select(
-        F.regexp_replace(F.col("word"), "(.)", "($1)").alias("s"), "f"
+        "word", F.regexp_replace(F.col("word"), "(.)", "($1)").alias("s"), "f"
     ).localCheckpoint(eager=False)
     merges = []
     for k in range(1, BPE_TRAIN_MERGES + 1):
@@ -277,20 +296,54 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if k < BPE_TRAIN_MERGES:
-            state = (
-                state.crossJoin(F.broadcast(best))
-                .select(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(F.lit("("), F.col("x"), F.lit(")("), F.col("y"), F.lit(")")),
-                        F.concat(F.lit("("), F.col("x"), F.col("y"), F.lit(")")),
-                    ).alias("s"),
-                    "f",
-                )
-                .localCheckpoint(eager=False)
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("("), F.col("x"), F.lit(")("), F.col("y"), F.lit(")")),
+                    F.concat(F.lit("("), F.col("x"), F.col("y"), F.lit(")")),
+                ).alias("s"),
+                "f",
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+            .localCheckpoint(eager=False)
+        )
+    return merges, state
+
+
+@register(
+    "docs_bpe_train_encode",
+    oracle=_sql_bpe_chain()
+    + f"""
+    SELECT word, f,
+           CAST(length(word) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(s, '{_SYM_RE}', 1)) AS BIGINT) AS n_tokens,
+           s AS encoded
+    FROM s{BPE_TRAIN_MERGES}
+    """,
+    tags=("llm", "tokenizer", "bpe-train", "composition"),
+)
+def docs_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed tokenizer loop, train THEN encode: the vocabulary is
+    re-encoded with the merge table docs_bpe_train just learned (not a
+    frozen table like docs_bpe_encode), reporting per word type its
+    corpus frequency, character count, post-merge token count, and the
+    bracketed symbol encoding — the compression the learned tokenizer
+    actually achieves on its own training corpus.
+
+    Scale: identical to docs_bpe_train (one corpus scan into the vocab
+    table, then vocabulary-sized work per iteration) plus one final
+    vocab-sized projection; per-DOC token counts at serving time are a
+    word-level join away (docs_bpe_encode's shape), so nothing here
+    ever rescans text with the learned table."""
+    _, state = _bpe_chain(spark, sf_dir)
+    return state.select(
+        "word",
+        "f",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit(_SYM_RE), F.lit(1)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.col("s").alias("encoded"),
+    )

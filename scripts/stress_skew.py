@@ -8,6 +8,15 @@ share, not the replication factor.
 
 Usage: python scripts/stress_skew.py events 16 sessionization user_value_ewma
 The hot clone reassigns user_id -> 7 on every second replica row.
+
+`documents` is special-cased for the crawl lane (r9 VERDICT item 5):
+its skew key, registered_domain, is DERIVED (doc_id % 7 picks the
+host), so the hot clone cannot reassign a column — instead every
+second replica maps doc_id -> 7*(doc_id + k*stride) + 7e10, which is
+(a) unique, (b) disjoint from the uniform replicas' id range, and
+(c) ≡ 0 (mod 7): the whole replica lands on the Site0 domain, so the
+hot clone has one domain owning ~half the corpus — the Zipf megadomain
+case for docs_domain_cap's salted top-K.
 """
 
 from __future__ import annotations
@@ -20,6 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 HOT = {"events": ("user_id", 7), "lineitem": ("l_orderkey", 7), "orders": ("o_custkey", 7)}
+# documents: derived skew key — hot replicas remap doc_id itself (see module doc)
+DOC_HOT_BASE = 7 * 10**10
 
 
 def build(sf_dir: str, table: str, factor: int) -> tuple[str, str]:
@@ -29,7 +40,7 @@ def build(sf_dir: str, table: str, factor: int) -> tuple[str, str]:
 
     from scripts.stress_scale import ID_COLS, ID_STRIDE  # reuse replication rules
 
-    col, hot_val = HOT[table]
+    col, hot_val = HOT.get(table, (None, None))
     out_u = f"/tmp/skew_{table}_x{factor}_uniform"
     out_h = f"/tmp/skew_{table}_x{factor}_hot"
     for d in (out_u, out_h):
@@ -45,12 +56,21 @@ def build(sf_dir: str, table: str, factor: int) -> tuple[str, str]:
             rep = rep.set_column(idx, id_col, pc.add(rep.column(id_col), k * ID_STRIDE))
         parts_u.append(rep)
         if k % 2 == 1:  # every second replica: all rows belong to the hot key
-            idx = rep.column_names.index(col)
-            ctype = rep.schema.field(col).type
-            hot_col = pa.array(
-                np.full(rep.num_rows, hot_val, dtype="int64"), pa.int64()
-            ).cast(ctype)
-            rep = rep.set_column(idx, col, hot_col)
+            if table == "documents":
+                # derived key: remap doc_id to ≡ 0 (mod 7) — whole
+                # replica lands on the Site0 registered domain
+                idx = rep.column_names.index("doc_id")
+                import pyarrow.compute as pc
+
+                hot_ids = pc.add(pc.multiply(rep.column("doc_id"), 7), DOC_HOT_BASE)
+                rep = rep.set_column(idx, "doc_id", hot_ids)
+            else:
+                idx = rep.column_names.index(col)
+                ctype = rep.schema.field(col).type
+                hot_col = pa.array(
+                    np.full(rep.num_rows, hot_val, dtype="int64"), pa.int64()
+                ).cast(ctype)
+                rep = rep.set_column(idx, col, hot_col)
         parts_h.append(rep)
     for parts, out in ((parts_u, out_u), (parts_h, out_h)):
         pq.write_table(pa.concat_tables(parts), os.path.join(out, f"{table}.parquet"))

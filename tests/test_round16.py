@@ -289,6 +289,62 @@ def test_domain_cap_hot_path_windows_only_capped_domains(spark, sf_dir):
         assert kept == min(n, DOMAIN_CAP_K), (dom, n, kept)
 
 
+def test_domain_cap_salted_topk_exact_on_megadomain(spark, tmp_path):
+    """The salted two-phase top-K (r9 VERDICT item 5) must pick the
+    EXACT same kept set as a single global (hash, doc_id) rank, on a
+    fixture where one domain owns most of the corpus (the Zipf
+    megadomain case the salting exists for). doc_id % 7 picks the
+    host, so ids ≡ 0 (mod 7) all land on Site0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.plans.round16_queries import (
+        DOMAIN_CAP_K,
+        DOMAIN_SALT_BUCKETS,
+        docs_domain_cap,
+        docs_url_canonicalize,
+    )
+
+    # 400 docs on Site0 (ids 0, 7, 14, ...), a handful elsewhere
+    ids = [7 * i for i in range(400)] + [1, 2, 3, 9, 10]
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["word " * 5] * len(ids), pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["s"] * len(ids), pa.string()),
+            "n_chars": pa.array([25] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    out = {r["doc_id"]: r["kept"] for r in docs_domain_cap(spark, sf).collect()}
+    assert len(out) == len(ids)
+
+    # reference: single global rank per domain over the same total order
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pse_stocks_etl_spark.functions.text import portable_hash64
+
+    c = docs_url_canonicalize(spark, sf).select("doc_id", "registered_domain")
+    h = portable_hash64(F.concat(F.lit("domcap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("registered_domain").orderBy(h.asc(), F.col("doc_id").asc())
+    ref = {
+        r["doc_id"]: r["kept"]
+        for r in c.select(
+            "doc_id", (F.row_number().over(w) <= DOMAIN_CAP_K).alias("kept")
+        ).collect()
+    }
+    assert out == ref
+    # megadomain really exceeded every salt bucket's local cap
+    assert len([i for i in ids if i % 7 == 0]) > DOMAIN_SALT_BUCKETS * DOMAIN_CAP_K / 2
+    # and the hot path really is two windows (salted then exact)
+    plan = docs_domain_cap(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+
+
 # --------------------------------------------------------------------------
 # corpus_build: stage-consistency contracts
 # --------------------------------------------------------------------------

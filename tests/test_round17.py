@@ -275,6 +275,40 @@ def test_bpe_train_on_sf_matches_model(spark):
     assert got == expect
 
 
+def test_bpe_train_encode_matches_model(spark, tmp_path):
+    # Encoding with the LEARNED table must equal the reference
+    # trainer's final word states (token counts AND symbol sequence).
+    from pse_stocks_etl_spark.plans.round17_queries import docs_bpe_train_encode
+
+    texts = [
+        "low lower lowest newer newest wider wide widest",
+        "low low lower newer newer newest new new new",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    freq = Counter(w for t in texts for w in t.split())
+    # replay the reference trainer, tracking per-word states
+    states = {w: tuple(w) for w in freq}
+    merges = _bpe_model(dict(freq), BPE_TRAIN_MERGES)
+    for x, y, _ in merges:
+        for w, syms in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[w] = tuple(out)
+    rows = {r["word"]: r for r in docs_bpe_train_encode(spark, sf).collect()}
+    assert set(rows) == set(freq)
+    for w, syms in states.items():
+        assert rows[w]["n_tokens"] == len(syms), (w, rows[w], syms)
+        assert rows[w]["encoded"] == "".join(f"({s})" for s in syms), w
+        assert rows[w]["f"] == freq[w]
+        assert rows[w]["n_chars"] == len(w)
+
+
 def test_bpe_train_registered_with_oracle():
     q = plans.REGISTRY["docs_bpe_train"]
     assert q.oracle is not None
