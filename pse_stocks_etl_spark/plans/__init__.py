@@ -123,10 +123,12 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=3, stale refill=47) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=5, stale refill=45) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
+    "docs_incremental_substring_dedup",
+    "emb_ann_recall",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -172,8 +174,6 @@ _DRIVER_FIRST = [
     "jsonl_roundtrip_stats",
     "kmv_distinct_users",
     "lateral_top_orders",
-    "median_price_per_flag",
-    "moving_avg_price",
 ]
 
 

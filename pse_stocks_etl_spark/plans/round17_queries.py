@@ -347,3 +347,210 @@ def docs_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.col("s").alias("encoded"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental substring dedup: new crawl batch vs standing corpus index
+# --------------------------------------------------------------------------
+@register(
+    "docs_incremental_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             {sql_portable_hash64(f"array_to_string(tk[pos:pos+{SUB_L - 1}], ' ')")} AS w
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - {SUB_L - 1}, 0) + 1)) AS pos
+            FROM toks)
+    ),
+    stdc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_std
+      FROM wins WHERE doc_id % 2 = 0 GROUP BY w
+    ),
+    newin AS (SELECT doc_id, pos, w FROM wins WHERE doc_id % 2 = 1),
+    bc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_new FROM newin GROUP BY w),
+    dup AS (
+      SELECT n.doc_id, n.pos, COALESCE(s.n_std, 0) AS n_std
+      FROM newin n
+      LEFT JOIN stdc s ON n.w = s.w
+      JOIN bc b ON n.w = b.w
+      WHERE COALESCE(s.n_std, 0) + b.n_new >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos, n_std,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dup
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(CASE WHEN n_std >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_standing,
+             CAST(SUM(CASE WHEN prev IS NULL THEN {SUB_L}
+                           ELSE least({SUB_L}, pos - prev) END) AS BIGINT) AS dup_tokens,
+             CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {SUB_L}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(p.n_hit_standing, 0) AS n_hit_standing,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           (5 * COALESCE(p.dup_tokens, 0) >= len(t.tk)) AS drop_doc
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    WHERE t.doc_id % 2 = 1
+    """,
+    tags=("llm", "dedup-substring", "incremental"),
+)
+def docs_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_substring_dedup's admission form: a NEW crawl batch (odd
+    doc_ids) is deduplicated against the STANDING corpus (even ids)
+    plus itself, without recomputing anything standing-side beyond its
+    window-count index — the docs_incremental_* pattern applied to the
+    exact-substring lane. A new doc's window is duplicated iff its
+    corpus-wide site count (standing index count + within-batch count)
+    reaches 2, which equals the full-corpus definition restricted to
+    new docs, so the oracle is simply docs_substring_dedup's oracle
+    with parity-split site counts. n_hit_standing splits the evidence:
+    dup windows already present in the standing corpus vs batch-internal
+    repeats.
+
+    Scale: in production the standing (w, n_std) index is a
+    MATERIALIZED table maintained by count-merge (the BM25-increment
+    pattern); this query prices the steady-state batch: the new batch's
+    windows are exploded once, exchanged once on the window hash — the
+    within-batch count-over-window and the sort-merge join against the
+    index both ride that single partitioning — then the per-doc
+    interval union is the same lag() pass as the full lane. Cost is
+    linear in the BATCH plus one index probe, never in the standing
+    corpus."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    wins = toked.select(
+        "doc_id",
+        F.posexplode(_grams_all(F.col("tk"), SUB_L, 1)).alias("pos", "g"),
+    ).select("doc_id", "pos", portable_hash64(F.col("g")).alias("w"))
+    std_idx = (
+        wins.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_std"))
+    )
+    newin = wins.filter(F.col("doc_id") % 2 == 1)
+    counted = newin.select(
+        "doc_id", "pos", "w", F.count("*").over(Window.partitionBy("w")).alias("n_new")
+    )
+    dup = (
+        counted.join(std_idx, "w", "left")
+        .withColumn("n_std", F.coalesce(F.col("n_std"), F.lit(0).cast("long")))
+        .filter(F.col("n_std") + F.col("n_new") >= 2)
+        .select("doc_id", "pos", "n_std")
+    )
+    prev = F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    runs = dup.select("doc_id", "pos", "n_std", prev.alias("prev"))
+    covered = F.when(F.col("prev").isNull(), F.lit(SUB_L)).otherwise(
+        F.least(F.lit(SUB_L), F.col("pos") - F.col("prev"))
+    )
+    span_start = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SUB_L), 1
+    ).otherwise(0)
+    perdoc = runs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows"),
+        F.sum(F.when(F.col("n_std") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit_standing"),
+        F.sum(covered).cast("long").alias("dup_tokens"),
+        F.sum(span_start).cast("long").alias("n_dup_spans"),
+    )
+    docs = toked.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    j = docs.join(perdoc, "doc_id", "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long"))  # noqa: E731
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        z("n_dup_windows").alias("n_dup_windows"),
+        z("n_hit_standing").alias("n_hit_standing"),
+        z("dup_tokens").alias("dup_tokens"),
+        z("n_dup_spans").alias("n_dup_spans"),
+        (5 * z("dup_tokens") >= F.col("n_tokens")).alias("drop_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN index quality: measured recall@k of LSH and IVF vs brute force
+# --------------------------------------------------------------------------
+def _sql_ann_recall() -> str:
+    from .llm_queries import _sql_ann_lsh, _sql_ann_ivf, _sql_cosine_topk
+
+    return f"""
+    WITH exact AS ({_sql_cosine_topk()}),
+    lsh AS ({_sql_ann_lsh()}),
+    ivf AS ({_sql_ann_ivf()})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_lsh,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_ivf,
+           (SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             AS recall_lsh,
+           (SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             AS recall_ivf
+    FROM exact e
+    LEFT JOIN lsh l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "emb_ann_recall",
+    oracle=_sql_ann_recall(),
+    tags=("llm", "similarity", "ann-recall", "composition"),
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality audit, as a query: recall@k of the two bucketed
+    indexes (random-hyperplane LSH, IVF-nprobe) against the exact
+    brute-force top-k, per query vector. This is the measurement that
+    justifies calling emb_cosine_topk a labeled-weak BASELINE — the
+    index twins are only 'the scale path' if their measured recall is
+    known, and this query makes that number a first-class,
+    driver-verified result instead of a notebook claim.
+
+    Scale: composes three already-audited plans over the same
+    ANN_QUERY_IDS query set; the joins key on (query_id, vec_id) over
+    k-row top-k frames — bounded by k * |queries| rows regardless of
+    corpus size, so the audit costs the same as running the three
+    searches it audits."""
+    from .registry import REGISTRY
+
+    exact = REGISTRY["emb_cosine_topk"].fn(spark, sf_dir).select("query_id", "vec_id")
+    lsh = (
+        REGISTRY["emb_ann_lsh"]
+        .fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("l", F.lit(1))
+    )
+    ivf = (
+        REGISTRY["emb_ann_ivf"]
+        .fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("i", F.lit(1))
+    )
+    j = exact.join(lsh, ["query_id", "vec_id"], "left").join(
+        ivf, ["query_id", "vec_id"], "left"
+    )
+    hit_l = F.sum(F.when(F.col("l").isNotNull(), 1).otherwise(0))
+    hit_i = F.sum(F.when(F.col("i").isNotNull(), 1).otherwise(0))
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        hit_l.cast("long").alias("n_hit_lsh"),
+        hit_i.cast("long").alias("n_hit_ivf"),
+        (hit_l * 1.0 / F.count("*")).alias("recall_lsh"),
+        (hit_i * 1.0 / F.count("*")).alias("recall_ivf"),
+    )

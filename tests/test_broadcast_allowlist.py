@@ -124,6 +124,7 @@ ALLOWED = {
     # synthetic split derives it from documents only because the
     # testdata has no second table. Documented in docs_contamination.
     ("plans/corpus_queries.py", "bench"): "benchmark shingles: eval sets are bounded by contract",
+    ("plans/corpus_queries.py", "bench_sh"): "benchmark shingles, distinct-text representatives (subset of the bounded-by-contract bench set)",
     ("plans/round16_queries.py", "new_bench"): "NEW benchmark slice shingles: eval sets are bounded by contract (same as corpus_queries bench)",
     # docs_domain_cap: registered domains are NOT a bounded enum (a
     # real crawl has ~1e8), so ONLY the over-cap hot list broadcasts —

@@ -315,3 +315,87 @@ def test_bpe_train_registered_with_oracle():
     assert "replace(s" in q.oracle  # merge application is plain replace
     q2 = plans.REGISTRY["docs_substring_dedup"]
     assert q2.oracle is not None
+
+
+# ----------------------------------------- incremental substring dedup --
+def test_incremental_substring_matches_full_model(spark, tmp_path):
+    # New docs (odd ids) measured against standing (even) + batch;
+    # expected values derived from the SAME brute-force model as the
+    # full lane, restricted to odd docs.
+    phrase = " ".join(f"p{i}" for i in range(SUB_L + 2))
+    texts = [
+        None,  # doc 1 (new) — null text drops out
+        "a b " + phrase + " c d",              # doc 2 standing, carries phrase
+        "x y z " + phrase + " q r",            # doc 3 NEW: hits standing
+        " ".join(f"u{i}" for i in range(20)),  # doc 4 standing unique
+        "m n " + " ".join(f"b{i}" for i in range(SUB_L)) + " o",   # doc 5 NEW
+        " ".join(f"v{i}" for i in range(18)),  # doc 6 standing unique
+        " ".join(f"b{i}" for i in range(SUB_L)) + " w1 w2 w3",     # doc 7 NEW: batch-internal pair with doc 5
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from pse_stocks_etl_spark.plans.round17_queries import (
+        docs_incremental_substring_dedup,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in docs_incremental_substring_dedup(spark, sf).collect()
+    }
+    assert set(rows) == {3, 5, 7}  # odd ids with non-null text
+    docs = {
+        i + 1: t.strip().lower().split()
+        for i, t in enumerate(texts)
+        if t is not None
+    }
+    model = _substring_model(docs)
+    for d in (3, 5, 7):
+        for k in ("n_tokens", "n_dup_windows", "dup_tokens", "n_dup_spans"):
+            assert rows[d][k] == model[d][k], (d, k, rows[d], model[d])
+    # doc 3's dup evidence is the standing phrase; docs 5/7 are
+    # batch-internal only
+    assert rows[3]["n_hit_standing"] == rows[3]["n_dup_windows"] > 0
+    assert rows[5]["n_dup_windows"] == 1 and rows[5]["n_hit_standing"] == 0
+    assert rows[7]["n_dup_windows"] == 1 and rows[7]["n_hit_standing"] == 0
+
+
+def test_incremental_substring_consistent_with_full_lane(spark):
+    # On the real corpus: for every odd doc, the incremental verdict
+    # must equal the full lane's (same site universe, restricted output).
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in plans.REGISTRY["docs_substring_dedup"].fn(spark, SF_DIR).collect()
+    }
+    inc = {
+        r["doc_id"]: r.asDict()
+        for r in plans.REGISTRY["docs_incremental_substring_dedup"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(inc) == {d for d in full if d % 2 == 1}
+    for d, r in inc.items():
+        for k in ("n_tokens", "n_dup_windows", "dup_tokens", "n_dup_spans", "drop_doc"):
+            assert r[k] == full[d][k], (d, k)
+        assert 0 <= r["n_hit_standing"] <= r["n_dup_windows"]
+
+
+# ------------------------------------------------------- ANN recall -----
+def test_ann_recall_matches_component_queries(spark):
+    from pse_stocks_etl_spark.plans.llm_queries import TOPK
+
+    rec = {r["query_id"]: r.asDict()
+           for r in plans.REGISTRY["emb_ann_recall"].fn(spark, SF_DIR).collect()}
+    exact = plans.REGISTRY["emb_cosine_topk"].fn(spark, SF_DIR).collect()
+    lsh = plans.REGISTRY["emb_ann_lsh"].fn(spark, SF_DIR).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ls = {}
+    for r in lsh:
+        ls.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(rec) == set(ex)
+    for q, s in ex.items():
+        assert rec[q]["n_exact"] == len(s) == TOPK
+        hits = len(s & ls.get(q, set()))
+        assert rec[q]["n_hit_lsh"] == hits
+        assert rec[q]["recall_lsh"] == hits * 1.0 / len(s)
+        assert 0 <= rec[q]["n_hit_ivf"] <= len(s)
