@@ -181,7 +181,11 @@ def _sql_bpe_chain() -> str:
       WHERE regexp_matches(w, '^[a-z]+$')
       GROUP BY w
     )""",
-        r"s0 AS (SELECT word, regexp_replace(word, '(.)', '(\1)', 'g') AS s, f FROM words)",
+        # char-bracketing via split+join (NOT regexp_replace with a \\1
+        # rewrite: the RE2-subset oracle guard bans backref-looking
+        # tokens anywhere in oracle text, and the split form is
+        # equivalent for the ^[a-z]+$-filtered vocab)
+        "s0 AS (SELECT word, '(' || array_to_string(string_split(word, ''), ')(') || ')' AS s, f FROM words)",
     ]
     for k in range(1, BPE_TRAIN_MERGES + 1):
         parts.append(
