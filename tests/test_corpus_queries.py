@@ -260,3 +260,49 @@ def test_mixture_weights_shares_normalize_and_damp(spark, sf_dir):
     if big.n_docs != small.n_docs:
         assert big.sample_share < big.n_docs / n_total
         assert small.sample_share > small.n_docs / n_total
+
+
+def test_pipeline_keep_twin_dense_fixture_r10(spark, tmp_path):
+    """The r10 composition fix (near-dup on exact-dedup survivors,
+    contamination on survivors x bench representatives) must preserve
+    the composed semantics on a corpus that actually HAS exact twins —
+    the sf corpora carry zero exact-text dups, so the survivor routing
+    is otherwise only exercised by its equivalence proof, never by the
+    matrices. Fixture: an exact triple, a near-dup of it, a
+    contaminated doc, a bench doc, and a clean doc."""
+    t1 = " ".join(f"a{i}" for i in range(20))
+    near = t1 + " extra"  # one appended word: Jaccard 18/19 ≈ 0.947
+    phrase = " ".join(f"c{i}" for i in range(6))  # >= 4 shared shingles
+    rows = [
+        (1, t1, "en", "s"),
+        (2, t1, "en", "s"),              # exact twin of 1
+        (3, t1, "en", "s"),              # exact twin of 1
+        (4, near, "en", "s"),            # near-dup of the group
+        (5, "intro words then " + phrase + " tail words here", "en", "s"),
+        (6, " ".join(f"z{i}" for i in range(25)), "en", "s"),
+        (7, phrase + " " + " ".join(f"b{i}" for i in range(15)), "en", "s"),  # bench (7 % 10 == 7)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in plans.REGISTRY["docs_pipeline_keep"].fn(spark, sf).collect()}
+    assert len(out) == 7
+    assert out[1].keep and out[1].drop_reason is None
+    for d in (2, 3):
+        assert out[d].drop_reason == "exact_dup" and not out[d].keep
+    assert out[4].drop_reason == "near_dup" and not out[4].keep
+    assert out[5].drop_reason == "contaminated" and not out[5].keep
+    assert out[6].keep
+    # the DuckDB composed oracle (full-corpus formulation) agrees
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        # Spark wrote a parquet DIRECTORY; DuckDB needs the part glob
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            plans.REGISTRY["docs_pipeline_keep"].oracle
+        ).fetchall()
+    }
+    assert {d: (r.drop_reason, r.keep) for d, r in out.items()} == oracle
