@@ -22,6 +22,16 @@
    string replace over a fully bracketed symbol encoding "(s)(p)(a)",
    which both engines implement identically (matches never share
    characters, so simultaneous-merge semantics are exact).
+3. docs_bpe_train_encode: the closed tokenizer loop — the vocabulary
+   re-encoded with the merge table docs_bpe_train just learned (shared
+   chain on both engines).
+4. docs_incremental_substring_dedup: the substring lane's admission
+   form — a new batch dedups against the standing corpus's
+   window-count index plus itself, evidence split standing-hit vs
+   batch-internal.
+5. emb_ann_recall: recall@k of the LSH and IVF indexes measured
+   against the brute-force exact top-k — the audit that justifies the
+   'labeled-weak baseline' framing of emb_cosine_topk.
 
 Reference parity note: the reference pipeline (src/etl/*.py of
 anthonym8/pse-stocks-etl) has no corpus surface; this module is part
