@@ -123,12 +123,13 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=5, stale refill=45) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=6, stale refill=44) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
     "docs_incremental_substring_dedup",
     "emb_ann_recall",
+    "heavy_hitters_cms",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -173,7 +174,6 @@ _DRIVER_FIRST = [
     "json_extract_props",
     "jsonl_roundtrip_stats",
     "kmv_distinct_users",
-    "lateral_top_orders",
 ]
 
 

@@ -568,3 +568,134 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hit_l * 1.0 / F.count("*")).alias("recall_lsh"),
         (hit_i * 1.0 / F.count("*")).alias("recall_ivf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch frequency estimates, graded against exact counts
+# --------------------------------------------------------------------------
+CMS_D = 3  # hash rows
+CMS_W = 64  # buckets per row
+CMS_TOP = 20  # audited keys: top-N by estimate (est DESC, key ASC)
+
+
+def _sql_cms() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS r, "
+        f"((({sql_portable_hash64(f_key(i))}) % {CMS_W}) + {CMS_W}) % {CMS_W} AS b "
+        "FROM events WHERE user_id IS NOT NULL"
+        for i in range(CMS_D)
+    )
+    probe = sql_portable_hash64(
+        "'cms' || CAST(c.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)"
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    counters AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY r, b),
+    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    est AS (
+      SELECT k.user_id, MIN(c.c) AS cms_est
+      FROM keys k
+      JOIN counters c ON c.b = ((({probe}) % {CMS_W}) + {CMS_W}) % {CMS_W}
+      GROUP BY k.user_id
+    ),
+    top AS (
+      SELECT user_id, cms_est,
+             row_number() OVER (ORDER BY cms_est DESC, user_id ASC) AS hh_rank
+      FROM est ORDER BY cms_est DESC, user_id ASC LIMIT {CMS_TOP}
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT t.user_id, CAST(t.hh_rank AS BIGINT) AS hh_rank, t.cms_est, x.true_n,
+           (t.cms_est - x.true_n) AS overcount,
+           (t.cms_est >= x.true_n) AS never_undercounts
+    FROM top t JOIN exact x USING (user_id)
+    """
+
+
+def f_key(i: int) -> str:
+    return f"'cms' || CAST({i} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=_sql_cms(),
+    tags=("approx", "sketch", "count-min", "error-bound-verdict"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan),
+    graded: a d={CMS_D} x w={CMS_W} counter table is built in one pass,
+    each key's estimate is the min of its d bucket counters, and the
+    top-{CMS_TOP} keys by estimate are audited against their EXACT
+    counts — overcount per key plus the deterministic CMS invariant
+    (estimates never undercount) as a boolean the value hash grades.
+    Same pattern as the approx_distinct/approx_quantile twins: the
+    sketch's accuracy contract is the driver-verified result, so the
+    oracle needs no engine-specific estimator internals.
+
+    Scale: the sketch state is d*w = {CMS_D}*{CMS_W} counters — the
+    point of CMS is that this is the WHOLE reduction state, one tiny
+    map-side-combined aggregate over the stream regardless of key
+    cardinality (and mergeable across executors/batches by cell-wise
+    add). The per-key probe joins the BROADCAST counter table (bounded
+    by construction, never by data); the top-N is a TakeOrdered, not a
+    global sort; only the {CMS_TOP} audited keys join the exact-count
+    side."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def bucket(prefix_row: Column | int, uid: Column) -> Column:
+        r = (
+            F.lit(str(prefix_row)) if isinstance(prefix_row, int) else
+            prefix_row.cast("string")
+        )
+        h = portable_hash64(F.concat(F.lit("cms"), r, F.lit(":"), uid.cast("string")))
+        return F.pmod(h % CMS_W + CMS_W, F.lit(CMS_W))
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        bucket(i, F.col("user_id")).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.b")
+    counters = cells.groupBy("r", "b").agg(F.count("*").cast("long").alias("c"))
+    keys = ev.select("user_id").distinct()
+    probes = keys.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("r"), bucket(i, F.col("user_id")).alias("b")) for i in range(CMS_D)])
+        ).alias("p"),
+    ).select("user_id", "p.r", "p.b")
+    est = (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    top = (
+        est.orderBy(F.col("cms_est").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP)
+        .select(
+            "user_id",
+            "cms_est",
+            F.row_number()
+            .over(Window.orderBy(F.col("cms_est").desc(), F.col("user_id").asc()))
+            .cast("long")
+            .alias("hh_rank"),
+        )
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_n"))
+    return top.join(exact, "user_id").select(
+        "user_id",
+        "hh_rank",
+        "cms_est",
+        "true_n",
+        (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+        (F.col("cms_est") >= F.col("true_n")).alias("never_undercounts"),
+    )

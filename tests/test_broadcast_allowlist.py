@@ -61,6 +61,7 @@ ALLOWED = {
     ("plans/corpus_queries.py", "offsets"): "per-bucket prefix offsets (fixed bucket count)",
     ("plans/ext_queries.py", "total"): "global total (1 row)",
     ("plans/round17_queries.py", "best"): "BPE winning merge pair (limit(1) of the pair-count agg — exactly 1 row)",
+    ("plans/round17_queries.py", "counters"): "count-min counter table: d*w = 3*64 = 192 cells by construction, independent of data",
     ("plans/ext_queries.py", "days"): "per-day frame (bounded by calendar horizon)",
     ("plans/ext_queries.py", "sk"): "per-event-type sketch (bounded event-type enum)",
     ("plans/ext_queries.py", "ei"): "event-type pair stats (bounded enum^2)",

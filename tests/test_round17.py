@@ -399,3 +399,74 @@ def test_ann_recall_matches_component_queries(spark):
         assert rec[q]["n_hit_lsh"] == hits
         assert rec[q]["recall_lsh"] == hits * 1.0 / len(s)
         assert 0 <= rec[q]["n_hit_ivf"] <= len(s)
+
+
+# ------------------------------------------------------ count-min -------
+def test_cms_matches_model_on_skewed_events(spark, tmp_path):
+    """Pure-Python CMS replay on a fixture with a genuinely heavy key
+    (the sf events are uniform, so the interesting regime — a dominant
+    key plus collision overcounts — needs its own data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pse_stocks_etl_spark.functions.text import portable_hash64  # noqa: F401
+    from pse_stocks_etl_spark.plans.round17_queries import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+        heavy_hitters_cms,
+    )
+
+    # key 7 owns half the stream; 200 tail keys share the rest
+    uids = [7] * 500 + [100 + i % 200 for i in range(500)] + [None] * 3
+    n = len(uids)
+    import datetime
+
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 0, 0, i % 60) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    rows = {r["user_id"]: r.asDict()
+            for r in heavy_hitters_cms(spark, str(tmp_path)).collect()}
+    assert len(rows) == CMS_TOP
+
+    # replay the sketch in Python with the same portable hash
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def bucket(r: int, uid: int) -> int:
+        return ((h64(f"cms{r}:{uid}") % CMS_W) + CMS_W) % CMS_W
+
+    from collections import Counter
+
+    true = Counter(u for u in uids if u is not None)
+    counters = Counter()
+    for u, c in true.items():
+        for r in range(CMS_D):
+            counters[(r, bucket(r, u))] += c
+    est = {
+        u: min(counters[(r, bucket(r, u))] for r in range(CMS_D))
+        for u in true
+    }
+    top = sorted(est, key=lambda u: (-est[u], u))[:CMS_TOP]
+    assert set(rows) == set(top)
+    for rank, u in enumerate(top, start=1):
+        assert rows[u]["hh_rank"] == rank
+        assert rows[u]["cms_est"] == est[u]
+        assert rows[u]["true_n"] == true[u]
+        assert rows[u]["overcount"] == est[u] - true[u]
+        assert rows[u]["never_undercounts"]
+    # the heavy key must surface at rank 1 with an exact-ish estimate
+    assert rows[7]["hh_rank"] == 1 and rows[7]["true_n"] == 500
