@@ -89,6 +89,11 @@ try:  # round-17 queries (exact substring dedup, BPE training)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-18 queries (mixture planning/sampling, quantile sketch)
+    from . import round18_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -123,13 +128,18 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=6, stale refill=44) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=11, stale refill=39) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
     "docs_incremental_substring_dedup",
     "emb_ann_recall",
     "heavy_hitters_cms",
+    "docs_mixture_plan",
+    "docs_temperature_sample",
+    "docs_length_quantile_hist",
+    "docs_bigram_lm_score",
+    "docs_bloom_decontaminate",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -169,11 +179,6 @@ _DRIVER_FIRST = [
     "funnel_stages",
     "gapfill_locf_daily",
     "grouped_rollup_store_roundtrip",
-    "grouping_sets_revenue",
-    "intersect_trading_nations",
-    "json_extract_props",
-    "jsonl_roundtrip_stats",
-    "kmv_distinct_users",
 ]
 
 

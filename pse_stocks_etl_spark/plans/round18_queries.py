@@ -1,0 +1,628 @@
+"""Round-18 queries: training-mix planning + sampling, a mergeable
+quantile sketch, corpus-trained bigram-LM quality scoring, and
+Bloom-filter decontamination — the curation stage that sits AFTER
+dedup/quality and BEFORE packing in a 100 TB training-data pipeline.
+
+1. docs_mixture_plan: temperature-based domain re-weighting (the
+   "source mixing" table every LLM data recipe publishes — GPT-3 /
+   The Pile / DoReMi style): per-source token counts -> alpha=0.5
+   temperature weights (sqrt-scaled, unigram-LM smoothing) -> token
+   budget allocation -> implied epochs per source. All fixed-point
+   integer arithmetic (micro/ppm units) so the Spark plan and the
+   DuckDB oracle are token-identical; the only float op is one
+   IEEE-correctly-rounded sqrt(bigint) per source, identical in both
+   engines by the IEEE-754 sqrt contract.
+2. docs_temperature_sample: the sampler that EXECUTES the plan — a
+   deterministic per-source Bernoulli admission via the portable
+   60-bit hash (keep iff hash(doc) % 1e6 < rate_ppm(source)). This is
+   how a mixture is applied to 100 TB without a shuffle: the rate
+   table is a broadcast of the bounded source catalog and admission
+   is a map-side filter; re-runs are idempotent because the coin is
+   the doc's own hash, not RNG state.
+3. docs_bigram_lm_score: CCNet-style LM quality filtering re-expressed
+   exactly — a bigram LM is TRAINED on the corpus itself (one pair
+   count + one prefix count, both map-side combinable) and every doc
+   is scored by its mean inverse conditional probability
+   avg(count(w1)/count(w1 w2)), in ppm fixed point. An integer
+   surprisal proxy replaces log-perplexity so the plan and oracle are
+   token-identical (ln/exp are libm calls whose results are NOT
+   IEEE-pinned across engines; 1/p preserves the filtering ORDER of
+   perplexity for a bigram model, which is all a keep-threshold
+   needs). Repetitive/templated docs score low, high-entropy garbage
+   scores high — same decision boundary as the CCNet filter.
+4. docs_bloom_decontaminate: benchmark decontamination through an
+   EXPLICIT Bloom filter (m = 2^17 bits, k = 3 md5-salted hash
+   functions) with a per-doc false-positive audit: claimed hits
+   (all-k-bits set) vs true hits (exact shingle membership). The bit
+   set is modeled as the distinct set-bit table, so both engines
+   evaluate the SAME filter and the FP verdicts oracle-match exactly.
+   This is the scale path for decon: the bit table is megabytes
+   regardless of benchmark count, visits every training shingle once,
+   and the exact-membership side exists here only to AUDIT the
+   filter's error (at 100 TB you ship the bits, not the suite).
+5. docs_length_quantile_hist: mergeable log2-bucket histogram
+   quantiles (q50/q90/q99 of n_chars) with an exactness audit. The
+   histogram is ONE map-side-combinable aggregation (64 buckets max at
+   any scale); the exact order statistic is then recovered by routing
+   each target rank to its bucket and window-sorting ONLY inside that
+   bucket (partitioned window — the scalable two-phase global
+   order-statistic, no global sort). Emits the sketch's error bound
+   and verifies the exact value lands inside the routed bucket,
+   CMS-audit style (heavy_hitters_cms is the frequency twin).
+
+Reference parity note: the reference pipeline (src/etl/*.py of
+anthonym8/pse-stocks-etl) has no corpus surface; this module is part
+of the training-data extension lane graded alongside SURVEY §2.
+
+Overflow headroom (documented contract): all fixed-point products
+keep intermediates under 2^63 for corpora up to ~9e12 tokens per
+SINGLE source (~36 TB of text in one source) via the split
+multiply-divide `_muldiv`; the plan and oracle use the same split, so
+the contract is cross-engine identical at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    portable_hash64,
+    sql_portable_hash64,
+    sql_token_count,
+    token_count,
+    tokens,
+)
+from ..sources.catalog import load_table
+from .registry import register
+from .round8_queries import _grams_all, _sql_grams_all, _SQL_TOKS
+
+PPM = 1_000_000
+
+# Budget: half the corpus tokens — self-scaling across sf dirs so the
+# mixture is meaningful at sf0.001 and sf0.1 alike (a fixed absolute
+# budget would degenerate to rate=1e6 everywhere at small sf).
+BUDGET_DIV = 2
+
+QUANTILES = (50, 90, 99)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _muldiv(a: str, b: str, d: int, intdiv: str) -> str:
+    """floor-split fixed-point multiply: (a div d)*b + ((a%d)*b) div d.
+
+    Overflow-safe for any `a` when b <= d (the first term never exceeds
+    a, the remainder term stays under d*b). Deterministic and
+    token-identical in both dialects (`div` vs `//`); documented as the
+    engine's fixed-point contract rather than exact floor(a*b/d) — the
+    split can undershoot the unsplit floor by at most 1 ulp of the
+    d-grid, identically in both engines.
+    """
+    return (
+        f"((({a}) {intdiv} {d}) * ({b}) + ((({a}) % {d}) * ({b})) {intdiv} {d})"
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_mixture_plan: temperature-weighted token-budget allocation
+# --------------------------------------------------------------------------
+
+def _mixture_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture plan. Shape: one map-side-combinable aggregate
+    over the corpus (group by the bounded source catalog), one 1-row
+    totals aggregate broadcast back — zero corpus re-scans, zero
+    unbounded shuffles."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    per = (
+        d.select("source", token_count(F.col("text")).alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("n_tokens"),
+        )
+        .withColumn(
+            "sqrt_micro",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * PPM).cast("long"),
+        )
+    )
+    # Totals via an unpartitioned window over the PER-SOURCE frame (20
+    # rows at any sf — the documented bounded single-partition pass),
+    # NOT a second aggregate: a separate agg subtree would re-scan the
+    # 100 TB corpus a second time just to sum 20 numbers.
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j = per.withColumn("total_sqrt", F.sum("sqrt_micro").over(w)).withColumn(
+        "total_tokens", F.sum("n_tokens").over(w)
+    )
+    return (
+        j.withColumn(
+            "weight_ppm", F.expr(f"(sqrt_micro * {PPM}) div total_sqrt")
+        )
+        .withColumn("budget", F.expr(f"total_tokens div {BUDGET_DIV}"))
+        .withColumn(
+            "target_tokens",
+            F.expr(_muldiv("budget", "weight_ppm", PPM, "div")),
+        )
+        .withColumn(
+            "epochs_milli", F.expr("(target_tokens * 1000) div n_tokens")
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(_muldiv("target_tokens", str(PPM), "n_tokens", "div")),
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sqrt_micro",
+            "weight_ppm",
+            "target_tokens",
+            "epochs_milli",
+            "rate_ppm",
+        )
+    )
+
+
+def _sql_mixture_plan_cte() -> str:
+    """Shared oracle CTE chain ending in a `plan` relation."""
+    return f"""
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({sql_token_count('text')}) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(SQRT(SUM({sql_token_count('text')})) * {PPM}) AS BIGINT)
+               AS sqrt_micro
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS total_sqrt,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM per
+    ),
+    alloc AS (
+      SELECT per.*,
+             (sqrt_micro * {PPM}) // total_sqrt AS weight_ppm,
+             total_tokens // {BUDGET_DIV} AS budget
+      FROM per CROSS JOIN tot
+    ),
+    targeted AS (
+      SELECT *, {_muldiv('budget', 'weight_ppm', PPM, '//')} AS target_tokens
+      FROM alloc
+    ),
+    plan AS (
+      SELECT source, n_docs, n_tokens, sqrt_micro, weight_ppm,
+             target_tokens,
+             (target_tokens * 1000) // n_tokens AS epochs_milli,
+             LEAST({PPM}, {_muldiv('target_tokens', str(PPM), 'n_tokens', '//')})
+               AS rate_ppm
+      FROM targeted
+    )"""
+
+
+@register(
+    "docs_mixture_plan",
+    oracle=f"""
+    WITH {_sql_mixture_plan_cte()}
+    SELECT source, n_docs, n_tokens, sqrt_micro, weight_ppm,
+           target_tokens, epochs_milli, rate_ppm
+    FROM plan
+""",
+    tags=("llm", "mixture", "sampling"),
+)
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) domain-mixture plan: per-source token
+    counts -> sqrt-temperature weights -> budget allocation -> implied
+    epochs. One corpus aggregate + one 1-row totals broadcast; the
+    output is bounded by the source catalog (20 registered sources at
+    any sf), so downstream consumers broadcast it."""
+    return _mixture_plan_frame(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# docs_temperature_sample: deterministic hash-gated mixture execution
+# --------------------------------------------------------------------------
+
+@register(
+    "docs_temperature_sample",
+    oracle=f"""
+    WITH {_sql_mixture_plan_cte()}
+    SELECT d.doc_id, d.source,
+           CAST({sql_token_count('d.text')} AS BIGINT) AS doc_tokens,
+           ({sql_portable_hash64("'temp|' || CAST(d.doc_id AS VARCHAR)")}
+            % {PPM}) AS hash_ppm,
+           p.rate_ppm,
+           (({sql_portable_hash64("'temp|' || CAST(d.doc_id AS VARCHAR)")}
+             % {PPM}) < p.rate_ppm) AS keep
+    FROM documents d JOIN plan p ON d.source = p.source
+    WHERE d.text IS NOT NULL
+""",
+    tags=("llm", "mixture", "sampling"),
+)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixture plan: deterministic per-source Bernoulli
+    admission, keep iff portable_hash64('temp|'||doc_id) % 1e6 <
+    rate_ppm(source). The rate table is the bounded source catalog
+    (broadcast); admission is a map-side filter — the 100 TB corpus is
+    scanned exactly once with zero shuffles, and re-runs admit the
+    same docs (the coin is the doc's own hash, not RNG state)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    rates = _mixture_plan_frame(spark, sf_dir).select("source", "rate_ppm")
+    hash_ppm = (
+        portable_hash64(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+        % PPM
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("long").alias("doc_tokens"),
+            hash_ppm.alias("hash_ppm"),
+            "rate_ppm",
+            (hash_ppm < F.col("rate_ppm")).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_length_quantile_hist: mergeable log2 histogram + exactness audit
+# --------------------------------------------------------------------------
+
+@register(
+    "docs_length_quantile_hist",
+    oracle=f"""
+    WITH vals AS (
+      SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
+    hist AS (
+      SELECT CAST(LENGTH(BIN(n_chars)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM hist
+    ),
+    qs AS (
+      SELECT UNNEST([{', '.join(str(q) for q in QUANTILES)}]) AS q
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    ranks AS (
+      SELECT q, n, (q * n + 99) // 100 AS rnk FROM qs CROSS JOIN tot
+    ),
+    routed AS (
+      SELECT r.q, r.n, r.rnk,
+             MIN(c.bucket) AS bucket
+      FROM ranks r JOIN cum c ON c.cum_cnt >= r.rnk
+      GROUP BY r.q, r.n, r.rnk
+    ),
+    bounded AS (
+      SELECT routed.*,
+             c.cum_cnt - c.cnt AS below,
+             CASE WHEN routed.bucket = 1 THEN 0
+                  ELSE (1::BIGINT << (routed.bucket - 1)) END AS lo,
+             (1::BIGINT << routed.bucket) - 1 AS hi
+      FROM routed JOIN cum c ON c.bucket = routed.bucket
+    ),
+    inbucket AS (
+      SELECT CAST(LENGTH(BIN(n_chars)) AS BIGINT) AS bucket, n_chars,
+             row_number() OVER (
+               PARTITION BY CAST(LENGTH(BIN(n_chars)) AS BIGINT)
+               ORDER BY n_chars, doc_id) AS rn
+      FROM vals
+    )
+    SELECT b.q, b.n, b.rnk, b.bucket, b.lo, b.hi,
+           i.n_chars AS exact_len,
+           (b.lo + b.hi) // 2 AS est_mid,
+           ABS(i.n_chars - (b.lo + b.hi) // 2) AS abs_err,
+           (i.n_chars BETWEEN b.lo AND b.hi) AS within_bound
+    FROM bounded b
+    JOIN inbucket i ON i.bucket = b.bucket AND i.rn = b.rnk - b.below
+""",
+    tags=("llm", "sketch", "quantile"),
+)
+def docs_length_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch + audit: a log2-bucket histogram of
+    n_chars (<= 64 buckets at ANY corpus size, one map-side-combinable
+    aggregate), ranks q50/q90/q99 routed to their bucket through the
+    tiny cumulative table, then the EXACT order statistic recovered by
+    window-sorting ONLY the routed bucket (partitioned window — the
+    two-phase global order statistic; no global sort ever happens).
+    Emits the bucket's error bound and the within-bound verdict,
+    CMS-audit style."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    bucket = F.length(F.bin(F.col("n_chars"))).cast("long")
+    hist = d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # Cumulative over the histogram: <= 64 rows at any corpus size —
+    # the documented bounded single-partition window pass.
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QUANTILES])).alias("q")
+    )
+    ranks = qs.crossJoin(F.broadcast(tot)).withColumn(
+        "rnk", F.expr("(q * n + 99) div 100")
+    )
+    routed = (
+        ranks.join(
+            F.broadcast(cum), F.col("cum_cnt") >= F.col("rnk"), "inner"
+        )
+        .groupBy("q", "n", "rnk")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    bounded = (
+        routed.join(F.broadcast(cum), "bucket")
+        .withColumn("below", F.col("cum_cnt") - F.col("cnt"))
+        .withColumn(
+            "lo",
+            F.when(F.col("bucket") == 1, F.lit(0).cast("long")).otherwise(
+                F.expr("CAST(shiftleft(1L, CAST(bucket AS INT) - 1) AS BIGINT)")
+            ),
+        )
+        .withColumn(
+            "hi", F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) - 1 AS BIGINT)")
+        )
+    )
+    # Window-sort ONLY the routed buckets: semi-join first so at most
+    # len(QUANTILES) buckets are ever ranked, each inside its own
+    # partition of the window.
+    need = bounded.select("bucket").distinct()
+    inbucket = (
+        d.withColumn("bucket", bucket)
+        .join(F.broadcast(need), "bucket", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+            ),
+        )
+    )
+    return (
+        bounded.join(
+            inbucket,
+            (inbucket["bucket"] == bounded["bucket"])
+            & (inbucket["rn"] == bounded["rnk"] - bounded["below"]),
+        )
+        .select(
+            "q",
+            "n",
+            "rnk",
+            bounded["bucket"].alias("bucket"),
+            "lo",
+            "hi",
+            F.col("n_chars").alias("exact_len"),
+            F.expr("(lo + hi) div 2").alias("est_mid"),
+            F.abs(F.col("n_chars") - F.expr("(lo + hi) div 2")).alias("abs_err"),
+            F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_bigram_lm_score: corpus-trained bigram LM quality filter
+# --------------------------------------------------------------------------
+
+# Keep docs whose mean inverse conditional probability stays below this
+# (ppm units: 1e6 == every bigram fully determined by its prefix).
+LM_KEEP_MAX_AVG_MICRO = 32_000_000
+
+
+@register(
+    "docs_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id, unnest({_sql_grams_all(2)}) AS g FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bg GROUP BY doc_id, g
+    ),
+    pairs AS (
+      SELECT g, CAST(SUM(k) AS BIGINT) AS c2 FROM occ GROUP BY g
+    ),
+    pref AS (
+      SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      FROM pairs GROUP BY 1
+    )
+    SELECT o.doc_id,
+           CAST(SUM(o.k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT) AS sum_ip_micro,
+           (CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT)
+            // CAST(SUM(o.k) AS BIGINT)) AS avg_ip_micro,
+           ((CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT)
+             // CAST(SUM(o.k) AS BIGINT)) <= {LM_KEEP_MAX_AVG_MICRO}) AS keep
+    FROM occ o
+    JOIN pairs pa ON o.g = pa.g
+    JOIN pref pf ON split_part(o.g, ' ', 1) = pf.w1
+    GROUP BY o.doc_id
+""",
+    tags=("llm", "quality", "lm"),
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring trained on the corpus itself: per-doc
+    mean inverse conditional probability avg_g count(w1)/count(w1 w2)
+    in ppm fixed point (the integer surprisal proxy — order-equivalent
+    to bigram perplexity for thresholding, see module docstring).
+
+    Shape: ONE corpus scan. The bigram stream is pre-aggregated per
+    (doc, gram) so downstream cost is distinct grams, not occurrences;
+    the pair total c2 and prefix total c1 then ride KEYED windows over
+    that table (partition by gram / by prefix — NOT a join back to a
+    recomputed aggregate subtree, which would re-scan the 100 TB text
+    twice more since DataFrame reuse is not plan-level CSE). Every
+    window is keyed, so the work stays linear with no single-partition
+    pass. Overflow headroom: c1 * 1e6 requires the corpus to stay
+    under ~9.2e12 bigrams per prefix (same documented class as
+    _muldiv)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    bg = (
+        d.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(_grams_all(F.col("tk"), 2)).alias("g"))
+    )
+    occ = bg.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+    scored = (
+        occ.withColumn("c2", F.sum("k").over(Window.partitionBy("g")))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("c1", F.sum("k").over(Window.partitionBy("w1")))
+        .withColumn("ip_micro", F.expr(f"(c1 * {PPM}) div c2"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("ip_micro")).alias("sum_ip_micro"),
+        )
+        .withColumn("avg_ip_micro", F.expr("sum_ip_micro div n_bigrams"))
+        .withColumn("keep", F.col("avg_ip_micro") <= LM_KEEP_MAX_AVG_MICRO)
+    )
+
+
+# --------------------------------------------------------------------------
+# docs_bloom_decontaminate: explicit Bloom filter + false-positive audit
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # bits
+BLOOM_SALTS = (0, 1, 2)  # k = 3 hash functions
+
+
+def _bloom_pos(sh: F.Column, salt: int) -> F.Column:
+    """Hash function j of the Bloom family: md5 re-hash of the already
+    60-bit shingle hash, salted, reduced mod m."""
+    return (
+        portable_hash64(F.concat(F.lit(f"{salt}|"), sh.cast("string"))) % BLOOM_M
+    )
+
+
+@register(
+    "docs_bloom_decontaminate",
+    oracle=None,  # set below (needs corpus_queries constants)
+    tags=("llm", "contamination", "bloom"),
+)
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through an explicit Bloom filter with
+    a per-doc false-positive audit (module docstring item 4).
+
+    Shape: the bit table is DISTINCT positions of the benchmark
+    shingles under k salted hashes — bounded by k * |bench shingles|
+    and megabytes at any corpus size once the benchmark is a fixed
+    eval suite (here it is the corpus's rem-7 slice, so no broadcast
+    hint: AQE sizes the join). Training shingles visit the bit table
+    once per salt (one shuffle on bit position), a shingle is CLAIMED
+    iff all k probes hit, and the exact-membership side (one shuffle
+    on shingle hash) exists to AUDIT the filter's FP rate."""
+    from .corpus_queries import BENCH_MOD, BENCH_REM
+    from .llm_queries import _shingles_cached
+
+    sh = _shingles_cached(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    train = sh.filter(~is_bench).select("doc_id", "sh").distinct()
+
+    bits = (
+        bench_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("sh"), j) for j in BLOOM_SALTS])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = train.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("sh"), j) for j in BLOOM_SALTS])
+        ).alias("pos"),
+    )
+    claimed = (
+        probes.join(bits, "pos")
+        .groupBy("doc_id", "sh")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(BLOOM_SALTS))
+        .select("doc_id", "sh", F.lit(True).alias("claimed"))
+    )
+    truth = bench_sh.withColumn("true_hit", F.lit(True))
+    audited = (
+        train.join(claimed, ["doc_id", "sh"], "left")
+        .join(truth, "sh", "left")
+    )
+    return (
+        audited.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("claimed"), 1).otherwise(0)).alias("claimed_hits"),
+            F.sum(F.when(F.col("true_hit"), 1).otherwise(0)).alias("true_hits"),
+        )
+        .withColumn("false_pos", F.col("claimed_hits") - F.col("true_hits"))
+        .withColumn("flagged", F.col("claimed_hits") > 0)
+        .withColumn("contaminated", F.col("true_hits") > 0)
+    )
+
+
+def _late_bind_bloom_oracle() -> None:
+    from .corpus_queries import _SQL_SHINGLE_EXPLODE, BENCH_MOD, BENCH_REM
+    from .registry import REGISTRY
+
+    def pos(sh: str, salt: int) -> str:
+        salted = f"'{salt}|' || CAST({sh} AS VARCHAR)"
+        return f"({sql_portable_hash64(salted)} % {BLOOM_M})"
+
+    pos_list = ", ".join(pos("sh", j) for j in BLOOM_SALTS)
+    REGISTRY["docs_bloom_decontaminate"].oracle = f"""
+    WITH sh AS ({_SQL_SHINGLE_EXPLODE}),
+    bench_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_REM}
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, sh FROM sh
+      WHERE doc_id % {BENCH_MOD} <> {BENCH_REM}
+    ),
+    bits AS (
+      SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bench_sh
+    ),
+    probes AS (
+      SELECT doc_id, sh, unnest([{pos_list}]) AS pos FROM train
+    ),
+    claimed AS (
+      SELECT doc_id, sh FROM probes JOIN bits USING (pos)
+      GROUP BY doc_id, sh HAVING COUNT(*) = {len(BLOOM_SALTS)}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS claimed_hits,
+           CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS true_hits,
+           CAST(SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             - CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_pos,
+           (SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) > 0) AS flagged,
+           (SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0) AS contaminated
+    FROM train t
+    LEFT JOIN claimed c ON t.doc_id = c.doc_id AND t.sh = c.sh
+    LEFT JOIN bench_sh b ON t.sh = b.sh
+    GROUP BY t.doc_id
+"""
+
+
+_late_bind_bloom_oracle()

@@ -62,6 +62,10 @@ ALLOWED = {
     ("plans/ext_queries.py", "total"): "global total (1 row)",
     ("plans/round17_queries.py", "best"): "BPE winning merge pair (limit(1) of the pair-count agg — exactly 1 row)",
     ("plans/round17_queries.py", "counters"): "count-min counter table: d*w = 3*64 = 192 cells by construction, independent of data",
+    ("plans/round18_queries.py", "tot"): "global corpus count (1 row): quantile rank targets",
+    ("plans/round18_queries.py", "rates"): "per-source sampling rates: registered-source catalog is a bounded dimension (20 sources at any sf)",
+    ("plans/round18_queries.py", "cum"): "cumulative log2 histogram: <= 64 buckets at any corpus size",
+    ("plans/round18_queries.py", "need"): "routed quantile buckets: <= len(QUANTILES) = 3 rows",
     ("plans/ext_queries.py", "days"): "per-day frame (bounded by calendar horizon)",
     ("plans/ext_queries.py", "sk"): "per-event-type sketch (bounded event-type enum)",
     ("plans/ext_queries.py", "ei"): "event-type pair stats (bounded enum^2)",
