@@ -128,7 +128,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=11, stale refill=39) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=12, stale refill=38) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
@@ -140,6 +140,7 @@ _DRIVER_FIRST = [
     "docs_length_quantile_hist",
     "docs_bigram_lm_score",
     "docs_bloom_decontaminate",
+    "docs_semdedup",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -178,7 +179,6 @@ _DRIVER_FIRST = [
     "flagship_latest_price",
     "funnel_stages",
     "gapfill_locf_daily",
-    "grouped_rollup_store_roundtrip",
 ]
 
 

@@ -73,6 +73,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+from ..functions.vectors import cosine, sql_cosine, to_double_array
 from ..sources.catalog import load_table
 from .registry import register
 from .round8_queries import _grams_all, _sql_grams_all, _SQL_TOKS
@@ -626,3 +627,166 @@ def _late_bind_bloom_oracle() -> None:
 
 
 _late_bind_bloom_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_semdedup: embedding-cluster semantic dedup with survivor selection
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.30  # rounded-cosine duplicate threshold within a cell
+SEMDEDUP_WITNESS_CAP = 64  # top-quality witness pool per cell (scale cap)
+
+
+@register(
+    "docs_semdedup",
+    oracle=None,  # set below (needs llm_queries constants)
+    tags=("llm", "dedup", "semantic"),
+)
+def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space.
+    Every vector is assigned to its nearest coarse centroid (the SAME
+    frozen 16-centroid inverted file emb_ann_ivf uses), candidate
+    pairs exist only WITHIN a cell, a pair with rounded cosine >=
+    SEMDEDUP_TAU is a duplicate, and the lower-quality side (shorter
+    doc text; doc_id tiebreak) is dropped. Output: one row per dropped
+    doc with its best witness (highest cosine, then smallest keeper).
+
+    Scale: the pair stage is cell x witness-pool, NOT cell x cell —
+    only a cell's top-SEMDEDUP_WITNESS_CAP members by quality are
+    eligible witnesses (witnesses must out-rank the dropped side
+    anyway, so the pool holds the likeliest keepers). That bounds the
+    quadratic exactly the way the MinHash lane's bucket-width cap does
+    (llm_queries.py docs_minhash_lsh_pairs): EXACT whenever a cell is
+    narrower than the cap — true at every tested SF — and
+    linear-by-construction (N x 64 pairs) when replication blows a
+    cell past it; the measured x8 stress row quantifies both. The
+    remaining knob is the centroid count (the SemDeDup paper grows k
+    with the corpus, 50k cells over LAION, keeping cells narrow so
+    the cap never engages); assignment is one broadcast of the frozen
+    16-vector centroid table + a linear scan, same contract as
+    emb_ann_ivf. Quality metadata joins on the doc/vec key; docs
+    without embeddings drop out of the inner join identically in both
+    engines."""
+    from ..operators.dedup import topk_per_group
+    from .llm_queries import IVF_CENTROID_IDS, _emb
+
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    base = e.select("vec_id", vec.alias("v"))
+    cents = (
+        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
+    )
+    assign = topk_per_group(
+        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
+    ).select("vec_id", F.col("cid").alias("cell"))
+    quality = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars")
+    )
+    member = (
+        assign.join(base, "vec_id")
+        .join(quality, "vec_id")
+        .select("vec_id", "cell", "v", "n_chars")
+    )
+    witnesses = (
+        member.withColumn(
+            "wrank",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.col("n_chars").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("wrank") <= SEMDEDUP_WITNESS_CAP)
+        .drop("wrank")
+    )
+    a, b = member.alias("a"), witnesses.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("dropped_id"),
+            F.col("b.vec_id").alias("kept_id"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            F.col("a.n_chars").alias("dropped_chars"),
+            F.col("b.n_chars").alias("kept_chars"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .filter(
+            (F.col("kept_chars") > F.col("dropped_chars"))
+            | (
+                (F.col("kept_chars") == F.col("dropped_chars"))
+                & (F.col("kept_id") < F.col("dropped_id"))
+            )
+        )
+    )
+    return topk_per_group(
+        pairs,
+        ["dropped_id"],
+        [F.col("cos_sim").desc(), F.col("kept_id").asc()],
+        k=1,
+    ).select(
+        "dropped_id", "kept_id", "cell", "cos_sim", "dropped_chars", "kept_chars"
+    )
+
+
+def _late_bind_semdedup_oracle() -> None:
+    from .llm_queries import EMB_DIM, IVF_CENTROID_IDS
+    from .registry import REGISTRY
+
+    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
+    cos_p = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    REGISTRY["docs_semdedup"].oracle = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id IN ({cids})
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    member AS (
+      SELECT a.vec_id, a.cell, d.n_chars
+      FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+    ),
+    witnesses AS (
+      SELECT vec_id, cell, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY cell
+                                     ORDER BY n_chars DESC, vec_id ASC) AS wrank
+        FROM member
+      ) WHERE wrank <= {SEMDEDUP_WITNESS_CAP}
+    ),
+    pairs AS (
+      SELECT ma.vec_id AS dropped_id, mb.vec_id AS kept_id, ma.cell,
+             {cos_p} AS cos_sim,
+             ma.n_chars AS dropped_chars, mb.n_chars AS kept_chars
+      FROM member ma
+      JOIN witnesses mb ON ma.cell = mb.cell AND ma.vec_id != mb.vec_id
+      JOIN embeddings ea ON ea.vec_id = ma.vec_id
+      JOIN embeddings eb ON eb.vec_id = mb.vec_id
+      WHERE {cos_p} >= {SEMDEDUP_TAU}
+        AND (mb.n_chars > ma.n_chars
+             OR (mb.n_chars = ma.n_chars AND mb.vec_id < ma.vec_id))
+    )
+    SELECT dropped_id, kept_id, cell, cos_sim, dropped_chars, kept_chars
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY dropped_id
+                                   ORDER BY cos_sim DESC, kept_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+"""
+
+
+_late_bind_semdedup_oracle()

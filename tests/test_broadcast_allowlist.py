@@ -66,6 +66,7 @@ ALLOWED = {
     ("plans/round18_queries.py", "rates"): "per-source sampling rates: registered-source catalog is a bounded dimension (20 sources at any sf)",
     ("plans/round18_queries.py", "cum"): "cumulative log2 histogram: <= 64 buckets at any corpus size",
     ("plans/round18_queries.py", "need"): "routed quantile buckets: <= len(QUANTILES) = 3 rows",
+    ("plans/round18_queries.py", "cents"): "frozen IVF coarse centroids: 16 rows by construction (same contract as llm_queries cents)",
     ("plans/ext_queries.py", "days"): "per-day frame (bounded by calendar horizon)",
     ("plans/ext_queries.py", "sk"): "per-event-type sketch (bounded event-type enum)",
     ("plans/ext_queries.py", "ei"): "event-type pair stats (bounded enum^2)",

@@ -415,3 +415,90 @@ def test_lm_plan_scans_corpus_once_with_keyed_windows(spark):
     plan = _plan(spark, "docs_bigram_lm_score")
     assert _n_scans(plan) == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------- semdedup --
+
+def _write_emb_corpus(path, vec_rows, doc_chars):
+    """vec_rows: list of (vec_id, 64-float list); doc_chars: {id: n_chars}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = [r[0] for r in vec_rows]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in vec_rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        str(path / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array(
+                    [doc_chars[i] for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_semdedup_drops_lower_quality_twins(spark, tmp_path):
+    """Three identical vectors + their centroid twin: every lower-char
+    copy is dropped with the max-char copy as witness; orthogonal
+    singleton cells produce no pairs."""
+    from pse_stocks_etl_spark.plans.llm_queries import EMB_DIM, IVF_CENTROID_IDS
+
+    def basis(i):
+        v = [0.0] * EMB_DIM
+        v[i] = 1.0
+        return v
+
+    # vecs 0,1,2 identical to centroid 10's direction; centroids 10..25
+    # are the 16 distinct basis directions (cos between cells = 0).
+    rows = [(i, basis(0)) for i in (0, 1, 2)]
+    rows += [(cid, basis(k)) for k, cid in enumerate(IVF_CENTROID_IDS)]
+    chars = {0: 100, 1: 90, 2: 80, **{cid: 10 for cid in IVF_CENTROID_IDS}}
+    sf = _write_emb_corpus(tmp_path, rows, chars)
+    got = {
+        r["dropped_id"]: r.asDict()
+        for r in REGISTRY["docs_semdedup"].fn(spark, sf).collect()
+    }
+    # 1, 2 and the centroid copy 10 all lose to doc 0 (chars 100, cos 1)
+    assert set(got) == {1, 2, 10}
+    for d in (1, 2, 10):
+        assert got[d]["kept_id"] == 0
+        assert got[d]["cell"] == 10
+        assert got[d]["cos_sim"] == 1.0
+    # doc 0 survives: its twins all have fewer chars
+
+
+def test_semdedup_witness_rules_on_testdata(spark, sf_dir):
+    """Real-corpus invariants: one row per dropped doc, every witness
+    strictly better (chars, id tiebreak), cosine at/above the
+    threshold."""
+    from pse_stocks_etl_spark.plans.round18_queries import SEMDEDUP_TAU
+
+    rows = REGISTRY["docs_semdedup"].fn(spark, sf_dir).collect()
+    assert rows, "expected semantic near-twins in the synthetic corpus"
+    seen = set()
+    for r in rows:
+        assert r["dropped_id"] not in seen
+        seen.add(r["dropped_id"])
+        assert r["cos_sim"] >= SEMDEDUP_TAU
+        better = r["kept_chars"] > r["dropped_chars"] or (
+            r["kept_chars"] == r["dropped_chars"]
+            and r["kept_id"] < r["dropped_id"]
+        )
+        assert better, r
