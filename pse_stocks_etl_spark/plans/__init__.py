@@ -94,6 +94,11 @@ try:  # round-18 queries (mixture planning/sampling, quantile sketch)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-19 queries (sketch/index error audits, mixture reweight)
+    from . import round19_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -128,7 +133,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=12, stale refill=38) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=14, stale refill=36) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
@@ -141,6 +146,8 @@ _DRIVER_FIRST = [
     "docs_bigram_lm_score",
     "docs_bloom_decontaminate",
     "docs_semdedup",
+    "docs_minhash_error_audit",
+    "docs_mixture_reweight",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -177,8 +184,6 @@ _DRIVER_FIRST = [
     "empty_relation_clone",
     "except_lapsed_customers",
     "flagship_latest_price",
-    "funnel_stages",
-    "gapfill_locf_daily",
 ]
 
 

@@ -38,6 +38,18 @@ def register(
     bench: bool = False,
 ):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name from a DIFFERENT module is a silent-overwrite
+        # footgun (a later round can displace a driver-green query and
+        # nobody notices until the correctness file flips); a
+        # re-register from the SAME module is a normal importlib.reload
+        # and stays allowed. Found the hard way in round 10: a new
+        # audit lane landed on an existing round-10 query name.
+        prev = REGISTRY.get(name)
+        if prev is not None and prev.fn.__module__ != fn.__module__:
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.fn.__module__}; refusing cross-module overwrite"
+            )
         REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
         return fn
 

@@ -426,10 +426,11 @@ def docs_length_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_KEEP_MAX_AVG_MICRO = 32_000_000
 
 
-@register(
-    "docs_bigram_lm_score",
-    oracle=f"""
-    WITH toks AS (
+def _sql_lm_perdoc_cte() -> str:
+    """Shared oracle CTE chain ending in `lmdoc(doc_id, n_bigrams,
+    sum_ip_micro, avg_ip_micro)` — reused by the reweighting lane."""
+    return f"""
+    toks AS (
       SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
     ),
     bg AS (
@@ -439,24 +440,33 @@ LM_KEEP_MAX_AVG_MICRO = 32_000_000
       SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k
       FROM bg GROUP BY doc_id, g
     ),
-    pairs AS (
+    lmpairs AS (
       SELECT g, CAST(SUM(k) AS BIGINT) AS c2 FROM occ GROUP BY g
     ),
     pref AS (
       SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-      FROM pairs GROUP BY 1
-    )
-    SELECT o.doc_id,
-           CAST(SUM(o.k) AS BIGINT) AS n_bigrams,
-           CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT) AS sum_ip_micro,
-           (CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT)
-            // CAST(SUM(o.k) AS BIGINT)) AS avg_ip_micro,
-           ((CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT)
-             // CAST(SUM(o.k) AS BIGINT)) <= {LM_KEEP_MAX_AVG_MICRO}) AS keep
-    FROM occ o
-    JOIN pairs pa ON o.g = pa.g
-    JOIN pref pf ON split_part(o.g, ' ', 1) = pf.w1
-    GROUP BY o.doc_id
+      FROM lmpairs GROUP BY 1
+    ),
+    lmdoc AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT) AS sum_ip_micro,
+             (CAST(SUM(o.k * ((pf.c1 * {PPM}) // pa.c2)) AS BIGINT)
+              // CAST(SUM(o.k) AS BIGINT)) AS avg_ip_micro
+      FROM occ o
+      JOIN lmpairs pa ON o.g = pa.g
+      JOIN pref pf ON split_part(o.g, ' ', 1) = pf.w1
+      GROUP BY o.doc_id
+    )"""
+
+
+@register(
+    "docs_bigram_lm_score",
+    oracle=f"""
+    WITH {_sql_lm_perdoc_cte()}
+    SELECT doc_id, n_bigrams, sum_ip_micro, avg_ip_micro,
+           (avg_ip_micro <= {LM_KEEP_MAX_AVG_MICRO}) AS keep
+    FROM lmdoc
 """,
     tags=("llm", "quality", "lm"),
 )

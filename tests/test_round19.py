@@ -1,0 +1,153 @@
+"""Round-19 queries: MinHash estimator error audit and the
+DoReMi-style mixture reweight step.
+
+Semantics pinned against identical-doc signature agreement (est ==
+exact == 1e6, zero error), row-wise arithmetic self-consistency of
+every derived audit column, and a two-source corpus whose loss
+difference must flip the mixture ordering. (A Matryoshka-truncation
+audit drafted here turned out to already exist as round10's
+emb_matryoshka_recall — the collision is now a hard error in
+registry.register, which refuses cross-module name overwrites.)"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pse_stocks_etl_spark.plans.registry import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _n_scans(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def _write_docs(path, rows):
+    """rows: (doc_id, text, source)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] is not None else None for r in rows],
+                    pa.int64(),
+                ),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+# ---------------------------------------------------- minhash audit --
+
+def test_minhash_audit_self_consistency(spark, sf_dir):
+    """Every audited pair's derived columns are arithmetic functions of
+    (n_matches, exact intersection) — recompute them row-by-row."""
+    from pse_stocks_etl_spark.plans.llm_queries import MINHASH_K
+    from pse_stocks_etl_spark.plans.round18_queries import PPM
+
+    rows = REGISTRY["docs_minhash_error_audit"].fn(spark, sf_dir).collect()
+    assert rows, "expected LSH candidate pairs in the corpus"
+    for r in rows:
+        est = (r["n_matches"] * PPM) // MINHASH_K
+        assert r["est_ppm"] == est
+        assert r["err_ppm"] == abs(est - r["exact_ppm"])
+        bound = math.floor(2 * math.sqrt(est * (PPM - est) / MINHASH_K))
+        assert r["bound_ppm"] == bound
+        assert r["within_2sigma"] == (r["err_ppm"] <= bound)
+
+
+def test_minhash_audit_identical_docs_exact(spark, tmp_path):
+    """Identical docs agree on every signature component and have
+    Jaccard exactly 1 — est == exact == 1e6, err 0, bound 0, within."""
+    from pse_stocks_etl_spark.plans.round18_queries import PPM
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = [
+        (i, f"filler{i} word{i} extra{i} pad{i} tail{i}", "s")
+        for i in range(3, 30)
+    ]
+    sf = _write_docs(tmp_path, [(1, text, "s"), (2, text, "s")] + filler)
+    rows = REGISTRY["docs_minhash_error_audit"].fn(spark, sf).collect()
+    pair = [r for r in rows if (r["doc_a"], r["doc_b"]) == (1, 2)]
+    assert pair, rows
+    r = pair[0]
+    assert r["n_matches"] == 12
+    assert r["est_ppm"] == PPM and r["exact_ppm"] == PPM
+    assert r["err_ppm"] == 0 and r["within_2sigma"]
+
+
+# --------------------------------------------------------- reweight --
+
+def test_reweight_upweights_lossy_source(spark, tmp_path):
+    """Two sources with IDENTICAL token counts (equal temperature
+    weights); source B's bigrams are rare continuations of a shared
+    prefix (high surprisal), source A repeats one dominant bigram.
+    One multiplicative-weights step must shift mass toward B."""
+    a_docs = [(i, "the cat sat on the mat", "srcA") for i in range(1, 9)]
+    b_docs = [
+        (100 + i, f"the q{i}x rode the z{i}y on", "srcB") for i in range(1, 9)
+    ]
+    sf = _write_docs(tmp_path, a_docs + b_docs)
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["docs_mixture_reweight"].fn(spark, sf).collect()
+    }
+    assert got["srcA"]["weight_ppm"] == got["srcB"]["weight_ppm"]
+    assert got["srcB"]["avg_loss_micro"] > got["srcA"]["avg_loss_micro"]
+    assert got["srcB"]["excess_ppm"] > 1_000_000 > got["srcA"]["excess_ppm"]
+    assert got["srcB"]["new_weight_ppm"] > got["srcA"]["new_weight_ppm"]
+
+
+def test_reweight_normalization_and_coverage(spark, sf_dir):
+    rows = REGISTRY["docs_mixture_reweight"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # the registered-source catalog
+    total_new = sum(r["new_weight_ppm"] for r in rows)
+    # floor division: within one ppm-per-source of exact normalization
+    assert 1_000_000 - len(rows) <= total_new <= 1_000_000
+    for r in rows:
+        assert r["new_weight_ppm"] > 0
+
+
+# ----------------------------------------------- registry collision --
+
+def test_register_refuses_cross_module_overwrite():
+    """register() must hard-fail when a NEW module reuses an existing
+    query name (the silent displacement footgun), while same-module
+    re-registration (importlib.reload) stays allowed."""
+    import pytest
+
+    from pse_stocks_etl_spark.plans import registry
+
+    name = "docs_minhash_error_audit"  # owned by round19_queries
+    owner_fn = registry.REGISTRY[name].fn
+
+    def impostor(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    impostor.__module__ = "pse_stocks_etl_spark.plans.some_other_module"
+    with pytest.raises(ValueError, match="cross-module overwrite"):
+        registry.register(name, oracle=None)(impostor)
+    assert registry.REGISTRY[name].fn is owner_fn
+
+    # same-module re-register (reload path) is allowed and idempotent
+    impostor.__module__ = owner_fn.__module__
+    registry.register(name, oracle=registry.REGISTRY[name].oracle)(impostor)
+    assert registry.REGISTRY[name].fn is impostor
+    # restore the real entry for the rest of the session
+    registry.register(name, oracle=registry.REGISTRY[name].oracle)(owner_fn)
+    assert registry.REGISTRY[name].fn is owner_fn
