@@ -469,6 +469,7 @@ def _sql_lm_perdoc_cte() -> str:
     FROM lmdoc
 """,
     tags=("llm", "quality", "lm"),
+    bench=True,  # tracks the one-scan bigram explode + dual keyed windows
 )
 def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring trained on the corpus itself: per-doc
@@ -483,9 +484,14 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed aggregate subtree, which would re-scan the 100 TB text
     twice more since DataFrame reuse is not plan-level CSE). Every
     window is keyed, so the work stays linear with no single-partition
-    pass. Overflow headroom: c1 * 1e6 requires the corpus to stay
-    under ~9.2e12 bigrams per prefix (same documented class as
-    _muldiv)."""
+    pass. Zipf skew on the prefix key ("the" opens ~5% of English
+    bigrams) is absorbed by the (doc, gram) pre-aggregation: the hot
+    w1 partition holds DISTINCT doc-gram rows, not occurrences —
+    measured flat under a 50%-shared-prefix clone (SCALE.md); if a
+    real corpus still overloads one prefix, the salted two-phase sum
+    (operators/skew.py) is the drop-in for the c1 window. Overflow
+    headroom: c1 * 1e6 requires the corpus to stay under ~9.2e12
+    bigrams per prefix (same documented class as _muldiv)."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     bg = (
         d.select("doc_id", tokens(F.col("text")).alias("tk"))
@@ -651,6 +657,7 @@ SEMDEDUP_WITNESS_CAP = 64  # top-quality witness pool per cell (scale cap)
     "docs_semdedup",
     oracle=None,  # set below (needs llm_queries constants)
     tags=("llm", "dedup", "semantic"),
+    bench=True,  # tracks the capped within-cell pair stage at sf0.1
 )
 def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space.
