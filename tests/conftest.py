@@ -24,16 +24,7 @@ def sf_dir() -> str:
     return SF_DIR
 
 
-def capped_duck():
-    """DuckDB connection with the same memory cap + spill directory as
-    testing.duck_connection: the default memory_limit (~80% of physical
-    RAM) over-commits next to the resident Spark JVM, and under
-    full-suite pressure long-lived matrix connections died with a
-    spurious tiny-block bad-alloc on oracles that pass in isolation
-    (observed on the shuffled matrix's emb_semdedup and the
-    NULL-events matrix's compressed_io run; same class as the
-    round-10 allocator poisoning). Matrix fixtures register their own
-    views, so this only standardizes the resource settings."""
+def _fresh_duck():
     import tempfile
 
     import duckdb
@@ -42,3 +33,73 @@ def capped_duck():
     con.sql("SET memory_limit = '4GB'")
     con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
     return con
+
+
+class _RecyclingDuck:
+    """Drop-in for a DuckDB connection that reconnects every
+    RECYCLE_EVERY queries, replaying the recorded CREATE VIEW DDL.
+
+    The memory cap alone stopped being enough as the registry grew: a
+    module-scoped connection that compiles hundreds of large oracle
+    queries in one process accumulates allocator state until a query
+    that passes in isolation dies with OutOfMemory/bad-alloc under
+    full-suite pressure (r10: shuffled-matrix docs_semdedup and
+    docs_cluster_canonical at 4GB cap, both green standalone).
+    Recycling frees the arenas; views are lazy so replay costs
+    nothing. Safe because every matrix test consumes its relation
+    before the next .sql() call — the reconnect happens only between
+    queries."""
+
+    RECYCLE_EVERY = 24
+
+    # statements that create state a reconnect cannot replay from the
+    # view DDL log — seeing one pins the connection for its lifetime
+    _PINNING = ("CREATE TABLE", "CREATE OR REPLACE TABLE", "INSERT", "UPDATE", "DELETE", "COPY")
+
+    def __init__(self):
+        self._con = _fresh_duck()
+        self._ddl: list[tuple[str, dict]] = []
+        self._n = 0
+        self._pinned = False
+
+    def _route(self, method, q, *a, **kw):
+        head = q.lstrip().upper()
+        if head.startswith("CREATE VIEW"):
+            self._ddl.append((q, kw))
+            return getattr(self._con, method)(q, *a, **kw)
+        if any(head.startswith(p) for p in self._PINNING):
+            self._pinned = True
+        self._n += 1
+        if not self._pinned and self._n % self.RECYCLE_EVERY == 0:
+            self._con.close()
+            self._con = _fresh_duck()
+            for ddl, dkw in self._ddl:
+                self._con.sql(ddl, **dkw)
+        return getattr(self._con, method)(q, *a, **kw)
+
+    def sql(self, q, *a, **kw):
+        return self._route("sql", q, *a, **kw)
+
+    def execute(self, q, *a, **kw):
+        return self._route("execute", q, *a, **kw)
+
+    def __getattr__(self, name):
+        # Any un-wrapped connection method (executemany, cursor, ...)
+        # may create unreplayable state: pin conservatively and
+        # delegate. Consumers that stick to sql()/execute() keep
+        # recycling.
+        self._pinned = True
+        return getattr(self._con, name)
+
+
+def capped_duck():
+    """DuckDB handle with the same memory cap + spill directory as
+    testing.duck_connection, PLUS periodic connection recycling (see
+    _RecyclingDuck): the default memory_limit (~80% of physical RAM)
+    over-commits next to the resident Spark JVM, and under full-suite
+    pressure long-lived matrix connections died on oracles that pass
+    in isolation (shuffled matrix's docs_semdedup/docs_cluster_canonical
+    this round; emb_semdedup and the NULL-events compressed_io run
+    before the cap landed). Matrix fixtures register their own views,
+    so this only standardizes the resource settings."""
+    return _RecyclingDuck()
