@@ -653,6 +653,37 @@ SEMDEDUP_TAU = 0.30  # rounded-cosine duplicate threshold within a cell
 SEMDEDUP_WITNESS_CAP = 64  # top-quality witness pool per cell (scale cap)
 
 
+def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, v, n_chars): every embedded doc assigned to its
+    nearest frozen coarse centroid (emb_ann_ivf's inverted file) with
+    its quality column attached. Shared by the batch and incremental
+    SemDeDup lanes."""
+    from ..operators.dedup import topk_per_group
+    from .llm_queries import IVF_CENTROID_IDS, _emb
+
+    e = _emb(spark, sf_dir)
+    vec = to_double_array(F.col("embedding"))
+    base = e.select("vec_id", vec.alias("v"))
+    cents = (
+        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
+    )
+    assign = topk_per_group(
+        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
+    ).select("vec_id", F.col("cid").alias("cell"))
+    quality = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars")
+    )
+    return (
+        assign.join(base, "vec_id")
+        .join(quality, "vec_id")
+        .select("vec_id", "cell", "v", "n_chars")
+    )
+
+
 @register(
     "docs_semdedup",
     oracle=None,  # set below (needs llm_queries constants)
@@ -685,29 +716,8 @@ def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     without embeddings drop out of the inner join identically in both
     engines."""
     from ..operators.dedup import topk_per_group
-    from .llm_queries import IVF_CENTROID_IDS, _emb
 
-    e = _emb(spark, sf_dir)
-    vec = to_double_array(F.col("embedding"))
-    base = e.select("vec_id", vec.alias("v"))
-    cents = (
-        base.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
-    )
-    scored_cells = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", cosine(F.col("v"), F.col("cvec")).alias("ccos")
-    )
-    assign = topk_per_group(
-        scored_cells, ["vec_id"], [F.col("ccos").desc(), F.col("cid").asc()], k=1
-    ).select("vec_id", F.col("cid").alias("cell"))
-    quality = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("vec_id"), F.col("n_chars")
-    )
-    member = (
-        assign.join(base, "vec_id")
-        .join(quality, "vec_id")
-        .select("vec_id", "cell", "v", "n_chars")
-    )
+    member = _semdedup_members(spark, sf_dir)
     witnesses = (
         member.withColumn(
             "wrank",
@@ -754,15 +764,15 @@ def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _late_bind_semdedup_oracle() -> None:
+def _sql_semdedup_member_cte() -> str:
+    """Shared oracle CTE chain ending in `member(vec_id, cell,
+    n_chars)` — the centroid assignment both SemDeDup lanes build on."""
     from .llm_queries import EMB_DIM, IVF_CENTROID_IDS
-    from .registry import REGISTRY
 
     cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
-    cos_p = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
     cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
-    REGISTRY["docs_semdedup"].oracle = f"""
-    WITH cents AS (
+    return f"""
+    cents AS (
       SELECT vec_id AS cid, embedding AS cvec FROM embeddings
       WHERE vec_id IN ({cids})
     ),
@@ -777,7 +787,16 @@ def _late_bind_semdedup_oracle() -> None:
     member AS (
       SELECT a.vec_id, a.cell, d.n_chars
       FROM assign a JOIN documents d ON d.doc_id = a.vec_id
-    ),
+    )"""
+
+
+def _late_bind_semdedup_oracle() -> None:
+    from .llm_queries import EMB_DIM
+    from .registry import REGISTRY
+
+    cos_p = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+    REGISTRY["docs_semdedup"].oracle = f"""
+    WITH {_sql_semdedup_member_cte()},
     witnesses AS (
       SELECT vec_id, cell, n_chars FROM (
         SELECT *, row_number() OVER (PARTITION BY cell

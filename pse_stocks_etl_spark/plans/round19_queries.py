@@ -291,3 +291,164 @@ def docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "excess_ppm",
         F.expr(f"(raw * {PPM}) div tot_raw").alias("new_weight_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# docs_semdedup_increment: admission-form semantic dedup for a new batch
+# --------------------------------------------------------------------------
+
+SEM_BATCH_MOD, SEM_BATCH_REM = 10, 3  # the shard-split convention
+
+
+@register(
+    "docs_semdedup_increment",
+    oracle=None,  # set below (needs llm_queries constants)
+    tags=("llm", "dedup", "semantic", "incremental"),
+)
+def docs_semdedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: a NEW batch of embedded docs (vec_id % 10
+    == 3, the shard-split convention of the other incremental lanes)
+    is admitted against the STANDING corpus without recomputing
+    standing-vs-standing pairs — the whole point at 100 TB, where the
+    corpus is settled and only the day's crawl arrives. Per batch doc:
+    its best standing witness and its best batch-internal witness
+    (evidence split, mirroring docs_incremental_substring_dedup), and
+    an admit verdict when neither exists.
+
+    Scale: batch members assign to cells through the same frozen
+    centroid broadcast, then compare ONLY against (a) the standing
+    cell's top-64-quality witness pool and (b) the batch slice of the
+    same cell — linear in |batch| x 64, never |standing|^2. The
+    standing witness pool is exactly what a production run persists
+    alongside the IVF cell column."""
+    from ..operators.dedup import topk_per_group
+    from .round18_queries import (
+        SEMDEDUP_TAU,
+        SEMDEDUP_WITNESS_CAP,
+        _semdedup_members,
+    )
+    from ..functions.vectors import cosine
+
+    member = _semdedup_members(spark, sf_dir)
+    is_batch = (F.col("vec_id") % SEM_BATCH_MOD) == SEM_BATCH_REM
+    batch = member.filter(is_batch)
+    standing = member.filter(~is_batch)
+
+    def pool(side: DataFrame, prefix: str) -> DataFrame:
+        capped = (
+            side.withColumn(
+                "wrank",
+                F.row_number().over(
+                    Window.partitionBy("cell").orderBy(
+                        F.col("n_chars").desc(), F.col("vec_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("wrank") <= SEMDEDUP_WITNESS_CAP)
+            .select(
+                F.col("vec_id").alias(f"{prefix}_id"),
+                F.col("cell").alias(f"{prefix}_cell"),
+                F.col("v").alias(f"{prefix}_v"),
+                F.col("n_chars").alias(f"{prefix}_chars"),
+            )
+        )
+        return capped
+
+    def best_witness(wit: DataFrame, prefix: str) -> DataFrame:
+        pairs = (
+            batch.join(
+                wit,
+                (F.col("cell") == F.col(f"{prefix}_cell"))
+                & (F.col("vec_id") != F.col(f"{prefix}_id")),
+            )
+            .withColumn("w_cos", cosine(F.col("v"), F.col(f"{prefix}_v")))
+            .filter(F.col("w_cos") >= SEMDEDUP_TAU)
+            .filter(
+                (F.col(f"{prefix}_chars") > F.col("n_chars"))
+                | (
+                    (F.col(f"{prefix}_chars") == F.col("n_chars"))
+                    & (F.col(f"{prefix}_id") < F.col("vec_id"))
+                )
+            )
+        )
+        return topk_per_group(
+            pairs,
+            ["vec_id"],
+            [F.col("w_cos").desc(), F.col(f"{prefix}_id").asc()],
+            k=1,
+        ).select(
+            "vec_id",
+            F.col(f"{prefix}_id").alias(f"{prefix}_kept_id"),
+            F.col("w_cos").alias(f"{prefix}_cos"),
+        )
+
+    st = best_witness(pool(standing, "st"), "st")
+    bt = best_witness(pool(batch, "bt"), "bt")
+    return (
+        batch.select("vec_id", "cell", "n_chars")
+        .join(st, "vec_id", "left")
+        .join(bt, "vec_id", "left")
+        .withColumn(
+            "admit",
+            F.col("st_kept_id").isNull() & F.col("bt_kept_id").isNull(),
+        )
+    )
+
+
+def _late_bind_semdedup_increment_oracle() -> None:
+    from .llm_queries import EMB_DIM
+    from .registry import REGISTRY
+    from .round18_queries import (
+        SEMDEDUP_TAU,
+        SEMDEDUP_WITNESS_CAP,
+        _sql_semdedup_member_cte,
+    )
+    from ..functions.vectors import sql_cosine
+
+    cos_p = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+
+    def witness_sql(pool_cte: str, prefix: str) -> str:
+        return f"""
+      SELECT vec_id, {prefix}_kept_id, {prefix}_cos FROM (
+        SELECT b.vec_id, w.{prefix}_id AS {prefix}_kept_id, {cos_p} AS {prefix}_cos,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {cos_p} DESC, w.{prefix}_id ASC) AS rn
+        FROM batch b
+        JOIN {pool_cte} w ON w.{prefix}_cell = b.cell AND w.{prefix}_id != b.vec_id
+        JOIN embeddings ea ON ea.vec_id = b.vec_id
+        JOIN embeddings eb ON eb.vec_id = w.{prefix}_id
+        WHERE {cos_p} >= {SEMDEDUP_TAU}
+          AND (w.{prefix}_chars > b.n_chars
+               OR (w.{prefix}_chars = b.n_chars AND w.{prefix}_id < b.vec_id))
+      ) WHERE rn = 1
+"""
+
+    def pool_sql(src_pred: str, prefix: str) -> str:
+        return f"""
+      SELECT vec_id AS {prefix}_id, cell AS {prefix}_cell,
+             n_chars AS {prefix}_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY cell
+                                     ORDER BY n_chars DESC, vec_id ASC) AS wrank
+        FROM member WHERE {src_pred}
+      ) WHERE wrank <= {SEMDEDUP_WITNESS_CAP}
+"""
+
+    REGISTRY["docs_semdedup_increment"].oracle = f"""
+    WITH {_sql_semdedup_member_cte()},
+    batch AS (
+      SELECT * FROM member WHERE vec_id % {SEM_BATCH_MOD} = {SEM_BATCH_REM}
+    ),
+    st_pool AS ({pool_sql(f"vec_id % {SEM_BATCH_MOD} <> {SEM_BATCH_REM}", "st")}),
+    bt_pool AS ({pool_sql(f"vec_id % {SEM_BATCH_MOD} = {SEM_BATCH_REM}", "bt")}),
+    st_best AS ({witness_sql("st_pool", "st")}),
+    bt_best AS ({witness_sql("bt_pool", "bt")})
+    SELECT b.vec_id, b.cell, b.n_chars,
+           s.st_kept_id, s.st_cos, t.bt_kept_id, t.bt_cos,
+           (s.st_kept_id IS NULL AND t.bt_kept_id IS NULL) AS admit
+    FROM batch b
+    LEFT JOIN st_best s ON s.vec_id = b.vec_id
+    LEFT JOIN bt_best t ON t.vec_id = b.vec_id
+"""
+
+
+_late_bind_semdedup_increment_oracle()

@@ -151,3 +151,86 @@ def test_register_refuses_cross_module_overwrite():
     # restore the real entry for the rest of the session
     registry.register(name, oracle=registry.REGISTRY[name].oracle)(owner_fn)
     assert registry.REGISTRY[name].fn is owner_fn
+
+
+# ----------------------------------------------- semdedup increment --
+
+def _write_emb_corpus(path, vec_rows, doc_chars):
+    """vec_rows: (vec_id, 64-float list); doc_chars: {id: n_chars}."""
+    ids = [r[0] for r in vec_rows]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in vec_rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        str(path / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([doc_chars[i] for i in ids], pa.int64()),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_semdedup_increment_evidence_split(spark, tmp_path):
+    """Crafted cell: standing twin 0 (best quality), batch twins 33/43.
+    33 is rejected by the STANDING witness only; 43 by both standing
+    and batch-internal; batch singletons (centroid copies 13/23 in
+    their own cells) are admitted."""
+    from pse_stocks_etl_spark.plans.llm_queries import EMB_DIM, IVF_CENTROID_IDS
+
+    def basis(i):
+        v = [0.0] * EMB_DIM
+        v[i] = 1.0
+        return v
+
+    rows = [(0, basis(0)), (33, basis(0)), (43, basis(0))]
+    rows += [(cid, basis(k)) for k, cid in enumerate(IVF_CENTROID_IDS)]
+    chars = {0: 100, 33: 90, 43: 80, **{cid: 10 for cid in IVF_CENTROID_IDS}}
+    sf = _write_emb_corpus(tmp_path, rows, chars)
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in REGISTRY["docs_semdedup_increment"].fn(spark, sf).collect()
+    }
+    # batch = vec_id % 10 == 3: members 33, 43 plus centroid copies 13, 23
+    assert set(got) == {13, 23, 33, 43}
+    assert got[33]["st_kept_id"] == 0 and got[33]["bt_kept_id"] is None
+    assert not got[33]["admit"]
+    assert got[43]["st_kept_id"] == 0 and got[43]["bt_kept_id"] == 33
+    assert not got[43]["admit"]
+    for singleton in (13, 23):
+        assert got[singleton]["st_kept_id"] is None
+        assert got[singleton]["bt_kept_id"] is None
+        assert got[singleton]["admit"]
+
+
+def test_semdedup_increment_agrees_with_full(spark, sf_dir):
+    """Separability: on the real corpus (cells narrower than the
+    witness cap) a batch doc is rejected by the increment exactly when
+    the FULL batch semdedup drops it."""
+    from pse_stocks_etl_spark.plans.round19_queries import (
+        SEM_BATCH_MOD,
+        SEM_BATCH_REM,
+    )
+
+    full_dropped = {
+        r["dropped_id"]
+        for r in REGISTRY["docs_semdedup"].fn(spark, sf_dir).collect()
+        if r["dropped_id"] % SEM_BATCH_MOD == SEM_BATCH_REM
+    }
+    inc = REGISTRY["docs_semdedup_increment"].fn(spark, sf_dir).collect()
+    rejected = {r["vec_id"] for r in inc if not r["admit"]}
+    assert rejected == full_dropped
