@@ -133,7 +133,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=15, stale refill=35) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=16, stale refill=34) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
@@ -149,6 +149,7 @@ _DRIVER_FIRST = [
     "docs_minhash_error_audit",
     "docs_mixture_reweight",
     "docs_semdedup_increment",
+    "docs_dedup_consensus",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -183,7 +184,6 @@ _DRIVER_FIRST = [
     "docs_token_outliers",
     "emb_centroid_per_label",
     "empty_relation_clone",
-    "except_lapsed_customers",
 ]
 
 

@@ -452,3 +452,121 @@ def _late_bind_semdedup_increment_oracle() -> None:
 
 
 _late_bind_semdedup_increment_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_dedup_consensus: the per-doc survivorship decision table
+# --------------------------------------------------------------------------
+
+@register(
+    "docs_dedup_consensus",
+    oracle=None,  # set below (embeds the stage oracles as subqueries)
+    tags=("llm", "dedup", "consensus", "composition"),
+)
+def docs_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION TABLE a production pipeline materializes: one
+    row per doc with the verdict of every dedup family — exact
+    (content hash, smallest-id canonical), MinHash near-dup (loser
+    side of any verified LSH pair), exact-substring coverage
+    (drop_doc at >= 20% duplicated tokens), and semantic (SemDeDup
+    dropped set) — plus the consensus keep and a flag count. This is
+    the corpus_build pattern applied to dedup: the composed result is
+    hash-pinned against the composition of the stage oracles, so a
+    drift in ANY family's semantics breaks this lane too.
+
+    Scale: each family keeps its own already-audited plan (bucketed /
+    capped / windowed — nothing quadratic enters here); the consensus
+    is four left semi/anti-style joins on doc_id, each shuffling only
+    the per-family flag sets, which dedup makes SMALLER than the
+    corpus by construction."""
+    from .registry import REGISTRY
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select("doc_id", "text")
+    # exact: smallest doc_id per content hash survives
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    exact = d.select(
+        "doc_id", (F.col("doc_id") != canon).alias("exact_dup")
+    )
+    near_losers = (
+        REGISTRY["docs_minhash_lsh_pairs"]
+        .fn(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    sub = (
+        REGISTRY["docs_substring_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("drop_doc").alias("substring_drop"))
+    )
+    sem = (
+        REGISTRY["docs_semdedup"]
+        .fn(spark, sf_dir)
+        .select(F.col("dropped_id").alias("doc_id"))
+        .distinct()
+        .withColumn("sem_drop", F.lit(True))
+    )
+    out = (
+        exact.join(near_losers, "doc_id", "left")
+        .join(sub, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            F.coalesce("substring_drop", F.lit(False)).alias("substring_drop"),
+            F.coalesce("sem_drop", F.lit(False)).alias("sem_drop"),
+        )
+    )
+    n_flags = (
+        F.col("exact_dup").cast("int")
+        + F.col("near_dup").cast("int")
+        + F.col("substring_drop").cast("int")
+        + F.col("sem_drop").cast("int")
+    )
+    return out.withColumn("n_flags", n_flags.cast("long")).withColumn(
+        "keep", F.col("n_flags") == 0
+    )
+
+
+def _late_bind_consensus_oracle() -> None:
+    from .registry import REGISTRY
+
+    minhash_sql = REGISTRY["docs_minhash_lsh_pairs"].oracle
+    substring_sql = REGISTRY["docs_substring_dedup"].oracle
+    semdedup_sql = REGISTRY["docs_semdedup"].oracle
+    REGISTRY["docs_dedup_consensus"].oracle = f"""
+    WITH exact AS (
+      SELECT doc_id,
+             (doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))) AS exact_dup
+      FROM documents WHERE text IS NOT NULL
+    ),
+    near_losers AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({minhash_sql})
+    ),
+    sub AS (
+      SELECT doc_id, drop_doc AS substring_drop FROM ({substring_sql})
+    ),
+    sem AS (
+      SELECT DISTINCT dropped_id AS doc_id FROM ({semdedup_sql})
+    ),
+    flags AS (
+      SELECT e.doc_id, e.exact_dup,
+             (n.doc_id IS NOT NULL) AS near_dup,
+             COALESCE(s.substring_drop, FALSE) AS substring_drop,
+             (m.doc_id IS NOT NULL) AS sem_drop
+      FROM exact e
+      LEFT JOIN near_losers n ON n.doc_id = e.doc_id
+      LEFT JOIN sub s ON s.doc_id = e.doc_id
+      LEFT JOIN sem m ON m.doc_id = e.doc_id
+    )
+    SELECT doc_id, exact_dup, near_dup, substring_drop, sem_drop,
+           CAST(exact_dup::INT + near_dup::INT + substring_drop::INT
+                + sem_drop::INT AS BIGINT) AS n_flags,
+           (exact_dup::INT + near_dup::INT + substring_drop::INT
+            + sem_drop::INT = 0) AS keep
+    FROM flags
+"""
+
+
+_late_bind_consensus_oracle()

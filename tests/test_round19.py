@@ -234,3 +234,91 @@ def test_semdedup_increment_agrees_with_full(spark, sf_dir):
     inc = REGISTRY["docs_semdedup_increment"].fn(spark, sf_dir).collect()
     rejected = {r["vec_id"] for r in inc if not r["admit"]}
     assert rejected == full_dropped
+
+
+# -------------------------------------------------- dedup consensus --
+
+def _write_corpus_with_emb(path, doc_rows):
+    """doc_rows: (doc_id, text). Adds orthogonal per-id embeddings plus
+    the 16 centroid rows so the semantic lane runs with no sem twins."""
+    from pse_stocks_etl_spark.plans.llm_queries import EMB_DIM, IVF_CENTROID_IDS
+
+    ids = [r[0] for r in doc_rows]
+    emb_ids = sorted(set(ids) | set(IVF_CENTROID_IDS))
+
+    def basis(k):
+        v = [0.0] * EMB_DIM
+        v[k % EMB_DIM] = 1.0
+        return v
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(emb_ids, pa.int64()),
+                "embedding": pa.array(
+                    [basis(i) for i, _ in enumerate(emb_ids)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(emb_ids), pa.int32()),
+            }
+        ),
+        str(path / "embeddings.parquet"),
+    )
+    texts = dict(doc_rows)
+    all_rows = [(i, texts.get(i, f"solo filler row {i}")) for i in emb_ids]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in all_rows], pa.int64()),
+                "text": pa.array([r[1] for r in all_rows], pa.string()),
+                "lang": pa.array(["en"] * len(all_rows), pa.string()),
+                "source": pa.array(["s"] * len(all_rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in all_rows], pa.int64()
+                ),
+            }
+        ),
+        str(path / "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_consensus_flags_identical_docs(spark, tmp_path):
+    """Two identical 14-token docs: the canonical copy (smaller id)
+    stays exact-clean but is substring-flagged (coverage counts both
+    sites); the second copy trips exact, near-dup AND substring."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    rows = [(1, text), (2, text), (3, "one short unique doc here")]
+    sf = _write_corpus_with_emb(tmp_path, rows)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["docs_dedup_consensus"].fn(spark, sf).collect()
+    }
+    assert not got[1]["exact_dup"] and got[2]["exact_dup"]
+    assert got[2]["near_dup"]
+    assert got[1]["substring_drop"] and got[2]["substring_drop"]
+    assert not got[3]["exact_dup"] and not got[3]["near_dup"]
+    assert got[3]["keep"] and got[3]["n_flags"] == 0
+    assert got[2]["n_flags"] == 3 and not got[2]["keep"]
+
+
+def test_consensus_sums_match_stage_lanes(spark, sf_dir):
+    """Each flag column reproduces its family's own verdict set."""
+    rows = REGISTRY["docs_dedup_consensus"].fn(spark, sf_dir).collect()
+    sem_dropped = {
+        r["dropped_id"] for r in REGISTRY["docs_semdedup"].fn(spark, sf_dir).collect()
+    }
+    near_losers = {
+        r["doc_b"]
+        for r in REGISTRY["docs_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    sub_drops = {
+        r["doc_id"]
+        for r in REGISTRY["docs_substring_dedup"].fn(spark, sf_dir).collect()
+        if r["drop_doc"]
+    }
+    assert {r["doc_id"] for r in rows if r["sem_drop"]} == sem_dropped
+    assert {r["doc_id"] for r in rows if r["near_dup"]} == near_losers
+    assert {r["doc_id"] for r in rows if r["substring_drop"]} == sub_drops
+    for r in rows:
+        assert r["keep"] == (r["n_flags"] == 0)
