@@ -652,12 +652,34 @@ _late_bind_bloom_oracle()
 SEMDEDUP_TAU = 0.30  # rounded-cosine duplicate threshold within a cell
 SEMDEDUP_WITNESS_CAP = 64  # top-quality witness pool per cell (scale cap)
 
+# Session working-set cache for the centroid-assignment frame (reload-
+# safe registration; cleared by clear_working_set_caches like the
+# shingle set).
+from .llm_queries import register_working_set_cache  # noqa: E402
+
+_SEMDEDUP_MEMBER_CACHE = register_working_set_cache(__name__ + ".semdedup_members")
+
 
 def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, v, n_chars): every embedded doc assigned to its
     nearest frozen coarse centroid (emb_ann_ivf's inverted file) with
     its quality column attached. Shared by the batch and incremental
-    SemDeDup lanes."""
+    SemDeDup lanes AND the dedup consensus; session-cached like the
+    shingle working set because every consumer references it from at
+    least two join lineages (member x witness pool), and DataFrame
+    reuse is not plan-level CSE — uncached, the centroid-assignment
+    crossJoin would run once per lineage. This is the 'assignment
+    computed once and persisted as a cell column' contract made
+    literal."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SEMDEDUP_MEMBER_CACHE.get_or_build(
+        key, lambda: _build_semdedup_members(spark, sf_dir)
+    )
+
+
+def _build_semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.dedup import topk_per_group
     from .llm_queries import IVF_CENTROID_IDS, _emb
 
@@ -681,6 +703,7 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(base, "vec_id")
         .join(quality, "vec_id")
         .select("vec_id", "cell", "v", "n_chars")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 

@@ -26,6 +26,15 @@ def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     import tempfile
 
     con.sql("SET memory_limit = '4GB'")
+    # Thread cap matters as much as the byte cap: DuckDB reserves
+    # operator memory PER THREAD, so a many-operator plan (the
+    # composed SemDeDup/consensus oracles have dozens of pipeline
+    # stages) on a 32-core box with ~90 worker threads exhausts a 4GB
+    # limit on kilobytes of actual data — observed as
+    # "Failed to allocate block of 16384 bytes" right after a prior
+    # heavy oracle on the same connection. Oracle inputs are sf<=0.01;
+    # 8 threads is plenty.
+    con.sql("SET threads = 8")
     con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

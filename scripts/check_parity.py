@@ -41,14 +41,32 @@ def main() -> int:
     # itself reported as an unknown query name.
     only = {a for a in sys.argv[2:] if a != "--only"}
     spark = get_spark("parity-check", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.sql("SET memory_limit = '4GB'")
+        c.sql("SET threads = 8")  # see testing.duck_connection
+        for t in TESTDATA_TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
+    n_run = 0
     failures = []
     todo = {**plans.REGISTRY, **STAGING}  # staged queries: same gate
     for name, q in todo.items():
         if only and name not in only:
             continue
+        # Recycle the connection periodically: a long-lived connection
+        # compiling hundreds of large oracle queries accumulates
+        # allocator state until a query that passes standalone dies
+        # with a tiny-block bad-alloc (same class the test matrices hit
+        # — tests/conftest.py capped_duck; observed here on
+        # docs_semdedup_increment right after the semdedup oracle).
+        n_run += 1
+        if n_run % 24 == 0:
+            con.close()
+            con = fresh_con()
         try:
             sdf = q.fn(spark, sf_dir)
             s_tbl = sdf.toArrow()

@@ -31,6 +31,10 @@ def _fresh_duck():
 
     con = duckdb.connect()
     con.sql("SET memory_limit = '4GB'")
+    # Per-thread operator reservations x ~90 default workers exhaust
+    # the 4GB cap on many-operator plans over tiny data (see
+    # testing.duck_connection); 8 threads is plenty for sf<=0.01.
+    con.sql("SET threads = 8")
     con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
     return con
 
