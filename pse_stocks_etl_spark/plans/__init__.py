@@ -133,7 +133,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=16, stale refill=34) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=17, stale refill=33) --
     "docs_substring_dedup",
     "docs_bpe_train",
     "docs_bpe_train_encode",
@@ -150,6 +150,7 @@ _DRIVER_FIRST = [
     "docs_mixture_reweight",
     "docs_semdedup_increment",
     "docs_dedup_consensus",
+    "emb_ivf_cell_stats",
     "hourly_event_rollup",
     "incremental_windows",
     "local_supplier_volume",
@@ -183,7 +184,6 @@ _DRIVER_FIRST = [
     "docs_tfidf_top_terms",
     "docs_token_outliers",
     "emb_centroid_per_label",
-    "empty_relation_clone",
 ]
 
 

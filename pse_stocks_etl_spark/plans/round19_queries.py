@@ -570,3 +570,72 @@ def _late_bind_consensus_oracle() -> None:
 
 
 _late_bind_consensus_oracle()
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_cell_stats: the cell-balance audit the SemDeDup cap relies on
+# --------------------------------------------------------------------------
+
+CELL_OVERLOAD_FACTOR = 4  # overloaded = cell holds > 4x the ideal share
+
+
+@register(
+    "emb_ivf_cell_stats",
+    oracle=None,  # set below (reuses the member CTE)
+    tags=("llm", "similarity", "audit"),
+)
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance audit of the frozen IVF inverted file: per cell,
+    member count, corpus share in ppm, the ideal (uniform) share, an
+    overload verdict (> 4x ideal — the 'grow k here' signal), and
+    whether the cell exceeds the SemDeDup witness cap (the point where
+    that lane's pair stage stops being exact). docs_semdedup's cap and
+    emb_ann_ivf's probe cost are both claims ABOUT cell width; this
+    query makes the width a measured, driver-verified number.
+
+    Scale: rides the cached assignment frame (one aggregate to 16
+    rows); totals and verdicts over the bounded cell enum."""
+    from .round18_queries import SEMDEDUP_WITNESS_CAP, _semdedup_members
+
+    member = _semdedup_members(spark, sf_dir)
+    per = member.groupBy("cell").agg(F.count("*").cast("long").alias("n_vecs"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = per.withColumn("total", F.sum("n_vecs").over(w_all)).withColumn(
+        "n_cells", F.count("*").over(w_all)
+    )
+    return tot.select(
+        "cell",
+        "n_vecs",
+        F.expr("(n_vecs * 1000000) div total").alias("share_ppm"),
+        F.expr("total div n_cells").alias("ideal_n"),
+        F.expr(
+            f"n_vecs > {CELL_OVERLOAD_FACTOR} * (total div n_cells)"
+        ).alias("overloaded"),
+        (F.col("n_vecs") > SEMDEDUP_WITNESS_CAP).alias("cap_exceeded"),
+    )
+
+
+def _late_bind_cell_stats_oracle() -> None:
+    from .registry import REGISTRY
+    from .round18_queries import SEMDEDUP_WITNESS_CAP, _sql_semdedup_member_cte
+
+    REGISTRY["emb_ivf_cell_stats"].oracle = f"""
+    WITH {_sql_semdedup_member_cte()},
+    per AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM member GROUP BY cell
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(n_vecs) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+      FROM per
+    )
+    SELECT cell, n_vecs,
+           (n_vecs * 1000000) // total AS share_ppm,
+           total // n_cells AS ideal_n,
+           (n_vecs > {CELL_OVERLOAD_FACTOR} * (total // n_cells)) AS overloaded,
+           (n_vecs > {SEMDEDUP_WITNESS_CAP}) AS cap_exceeded
+    FROM tot
+"""
+
+
+_late_bind_cell_stats_oracle()

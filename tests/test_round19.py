@@ -322,3 +322,29 @@ def test_consensus_sums_match_stage_lanes(spark, sf_dir):
     assert {r["doc_id"] for r in rows if r["substring_drop"]} == sub_drops
     for r in rows:
         assert r["keep"] == (r["n_flags"] == 0)
+
+
+# --------------------------------------------------- ivf cell stats --
+
+def test_cell_stats_accounting(spark, sf_dir):
+    """Counts sum to the member total, shares sum to ~1e6, verdicts
+    recompute row-wise, and the cap_exceeded flags agree with whether
+    the semdedup witness cap binds anywhere."""
+    from pse_stocks_etl_spark.plans.round18_queries import (
+        SEMDEDUP_WITNESS_CAP,
+        _semdedup_members,
+    )
+    from pse_stocks_etl_spark.plans.round19_queries import CELL_OVERLOAD_FACTOR
+
+    rows = REGISTRY["emb_ivf_cell_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    assert total == _semdedup_members(spark, sf_dir).count()
+    share = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    ideal = total // len(rows)
+    for r in rows:
+        assert r["ideal_n"] == ideal
+        assert r["share_ppm"] == r["n_vecs"] * 1_000_000 // total
+        assert r["overloaded"] == (r["n_vecs"] > CELL_OVERLOAD_FACTOR * ideal)
+        assert r["cap_exceeded"] == (r["n_vecs"] > SEMDEDUP_WITNESS_CAP)
