@@ -49,6 +49,11 @@ dedup/quality and BEFORE packing in a 100 TB training-data pipeline.
    order-statistic, no global sort). Emits the sketch's error bound
    and verifies the exact value lands inside the routed bucket,
    CMS-audit style (heavy_hitters_cms is the frequency twin).
+6. docs_semdedup: SemDeDup (Abbas et al. 2023) semantic dedup —
+   within-IVF-cell cosine twins, lower-quality side dropped with its
+   best witness; the within-cell quadratic is bounded by a
+   top-64-quality witness pool per cell (measured 18.6x -> 2.7x at
+   x8 — see the query docstring and SCALE.md).
 
 Reference parity note: the reference pipeline (src/etl/*.py of
 anthonym8/pse-stocks-etl) has no corpus surface; this module is part

@@ -19,6 +19,18 @@ frequency sketches.
    Taylor term IS the linear boost), then renormalized to ppm. All
    integer arithmetic; composes the mixture CTE and the LM CTE the
    same way corpus_build composes its stage oracles.
+3. docs_semdedup_increment: the admission form of semantic dedup — a
+   new embedding batch (vec_id % 10 == 3) checked against the
+   standing per-cell witness pools plus its own slice, evidence split
+   standing-hit vs batch-internal, linear in batch x 64 with no
+   standing-vs-standing recompute.
+4. docs_dedup_consensus: the per-doc survivorship decision table
+   composing all four dedup families (exact hash, MinHash near-dup
+   loser, substring coverage, SemDeDup) with a consensus keep; the
+   oracle embeds the stage oracles as subqueries.
+5. emb_ivf_cell_stats: the cell-balance audit the SemDeDup witness
+   cap and IVF probe costs are claims about — per-cell counts, ppm
+   share, overload and cap-exceeded verdicts.
 
 Reference parity note: the reference pipeline (src/etl/*.py of
 anthonym8/pse-stocks-etl) has no corpus surface; this module is part

@@ -13,7 +13,10 @@ scan feeding the mixture plan (totals ride a bounded window over the
 20-row per-source frame, not a second aggregate), one corpus scan in
 the LM lane (c1/c2 ride keyed windows, not joins back to recomputed
 aggregates), and the Bloom guarantee (claimed >= true everywhere; no
-false negatives) asserted on real testdata."""
+false negatives) asserted on real testdata. The SemDeDup lane is
+pinned by a crafted-geometry fixture (identical vectors + centroid
+twin; lower-quality copies dropped with the max-quality witness) and
+real-corpus witness-rule invariants."""
 
 from __future__ import annotations
 

@@ -4,10 +4,16 @@ DoReMi-style mixture reweight step.
 Semantics pinned against identical-doc signature agreement (est ==
 exact == 1e6, zero error), row-wise arithmetic self-consistency of
 every derived audit column, and a two-source corpus whose loss
-difference must flip the mixture ordering. (A Matryoshka-truncation
-audit drafted here turned out to already exist as round10's
-emb_matryoshka_recall — the collision is now a hard error in
-registry.register, which refuses cross-module name overwrites.)"""
+difference must flip the mixture ordering. The incremental SemDeDup
+lane gets a crafted evidence-split fixture (standing-only rejection
+vs standing+batch, admitted singletons) plus a separability check
+against the full-batch lane; the consensus table is pinned by an
+identical-docs fixture tripping three families at once and per-family
+sum agreement on real data; the cell-stats audit by row-wise
+accounting identities. (A Matryoshka-truncation audit drafted here
+turned out to already exist as round10's emb_matryoshka_recall — the
+collision is now a hard error in registry.register, which refuses
+cross-module name overwrites.)"""
 
 from __future__ import annotations
 
