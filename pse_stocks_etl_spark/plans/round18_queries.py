@@ -100,12 +100,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _muldiv(a: str, b: str, d: int, intdiv: str) -> str:
     """floor-split fixed-point multiply: (a div d)*b + ((a%d)*b) div d.
 
-    Overflow-safe for any `a` when b <= d (the first term never exceeds
-    a, the remainder term stays under d*b). Deterministic and
-    token-identical in both dialects (`div` vs `//`); documented as the
-    engine's fixed-point contract rather than exact floor(a*b/d) — the
-    split can undershoot the unsplit floor by at most 1 ulp of the
-    d-grid, identically in both engines.
+    EXACTLY floor(a*b/d) for a, b >= 0 — a*b = (a div d)*d*b + (a%d)*b
+    and the first addend is divisible by d, so splitting loses nothing
+    (pinned by tests/test_round18_properties.py). Overflow-safe for
+    any `a` when b <= d: the first term never exceeds a*b/d <= a, the
+    remainder term stays under d*b. Token-identical in both dialects
+    (`div` vs `//`).
     """
     return (
         f"((({a}) {intdiv} {d}) * ({b}) + ((({a}) % {d}) * ({b})) {intdiv} {d})"
