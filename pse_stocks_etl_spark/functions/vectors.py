@@ -60,3 +60,40 @@ def sql_cosine(a: str, b: str, dim: int, ndigits: int = 6) -> str:
     na = sql_dot(a, a, dim)
     nb = sql_dot(b, b, dim)
     return f"round({d} / (sqrt({na}) * sqrt({nb})), {ndigits})"
+
+
+# -- compile-footprint-bounded oracle forms --------------------------------
+#
+# sql_cosine expands to 3 x dim multiply terms PER OCCURRENCE; an oracle
+# that inlines it in SELECT + window ORDER BY + WHERE per witness pool
+# compiles a parse tree DuckDB's allocator cannot sustain after hundreds
+# of large oracle compiles (the docs_semdedup_increment driver OOM,
+# CORRECTNESS_r10). The bounded form precomputes each row's norm ONCE in
+# a shared CTE (sql_norms_cte) and each pair's cosine ONCE in an inner
+# projection (sql_cosine_prenorm), so downstream WHERE/ORDER BY reference
+# a plain alias. Arithmetic is bit-identical to sql_cosine:
+# round(dot / (sqrt(na) * sqrt(nb)), n) with the two sqrt factors merely
+# evaluated per ROW instead of per PAIR. tests/test_oracle_footprint.py
+# enforces the expansion budget over every registered oracle.
+
+
+def sql_norms_cte(
+    dim: int,
+    name: str = "vnorms",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE `name(id_col, nrm)`: per-row L2 norm, ONE dot expansion total."""
+    d = sql_dot(vec_col, vec_col, dim)
+    return f"{name} AS (SELECT {id_col}, sqrt({d}) AS nrm FROM {table})"
+
+
+def sql_cosine_prenorm(
+    a: str, b: str, na: str, nb: str, dim: int, ndigits: int = 6
+) -> str:
+    """Pair cosine with precomputed per-row norms `na`/`nb` (columns of a
+    sql_norms_cte join): ONE dot expansion. Use only as a projection
+    alias — reference the alias in WHERE/ORDER BY, never re-inline."""
+    d = sql_dot(a, b, dim)
+    return f"round({d} / ({na} * {nb}), {ndigits})"

@@ -133,57 +133,57 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=17, stale refill=33) --
-    "docs_substring_dedup",
-    "docs_bpe_train",
-    "docs_bpe_train_encode",
-    "docs_incremental_substring_dedup",
-    "emb_ann_recall",
-    "heavy_hitters_cms",
-    "docs_mixture_plan",
-    "docs_temperature_sample",
-    "docs_length_quantile_hist",
-    "docs_bigram_lm_score",
-    "docs_bloom_decontaminate",
-    "docs_semdedup",
-    "docs_minhash_error_audit",
-    "docs_mixture_reweight",
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=1, stale refill=49) --
     "docs_semdedup_increment",
-    "docs_dedup_consensus",
-    "emb_ivf_cell_stats",
-    "hourly_event_rollup",
-    "incremental_windows",
-    "local_supplier_volume",
-    "merge_upsert_preview",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rollup_orders",
-    "select_rename_filter",
-    "semi_join_in",
-    "sessionization",
-    "shipping_priority",
-    "star_join_revenue",
-    "sync_end_to_end",
-    "top_n_orders",
-    "topk_per_group",
-    "union_all_batches",
-    "watermark_per_key",
-    "above_avg_orders",
-    "concat_key_distinct",
-    "csv_roundtrip_counts",
-    "cube_order_stats",
-    "delta_cdf_preview",
-    "docs_contamination",
-    "docs_global_index",
-    "docs_pack_chunks",
-    "docs_pipeline_keep",
-    "docs_repetition_stats",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_token_outliers",
-    "emb_centroid_per_label",
+    "empty_relation_clone",
+    "except_lapsed_customers",
+    "flagship_latest_price",
+    "funnel_stages",
+    "gapfill_locf_daily",
+    "grouped_rollup_store_roundtrip",
+    "grouping_sets_revenue",
+    "intersect_trading_nations",
+    "json_extract_props",
+    "jsonl_roundtrip_stats",
+    "kmv_distinct_users",
+    "lateral_top_orders",
+    "median_price_per_flag",
+    "moving_avg_price",
+    "multimodal_wav_decode",
+    "nation_trade_volume",
+    "orc_roundtrip_counts",
+    "pandas_median_per_segment",
+    "range_interval_user_stats",
+    "range_join_binned",
+    "returned_items_topn",
+    "running_total_per_customer",
+    "salted_hot_key_agg",
+    "scd2_intervals",
+    "session_window_native",
+    "sql_api_top_nations",
+    "unpivot_event_counts",
+    "user_interarrival_stats",
+    "value_zscore_outliers",
+    "wau_rolling_distinct",
+    "weekly_ohlc_bars",
+    "window_rank_suite",
+    "zorder_pruned_scan",
+    "approx_distinct_per_key",
+    "approx_quantile_per_key",
+    "basket_cooccurrence_lift",
+    "benford_first_digit",
+    "bloom_prefilter_semi_join",
+    "click_max_concurrency",
+    "cms_heavy_hitters",
+    "copurchase_pagerank",
+    "copurchase_triangle_count",
+    "csv_malformed_tolerant_read",
+    "customer_abc_classes",
+    "daily_cusum_shift",
+    "data_expectations_check",
+    "docs_incremental_dedup",
+    "docs_mixture_weights",
+    "docs_token_budget_select",
 ]
 
 

@@ -676,13 +676,20 @@ _Q_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
 
 def _sql_cosine_topk() -> str:
-    cos = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    # Compile-footprint-bounded (see functions/vectors.py): norms come
+    # from ONE vnorms CTE, the pair cosine expands its dot product once.
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
+
+    cos = sql_cosine_prenorm("q.embedding", "e.embedding", "nq.nrm", "ne.nrm", EMB_DIM)
     return f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+    WITH {sql_norms_cte(EMB_DIM)},
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                WHERE vec_id IN ({_Q_IDS})),
     scored AS (
       SELECT q.query_id, e.vec_id, {cos} AS cos_sim
       FROM q CROSS JOIN embeddings e
+      JOIN vnorms nq ON nq.vec_id = q.query_id
+      JOIN vnorms ne ON ne.vec_id = e.vec_id
       WHERE e.vec_id != q.query_id
     ),
     ranked AS (
@@ -754,15 +761,21 @@ def _sql_bucket(vec: str) -> str:
 
 
 def _sql_ann_lsh() -> str:
-    cos = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+    # Compile-footprint-bounded: pair cosine expands once against vnorms.
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
+
+    cos = sql_cosine_prenorm("q.embedding", "e.embedding", "nq.nrm", "ne.nrm", EMB_DIM)
     return f"""
-    WITH b AS (SELECT vec_id, embedding, ({_sql_bucket('embedding')}) AS bucket
+    WITH {sql_norms_cte(EMB_DIM)},
+    b AS (SELECT vec_id, embedding, ({_sql_bucket('embedding')}) AS bucket
                FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
           WHERE vec_id IN ({_Q_IDS})),
     scored AS (
       SELECT q.query_id, e.vec_id, {cos} AS cos_sim
       FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.query_id
+      JOIN vnorms nq ON nq.vec_id = q.query_id
+      JOIN vnorms ne ON ne.vec_id = e.vec_id
     ),
     ranked AS (
       SELECT query_id, vec_id, cos_sim,
@@ -819,38 +832,64 @@ IVF_CENTROID_IDS = tuple(range(10, 26))  # 16 fixed coarse centroids
 IVF_NPROBE = 2
 
 
-def _sql_ann_ivf() -> str:
-    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
-    cos_q = sql_cosine("q.embedding", "e.embedding", EMB_DIM)
+def sql_ivf_cte_chain() -> str:
+    """Shared compile-footprint-bounded oracle CTE chain: vnorms →
+    cents → ccells (centroid cosine computed ONCE, alias-ranked) →
+    assign(vec_id, cell) + probes(query_id, cell). The old form inlined
+    sql_cosine (3 dot expansions) separately in assign and probes — 6
+    expansions; this chain spends 2 (vnorms + ccells). Reused by
+    _sql_ann_ivf and round9's _ivfpq_sql."""
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
+
+    cos_c = sql_cosine_prenorm("e.embedding", "c.cvec", "n.nrm", "c.cnrm", EMB_DIM)
     cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-      WHERE vec_id IN ({cids})
+    {sql_norms_cte(EMB_DIM)},
+    cents AS (
+      SELECT e.vec_id AS cid, e.embedding AS cvec, v.nrm AS cnrm
+      FROM embeddings e JOIN vnorms v ON v.vec_id = e.vec_id
+      WHERE e.vec_id IN ({cids})
+    ),
+    ccells AS (
+      SELECT e.vec_id, c.cid, {cos_c} AS ccos
+      FROM embeddings e
+      JOIN vnorms n ON n.vec_id = e.vec_id
+      CROSS JOIN cents c
     ),
     assign AS (
       SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM ccells
       ) WHERE rn = 1
     ),
     probes AS (
       SELECT vec_id AS query_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
-        WHERE e.vec_id IN ({_Q_IDS})
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM ccells WHERE vec_id IN ({_Q_IDS})
       ) WHERE rn <= {IVF_NPROBE}
-    ),
+    )"""
+
+
+def _sql_ann_ivf() -> str:
+    # Compile-footprint-bounded: the IVF chain spends 2 dot expansions,
+    # the pair cosine 1 — instead of the old 9.
+    from ..functions.vectors import sql_cosine_prenorm
+
+    cos_q = sql_cosine_prenorm("q.embedding", "e.embedding", "nq.nrm", "ne.nrm", EMB_DIM)
+    return f"""
+    WITH {sql_ivf_cte_chain()},
     scored AS (
       SELECT p.query_id, a.vec_id, {cos_q} AS cos_sim
       FROM probes p
       JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
       JOIN embeddings q ON q.vec_id = p.query_id
       JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN vnorms nq ON nq.vec_id = p.query_id
+      JOIN vnorms ne ON ne.vec_id = a.vec_id
     ),
     ranked AS (
       SELECT query_id, vec_id, cos_sim,
@@ -951,22 +990,33 @@ def _sql_ndup_band_key(b: int) -> str:
 
 
 def _sql_emb_near_dup_pairs() -> str:
+    # Compile-footprint-bounded: verify-cosine computed ONCE in an inner
+    # projection (was inlined in SELECT + WHERE = 6 dot expansions).
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
+
     bands = " UNION ALL ".join(
         f"SELECT vec_id, {_sql_ndup_band_key(b)} AS bk FROM embeddings"
         for b in range(EMB_NDUP_BANDS)
     )
-    cos = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+    cos = sql_cosine_prenorm(
+        "ea.embedding", "eb.embedding", "na.nrm", "nb.nrm", EMB_DIM
+    )
     return f"""
-    WITH bk AS ({bands}),
+    WITH {sql_norms_cte(EMB_DIM)},
+    bk AS ({bands}),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       FROM bk x JOIN bk y ON x.bk = y.bk AND x.vec_id < y.vec_id
     )
-    SELECT c.vec_a, c.vec_b, {cos} AS cos_sim
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.vec_a
-    JOIN embeddings eb ON eb.vec_id = c.vec_b
-    WHERE {cos} >= {EMB_NDUP_THRESHOLD}
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT c.vec_a, c.vec_b, {cos} AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      JOIN vnorms na ON na.vec_id = c.vec_a
+      JOIN vnorms nb ON nb.vec_id = c.vec_b
+    )
+    WHERE cos_sim >= {EMB_NDUP_THRESHOLD}
 """
 
 

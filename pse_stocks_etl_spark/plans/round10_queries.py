@@ -467,25 +467,42 @@ MRL_TOPK = 10
 
 
 def _sql_matryoshka() -> str:
-    from ..functions.vectors import sql_cosine
+    # Compile-footprint-bounded (functions/vectors.py): the full-dim and
+    # prefix-dim norms come from two shared CTEs, each pair cosine
+    # expands its dot once in an inner projection and is ranked by
+    # alias — 4 dot expansions instead of 6.
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
     from .llm_queries import _Q_IDS, EMB_DIM
 
-    full = sql_cosine("e.embedding", "q.embedding", EMB_DIM)
-    pre = sql_cosine("e.embedding", "q.embedding", MRL_PREFIX_DIM)
+    full = sql_cosine_prenorm(
+        "e.embedding", "q.embedding", "ne.nrm", "nq.nrm", EMB_DIM
+    )
+    pre = sql_cosine_prenorm(
+        "e.embedding", "q.embedding", "ne.nrm", "nq.nrm", MRL_PREFIX_DIM
+    )
     topk = """
       SELECT query_id, vec_id FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {cos} DESC, e.vec_id ASC) AS rn
-        FROM embeddings e
-        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-                    WHERE vec_id IN ({qids})) q
-        WHERE e.vec_id <> q.vec_id
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {cos} AS cs
+          FROM embeddings e
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id IN ({qids})) q
+          JOIN {norms} ne ON ne.vec_id = e.vec_id
+          JOIN {norms} nq ON nq.vec_id = q.vec_id
+          WHERE e.vec_id <> q.vec_id
+        )
       ) WHERE rn <= {k}
     """
+    tf_sql = topk.format(cos=full, qids=_Q_IDS, k=MRL_TOPK, norms="vnorms")
+    tp_sql = topk.format(cos=pre, qids=_Q_IDS, k=MRL_TOPK, norms="pnorms")
     return f"""
-    WITH tf AS ({topk.format(cos=full, qids=_Q_IDS, k=MRL_TOPK)}),
-    tp AS ({topk.format(cos=pre, qids=_Q_IDS, k=MRL_TOPK)}),
+    WITH {sql_norms_cte(EMB_DIM)},
+    {sql_norms_cte(MRL_PREFIX_DIM, name="pnorms")},
+    tf AS ({tf_sql}),
+    tp AS ({tp_sql}),
     hits AS (
       SELECT tf.query_id, CAST(COUNT(tp.vec_id) AS BIGINT) AS n_overlap
       FROM tf LEFT JOIN tp
@@ -745,32 +762,51 @@ SEMDEDUP_TAU = 0.35  # calibrated to the synthetic corpus (max pair cos ~0.51)
 
 
 def _sql_semdedup() -> str:
-    from ..functions.vectors import sql_cosine
+    # Compile-footprint-bounded (functions/vectors.py): centroid cosine
+    # computed ONCE in an inner projection against the shared vnorms
+    # CTE, the NOT EXISTS rewritten as a dup-set anti-join whose pair
+    # cosine also expands once — 3 dot expansions instead of 6.
+    from ..functions.vectors import sql_cosine_prenorm, sql_norms_cte
     from .llm_queries import EMB_DIM, IVF_CENTROID_IDS
 
-    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
-    cos_p = sql_cosine("a.embedding", "b.embedding", EMB_DIM)
+    cos_c = sql_cosine_prenorm("e.embedding", "c.cvec", "n.nrm", "c.cnrm", EMB_DIM)
+    cos_p = sql_cosine_prenorm(
+        "ea.embedding", "eb.embedding", "na.nrm", "nb.nrm", EMB_DIM
+    )
     cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-      WHERE vec_id IN ({cids})
+    WITH {sql_norms_cte(EMB_DIM)},
+    cents AS (
+      SELECT e.vec_id AS cid, e.embedding AS cvec, v.nrm AS cnrm
+      FROM embeddings e JOIN vnorms v ON v.vec_id = e.vec_id
+      WHERE e.vec_id IN ({cids})
     ),
     assign AS (
-      SELECT vec_id, cid AS cell, embedding FROM (
-        SELECT e.vec_id, c.cid, e.embedding,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (
+          SELECT e.vec_id, c.cid, {cos_c} AS ccos
+          FROM embeddings e
+          JOIN vnorms n ON n.vec_id = e.vec_id
+          CROSS JOIN cents c
+        )
       ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT a_id FROM (
+        SELECT a.vec_id AS a_id, {cos_p} AS pcos
+        FROM assign a
+        JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN vnorms na ON na.vec_id = a.vec_id
+        JOIN vnorms nb ON nb.vec_id = b.vec_id
+      ) WHERE pcos >= {SEMDEDUP_TAU}
     )
-    SELECT a.vec_id, a.cell,
-           NOT EXISTS (
-             SELECT 1 FROM assign b
-             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-               AND {cos_p} >= {SEMDEDUP_TAU}
-           ) AS kept
-    FROM assign a
+    SELECT a.vec_id, a.cell, (d.a_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dup d ON d.a_id = a.vec_id
     """
 
 

@@ -241,9 +241,10 @@ _late_bind_minhash_audit_oracle()
       FROM srcloss
     ),
     joined AS (
-      SELECT p.source, p.weight_ppm, l.avg_loss_micro, l.base_loss_micro,
-             (l.avg_loss_micro * {PPM}) // l.base_loss_micro AS excess_ppm
-      FROM plan p JOIN loss l ON p.source = l.source
+      SELECT p.source, p.weight_ppm, l.avg_loss_micro,
+             GREATEST(COALESCE((l.avg_loss_micro * {PPM}) // l.base_loss_micro,
+                               {PPM}), 1) AS excess_ppm
+      FROM plan p LEFT JOIN loss l ON p.source = l.source
     ),
     boosted AS (
       SELECT *, weight_ppm * excess_ppm AS raw FROM joined
@@ -288,10 +289,24 @@ def docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("src_bigrams").over(w_all).alias("_tot_bg"),
     ).withColumn("base_loss_micro", F.expr("_tot_ip div _tot_bg"))
     plan = _mixture_plan_frame(spark, sf_dir).select("source", "weight_ppm")
+    # LEFT join + neutral excess (ADVICE r10): a source whose docs all
+    # have <2 tokens produces no bigrams, vanishes from `loss`, and an
+    # inner join would silently drop it from the renormalized mixture —
+    # it gets excess_ppm = PPM (boost 1.0) instead. The GREATEST(.., 1)
+    # floor keeps every source's raw mass positive, so the ppm
+    # renormalizer's denominator can never collapse to 0 (NULL
+    # new_weight_ppm) even if every measured excess floors to 0.
     joined = (
-        plan.join(loss, "source")
+        plan.join(loss, "source", "left")
         .withColumn(
-            "excess_ppm", F.expr(f"(avg_loss_micro * {PPM}) div base_loss_micro")
+            "excess_ppm",
+            F.greatest(
+                F.coalesce(
+                    F.expr(f"(avg_loss_micro * {PPM}) div base_loss_micro"),
+                    F.lit(PPM).cast("long"),
+                ),
+                F.lit(1).cast("long"),
+            ),
         )
         .withColumn("raw", F.expr("weight_ppm * excess_ppm"))
         .withColumn("tot_raw", F.sum("raw").over(w_all))
@@ -408,6 +423,14 @@ def docs_semdedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _late_bind_semdedup_increment_oracle() -> None:
+    """r10's one driver-red row was THIS oracle OOMing DuckDB's
+    allocator: sql_cosine (3 x 64-term dot expansions) was inlined
+    three times per witness pool (SELECT, window ORDER BY, WHERE) x 2
+    pools — ~21 expansions in one parse tree. Bounded form: ONE dot
+    expansion per pool, computed in the innermost projection against
+    the shared vnorms CTE; rank filter and tau/quality predicates
+    reference the alias. Arithmetic is unchanged (see
+    sql_cosine_prenorm)."""
     from .llm_queries import EMB_DIM
     from .registry import REGISTRY
     from .round18_queries import (
@@ -415,23 +438,33 @@ def _late_bind_semdedup_increment_oracle() -> None:
         SEMDEDUP_WITNESS_CAP,
         _sql_semdedup_member_cte,
     )
-    from ..functions.vectors import sql_cosine
+    from ..functions.vectors import sql_cosine_prenorm
 
-    cos_p = sql_cosine("ea.embedding", "eb.embedding", EMB_DIM)
+    cos_p = sql_cosine_prenorm(
+        "ea.embedding", "eb.embedding", "na.nrm", "nb.nrm", EMB_DIM
+    )
 
     def witness_sql(pool_cte: str, prefix: str) -> str:
         return f"""
       SELECT vec_id, {prefix}_kept_id, {prefix}_cos FROM (
-        SELECT b.vec_id, w.{prefix}_id AS {prefix}_kept_id, {cos_p} AS {prefix}_cos,
-               row_number() OVER (PARTITION BY b.vec_id
-                                  ORDER BY {cos_p} DESC, w.{prefix}_id ASC) AS rn
-        FROM batch b
-        JOIN {pool_cte} w ON w.{prefix}_cell = b.cell AND w.{prefix}_id != b.vec_id
-        JOIN embeddings ea ON ea.vec_id = b.vec_id
-        JOIN embeddings eb ON eb.vec_id = w.{prefix}_id
-        WHERE {cos_p} >= {SEMDEDUP_TAU}
-          AND (w.{prefix}_chars > b.n_chars
-               OR (w.{prefix}_chars = b.n_chars AND w.{prefix}_id < b.vec_id))
+        SELECT vec_id, {prefix}_kept_id, {prefix}_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {prefix}_cos DESC,
+                                           {prefix}_kept_id ASC) AS rn
+        FROM (
+          SELECT b.vec_id, w.{prefix}_id AS {prefix}_kept_id,
+                 {cos_p} AS {prefix}_cos,
+                 w.{prefix}_chars AS w_chars, b.n_chars AS b_chars
+          FROM batch b
+          JOIN {pool_cte} w ON w.{prefix}_cell = b.cell AND w.{prefix}_id != b.vec_id
+          JOIN embeddings ea ON ea.vec_id = b.vec_id
+          JOIN embeddings eb ON eb.vec_id = w.{prefix}_id
+          JOIN vnorms na ON na.vec_id = b.vec_id
+          JOIN vnorms nb ON nb.vec_id = w.{prefix}_id
+        )
+        WHERE {prefix}_cos >= {SEMDEDUP_TAU}
+          AND (w_chars > b_chars
+               OR (w_chars = b_chars AND {prefix}_kept_id < vec_id))
       ) WHERE rn = 1
 """
 
@@ -581,7 +614,13 @@ def _late_bind_consensus_oracle() -> None:
 """
 
 
-_late_bind_consensus_oracle()
+try:
+    _late_bind_consensus_oracle()
+except KeyError:  # pragma: no cover - partial checkout: a stage module
+    # (llm/round17/round18) failed to import, so its REGISTRY entry is
+    # absent. Skip binding rather than break the whole package import —
+    # plans/__init__.py's ImportError guards don't see a KeyError.
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -759,17 +759,10 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_sql() -> str:
-    from .llm_queries import (
-        _Q_IDS,
-        EMB_DIM,
-        IVF_CENTROID_IDS,
-        IVF_NPROBE,
-        sql_cosine,
-    )
+    # Compile-footprint-bounded: assign/probes come from the shared IVF
+    # chain (2 dot expansions) instead of inlining sql_cosine twice (6).
+    from .llm_queries import _Q_IDS, sql_ivf_cte_chain
     from .round8_queries import ADC_TOPK, PQ_DSUB, PQ_M, _pq_cte
-
-    cos_c = sql_cosine("e.embedding", "c.cvec", EMB_DIM)
-    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
 
     def dist(m: int) -> str:
         lo, hi = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
@@ -781,27 +774,7 @@ def _ivfpq_sql() -> str:
     adc = " + ".join(dist(m) for m in range(PQ_M))
     return f"""
     WITH {_pq_cte()},
-    cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-      WHERE vec_id IN ({cids})
-    ),
-    assign AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
-      ) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_c} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
-        WHERE e.vec_id IN ({_Q_IDS})
-      ) WHERE rn <= {IVF_NPROBE}
-    ),
+    {sql_ivf_cte_chain()},
     qq AS (SELECT vec_id AS query_id, q AS qarr FROM qv WHERE vec_id IN ({_Q_IDS})),
     pair AS (
       SELECT p.query_id, a.vec_id, CAST({adc} AS BIGINT) AS adc_dist

@@ -157,6 +157,21 @@ def strict_compare(s_tbl: pa.Table, d_tbl: pa.Table) -> list[str]:
     return problems
 
 
+# Queries that once had a registry entry (and therefore hold driver rows
+# in old CORRECTNESS_r*.json files) but were deliberately DEMOTED to
+# non-registry helpers. The cumulative ledger join (driver history vs
+# the live registry) treats these as resolved, not rot; the doc-drift
+# guard asserts the sets match exactly so an accidental deregistration
+# cannot hide behind this list.
+DEMOTED_QUERIES: dict[str, str] = {
+    "docs_containment_pairs": (
+        "demoted r10 to helper containment_pairs_capped "
+        "(round8_queries.py); lossless successor registry query: "
+        "docs_containment_prefix_pairs"
+    ),
+}
+
+
 def driver_history(repo_root: str, max_round: int | None = None) -> dict[str, str]:
     """Per-query driver-verification history from CORRECTNESS_r*.json:
     ``name -> "r1 green, r2 FAIL, r3 rows-only, ..."``.

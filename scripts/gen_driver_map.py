@@ -23,6 +23,11 @@ from pse_stocks_etl_spark.testing import driver_history  # noqa: E402
 
 HEADER = "| query | driver rows so far | rotation |"
 
+# See testing.DEMOTED_QUERIES: names with old driver rows whose registry
+# entry was deliberately retired; rendered as RETIRED rows so the
+# cumulative ledger join stays clean.
+from pse_stocks_etl_spark.testing import DEMOTED_QUERIES as DEMOTED  # noqa: E402
+
 
 def rows() -> list[str]:
     hist = driver_history(REPO)
@@ -33,6 +38,9 @@ def rows() -> list[str]:
         h = hist.get(name, "—")
         status = "in current window" if name in window else "—"
         out.append(f"| `{name}` | {h} | {status} |")
+    for name, why in sorted(DEMOTED.items()):
+        h = hist.get(name, "—")
+        out.append(f"| `{name}` | {h} | RETIRED: {why} |")
     return out
 
 

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import pytest
@@ -56,9 +57,21 @@ class _RecyclingDuck:
 
     RECYCLE_EVERY = 24
 
-    # statements that create state a reconnect cannot replay from the
-    # view DDL log — seeing one pins the connection for its lifetime
-    _PINNING = ("CREATE TABLE", "CREATE OR REPLACE TABLE", "INSERT", "UPDATE", "DELETE", "COPY")
+    # Statement routing (ADVICE r10: the old exact-prefix 'CREATE VIEW'
+    # match silently LOST 'CREATE OR REPLACE VIEW' / 'CREATE TEMP VIEW'
+    # and 'SET' at the next recycle — a CatalogException 24 queries
+    # later, far from the cause). Views and SET/PRAGMA are replayable
+    # session state → record + replay on reconnect; plain queries go
+    # through the counting path; ANYTHING else is unrecognized DDL that
+    # a reconnect cannot replay → pin the connection for its lifetime.
+    _REPLAY = re.compile(
+        r"^\s*(CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?VIEW\b|SET\b|PRAGMA\b)",
+        re.IGNORECASE,
+    )
+    _QUERY = re.compile(
+        r"^\s*(SELECT|WITH|VALUES|EXPLAIN|DESCRIBE|SHOW|SUMMARIZE|FROM)\b",
+        re.IGNORECASE,
+    )
 
     def __init__(self):
         self._con = _fresh_duck()
@@ -67,11 +80,10 @@ class _RecyclingDuck:
         self._pinned = False
 
     def _route(self, method, q, *a, **kw):
-        head = q.lstrip().upper()
-        if head.startswith("CREATE VIEW"):
+        if self._REPLAY.match(q):
             self._ddl.append((q, kw))
             return getattr(self._con, method)(q, *a, **kw)
-        if any(head.startswith(p) for p in self._PINNING):
+        if not self._QUERY.match(q):
             self._pinned = True
         self._n += 1
         if not self._pinned and self._n % self.RECYCLE_EVERY == 0:

@@ -38,13 +38,43 @@ def test_readme_counts_match_registry():
 
 def test_coverage_driver_map_covers_registry():
     """Every registry query appears in the driver-verification map, and
-    every mapped name exists in the registry (no ghost rows)."""
+    every mapped name exists in the registry or is a documented RETIRED
+    demotion (no ghost rows)."""
+    from pse_stocks_etl_spark.testing import DEMOTED_QUERIES
+
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
     section = text.split("## Driver-verification map", 1)[1]
     mapped = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.MULTILINE))
     reg = set(_registry())
     assert reg - mapped == set(), f"missing from driver map: {sorted(reg - mapped)}"
-    assert mapped - reg == set(), f"ghost rows in driver map: {sorted(mapped - reg)}"
+    ghosts = mapped - reg - set(DEMOTED_QUERIES)
+    assert ghosts == set(), f"ghost rows in driver map: {sorted(ghosts)}"
+    # demoted names must be rendered as RETIRED rows, not plain ones
+    for name in DEMOTED_QUERIES:
+        assert re.search(
+            rf"^\| `{name}` \| .+ \| RETIRED: ", section, re.MULTILINE
+        ), f"demoted query {name} lacks a RETIRED driver-map row"
+
+
+def test_correctness_ledger_names_are_registry_or_demoted():
+    """Every query name that ever appeared in a CORRECTNESS_r*.json is
+    either live in the registry or explicitly retired in
+    testing.DEMOTED_QUERIES — the cumulative ledger join can never
+    carry an unexplained stale row (VERDICT r10 item 8)."""
+    from pse_stocks_etl_spark.testing import DEMOTED_QUERIES, driver_history
+
+    hist = set(driver_history(REPO))
+    reg = set(_registry())
+    unexplained = hist - reg - set(DEMOTED_QUERIES)
+    assert unexplained == set(), (
+        f"CORRECTNESS rows with neither a registry entry nor a "
+        f"DEMOTED_QUERIES record: {sorted(unexplained)}"
+    )
+    # and the demoted list may not hold live registry names
+    stale_demotions = set(DEMOTED_QUERIES) & reg
+    assert stale_demotions == set(), (
+        f"DEMOTED_QUERIES lists live registry queries: {sorted(stale_demotions)}"
+    )
 
 
 def test_driver_map_matches_correctness_files():
