@@ -99,6 +99,14 @@ try:  # round-19 queries (sketch/index error audits, mixture reweight)
 except ImportError:  # pragma: no cover - partial checkouts
     pass
 
+try:  # round-20 queries (IVF cell split, incremental corpus build)
+    from . import round20_queries  # noqa: F401
+except (ImportError, KeyError):  # pragma: no cover - partial checkouts
+    # KeyError: the late-bind oracles index other modules' REGISTRY
+    # entries; a partial checkout that dropped one must not break the
+    # package import.
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -133,8 +141,12 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=1, stale refill=49) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=5, stale refill=45) --
     "docs_semdedup_increment",
+    "emb_ivf_cell_split",
+    "docs_quality_train",
+    "docs_quality_train_score",
+    "corpus_build_increment",
     "empty_relation_clone",
     "except_lapsed_customers",
     "flagship_latest_price",
@@ -180,10 +192,6 @@ _DRIVER_FIRST = [
     "csv_malformed_tolerant_read",
     "customer_abc_classes",
     "daily_cusum_shift",
-    "data_expectations_check",
-    "docs_incremental_dedup",
-    "docs_mixture_weights",
-    "docs_token_budget_select",
 ]
 
 

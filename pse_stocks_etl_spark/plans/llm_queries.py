@@ -556,11 +556,12 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
     )
 
 
-def _capped_band_buckets(sig: DataFrame) -> DataFrame:
+def _band_buckets(sig: DataFrame) -> DataFrame:
     """(doc_id, bk) band-bucket pairs, one hashed 60-bit key per band,
-    with degenerate buckets wider than LSH_BUCKET_CAP dropped (the cap
-    is computed over the WHOLE bucket population, mirrored exactly in
-    the SQL oracles)."""
+    UNCAPPED — the raw LSH bucket membership. Width accounting differs
+    by consumer (full-corpus cap here; standing-vs-union split caps in
+    round20's incremental corpus build), so the membership and the cap
+    are separate steps."""
     rows = MINHASH_K // MINHASH_BANDS
     band_keys = [
         portable_hash64(
@@ -572,7 +573,14 @@ def _capped_band_buckets(sig: DataFrame) -> DataFrame:
         )
         for b in range(MINHASH_BANDS)
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bk"))
+    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bk"))
+
+
+def _capped_band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, bk) band-bucket pairs with degenerate buckets wider
+    than LSH_BUCKET_CAP dropped (the cap is computed over the WHOLE
+    bucket population, mirrored exactly in the SQL oracles)."""
+    buckets = _band_buckets(sig)
     wide = (
         buckets.groupBy("bk")
         .agg(F.count("*").alias("n"))

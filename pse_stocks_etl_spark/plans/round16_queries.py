@@ -500,10 +500,19 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id")
     )
+    return pack_layout(_docs(spark, sf_dir), kept)
+
+
+def pack_layout(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """corpus_build's split + shard-packing arithmetic over any
+    survivor id set — shared with the incremental build
+    (round20_queries.corpus_build_increment) so the two can never pack
+    differently. One (split, source)-keyed window over tiny metadata
+    rows (doc_id, n); the document text never enters the shuffle."""
     from .llm_queries import SPLIT_TEST_PCT, SPLIT_VAL_PCT
     from .corpus_queries import PACK_CAPACITY
 
-    d = _docs(spark, sf_dir).join(kept, "doc_id")
+    d = docs.join(kept, "doc_id")
     bucket = (
         portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
         % 100
