@@ -111,19 +111,19 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # Driver-verification rotation.
 #
 # The correctness driver records the FIRST 50 registry entries in iteration
-# order each round. CORRECTNESS_r09.json came back 50/50 green (rows +
-# schema + hash, zero err), draining the 4-query r8 queue plus all 20
-# round-9 additions and refreshing 26 of the stalest r1/r2-era greens;
-# cumulatively ALL 266 registry queries hold a driver-green row — the
-# never-checked backlog is empty for the first time (COVERAGE.md's
-# driver map is the authoritative ledger).
+# order each round. CORRECTNESS_r10 came back 49 green + 1 err: the
+# single red was docs_semdedup_increment's ORACLE OOMing the driver's
+# DuckDB (an allocator-footprint problem, not a wrong answer — fixed in
+# r11 by the compile-footprint-bounded oracle forms in
+# functions/vectors.py, enforced by tests/test_oracle_footprint.py).
 #
-# The round-10 window below was WRITTEN BY `python scripts/plan_rotation.py
+# The round-11 window below was WRITTEN BY `python scripts/plan_rotation.py
 # --apply` (re-run after every addition batch; the planner rewrites
 # this block in place). It derives from the CORRECTNESS_r*.json files
-# on disk: with zero never-checked queries remaining, round 10's new
-# additions (substring dedup, BPE training, skewed-domain stress
-# lanes, ...) lead as they land, and the rest of the window is pure
+# on disk: docs_semdedup_increment leads (the one query without a
+# hash-green row), the four round-11 additions (IVF cell split,
+# trained quality classifier + serving pass, incremental corpus build)
+# follow as never-checked, and the rest of the window is pure
 # stalest-green refresh — the r3/r4-era roundtrip/store/window block
 # whose most-recent green rows are oldest.
 #

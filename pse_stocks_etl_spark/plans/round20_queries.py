@@ -495,14 +495,19 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = st_surv.unionByName(bt_surv)
 
-    # -- LSH buckets with standing-vs-union width accounting
+    # -- LSH buckets with standing-vs-union width accounting; the
+    # batch flag re-derives from the broadcast max_id (map-side) so the
+    # width aggregate needs no join back to the docs scan
     sh = _shingles_cached(spark, sf_dir)
     buckets = _band_buckets(_minhash_sig(sh))
-    bwidth = buckets.join(
-        base.select("doc_id", "is_batch"), "doc_id"
-    ).groupBy("bk").agg(
-        F.count("*").alias("w_all"),
-        F.sum(F.col("is_batch").cast("int")).alias("w_b"),
+    bwidth = (
+        buckets.crossJoin(F.broadcast(tmax))
+        .withColumn("is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9)
+        .groupBy("bk")
+        .agg(
+            F.count("*").alias("w_all"),
+            F.sum(F.col("is_batch").cast("int")).alias("w_b"),
+        )
     )
     over_union = bwidth.filter(F.col("w_all") > LSH_BUCKET_CAP).select("bk")
     over_st = bwidth.filter(
@@ -524,7 +529,6 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    st_near = _exact_jaccard(sh, st_pairs).select(F.col("doc_b").alias("doc_id")).distinct()
 
     # revision: members of flipped buckets re-derive under union caps
     flip_docs = (
@@ -543,8 +547,20 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    rev_near = _exact_jaccard(sh, rev_pairs).select(F.col("doc_b").alias("doc_id")).distinct()
-    st_near_final = st_near.join(flip_docs, "doc_id", "left_anti").unionByName(rev_near)
+    # Kept-verdict pairs (doc_b NOT in a flipped bucket — the persisted
+    # flags, standing caps) and revision pairs (doc_b in a flipped
+    # bucket — union caps) are DISJOINT by doc_b, so one Jaccard verify
+    # covers both; the candidate construction above is still the
+    # production revision algebra, the shared verify is just the
+    # expensive stage paid once.
+    st_kept_pairs = st_pairs.join(
+        flip_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+    )
+    st_near_final = (
+        _exact_jaccard(sh, st_kept_pairs.unionByName(rev_pairs))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
 
     # batch flags: any union survivor as witness, batch survivor as loser
     surv_bk_u = buckets.join(surv, "doc_id", "left_semi").join(

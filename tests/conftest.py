@@ -55,7 +55,15 @@ class _RecyclingDuck:
     before the next .sql() call — the reconnect happens only between
     queries."""
 
-    RECYCLE_EVERY = 24
+    # Belt-and-braces only since the r11 oracle-footprint rewrite
+    # (functions/vectors.py bounded forms): the suites pass with
+    # recycling disabled (SPARK_GRAFT_DUCK_RECYCLE=0 — verified on the
+    # shuffled + NULL-docs matrices, the two that OOM'd in r10). Keep
+    # the default recycle so an unrelated allocator regression can't
+    # take the whole suite down with it.
+    RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_DUCK_RECYCLE", "24") or 0) or (
+        1 << 30
+    )
 
     # Statement routing (ADVICE r10: the old exact-prefix 'CREATE VIEW'
     # match silently LOST 'CREATE OR REPLACE VIEW' / 'CREATE TEMP VIEW'
