@@ -121,9 +121,10 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # --apply` (re-run after every addition batch; the planner rewrites
 # this block in place). It derives from the CORRECTNESS_r*.json files
 # on disk: docs_semdedup_increment leads (the one query without a
-# hash-green row), the four round-11 additions (IVF cell split,
-# trained quality classifier + serving pass, incremental corpus build)
-# follow as never-checked, and the rest of the window is pure
+# hash-green row), the six round-11 additions (IVF cell split + its
+# recall audit, trained quality classifier + serving pass, incremental
+# corpus build, epoch shard shuffle) follow as never-checked, and the
+# rest of the window is pure
 # stalest-green refresh — the r3/r4-era roundtrip/store/window block
 # whose most-recent green rows are oldest.
 #
@@ -141,12 +142,14 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=5, stale refill=45) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=7, stale refill=43) --
     "docs_semdedup_increment",
     "emb_ivf_cell_split",
     "docs_quality_train",
     "docs_quality_train_score",
     "corpus_build_increment",
+    "emb_ivf_split_recall",
+    "corpus_epoch_shuffle",
     "empty_relation_clone",
     "except_lapsed_customers",
     "flagship_latest_price",
@@ -190,8 +193,6 @@ _DRIVER_FIRST = [
     "copurchase_pagerank",
     "copurchase_triangle_count",
     "csv_malformed_tolerant_read",
-    "customer_abc_classes",
-    "daily_cusum_shift",
 ]
 
 

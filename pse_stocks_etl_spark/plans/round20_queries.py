@@ -42,7 +42,21 @@ def ivf_cell_split_frame(member: DataFrame) -> DataFrame:
     furthest-point seeds, then a final re-assignment against the
     trained sub-centroids. Factored over any (vec_id, cell, v) frame
     whose cell ids are ALSO vec_ids of the centroid vectors (the
-    frozen-IVF convention) so tests can drive synthetic hot cells.
+    frozen-IVF convention) so tests can drive synthetic hot cells;
+    `_cell_split_parts` exposes the internals (split-cell set, trained
+    sub-centroid vectors, assignment) for the recall lane."""
+    _, _, a2 = _cell_split_impl(member)
+    w_sub = Window.partitionBy("cell", "sub")
+    return a2.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("sub").cast("long").alias("sub_cell"),
+        F.count("*").over(w_sub).cast("long").alias("n_sub"),
+    )
+
+
+def _cell_split_impl(member: DataFrame):
+    """Body shared by ivf_cell_split_frame and _cell_split_parts.
 
     Determinism contract (the emb_kmeans_refine pattern): every
     cosine is rounded to 6 dp with (cos DESC, sub ASC) selection, and
@@ -126,13 +140,14 @@ def ivf_cell_split_frame(member: DataFrame) -> DataFrame:
         ).alias("svec")
     )
     a2 = assign(trained)
-    w_sub = Window.partitionBy("cell", "sub")
-    return a2.select(
-        "vec_id",
-        F.col("cell").cast("long").alias("cell"),
-        F.col("sub").cast("long").alias("sub_cell"),
-        F.count("*").over(w_sub).cast("long").alias("n_sub"),
-    )
+    return split_cells, trained, a2
+
+
+def _cell_split_parts(member: DataFrame):
+    """(split_cells, trained sub-centroids, final assignment) — the
+    split's internals, shared by the per-member frame and the recall
+    lane (which probes the TRAINED sub-centroids)."""
+    return _cell_split_impl(member)
 
 
 @register(
@@ -646,15 +661,15 @@ def _late_bind_corpus_increment_oracle() -> None:
 _late_bind_corpus_increment_oracle()
 
 
-def _late_bind_cell_split_oracle() -> None:
+def _sql_split_chain() -> str:
+    """The split's oracle CTE chain (member cte → … → tn, a2), shared
+    by the emb_ivf_cell_split oracle and the split-recall oracle. All
+    pair cosines expand their dot ONCE (compile-footprint budget,
+    tests/test_oracle_footprint.py)."""
     from .llm_queries import EMB_DIM
-    from .registry import REGISTRY
     from .round18_queries import _sql_semdedup_member_cte
     from ..functions.vectors import sql_cosine_prenorm, sql_dot
 
-    # member cte chain supplies vnorms/cents/assign/member; all pair
-    # cosines below expand their dot ONCE (compile-footprint budget,
-    # tests/test_oracle_footprint.py).
     cos_cent = sql_cosine_prenorm(
         "e.embedding", "c.cvec", "n.nrm", "c.cnrm", EMB_DIM
     )
@@ -663,8 +678,7 @@ def _late_bind_cell_split_oracle() -> None:
     )
     dot_trained = sql_dot("e.embedding", "t.svec", EMB_DIM)
     trained_norm = sql_dot("svec", "svec", EMB_DIM)
-    REGISTRY["emb_ivf_cell_split"].oracle = f"""
-    WITH {_sql_semdedup_member_cte()},
+    return f"""{_sql_semdedup_member_cte()},
     per AS (
       SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM member GROUP BY cell
     ),
@@ -750,7 +764,14 @@ def _late_bind_cell_split_oracle() -> None:
           JOIN vnorms ne ON ne.vec_id = h.vec_id
         )
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _late_bind_cell_split_oracle() -> None:
+    from .registry import REGISTRY
+
+    REGISTRY["emb_ivf_cell_split"].oracle = f"""
+    WITH {_sql_split_chain()}
     SELECT vec_id, CAST(cell AS BIGINT) AS cell,
            CAST(sub AS BIGINT) AS sub_cell,
            CAST(COUNT(*) OVER (PARTITION BY cell, sub) AS BIGINT) AS n_sub
@@ -759,3 +780,275 @@ def _late_bind_cell_split_oracle() -> None:
 
 
 _late_bind_cell_split_oracle()
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_split_recall: does the rebalanced index still serve well?
+# --------------------------------------------------------------------------
+
+@register(
+    "emb_ivf_split_recall",
+    oracle=None,  # set below (composes the split chain + brute force)
+    tags=("llm", "similarity", "ann-ivf", "evaluation"),
+)
+def emb_ivf_split_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SPLIT inverted file against brute force — the
+    serving-quality number that justifies a rebalance before it ships
+    (emb_ann_recall is this measurement for the pre-split index). The
+    probe table after a split holds the original centroid for every
+    unsplit cell plus the two TRAINED sub-centroids per split cell;
+    queries rank all probe vectors, take nprobe nearest (finer probes
+    over the former hot cell = less wasted candidate volume), and
+    exact-cosine re-rank inside the probed (cell, sub) members.
+
+    Scale: the probe table is ≤ n_cells + 2·n_split rows — broadcast;
+    candidate volume per query is the probed sub-cells' membership,
+    which the split just made SMALLER for the hot region; the
+    brute-force side is the evaluation harness, not the serving path
+    (same status as emb_matryoshka_recall / emb_ann_recall)."""
+    from ..operators.dedup import topk_per_group
+    from .llm_queries import ANN_QUERY_IDS, IVF_CENTROID_IDS, IVF_NPROBE, TOPK
+    from .registry import REGISTRY
+    from .round18_queries import _semdedup_members
+
+    member = _semdedup_members(spark, sf_dir).select("vec_id", "cell", "v")
+    split_cells, trained, a2 = _cell_split_parts(member)
+
+    cents_all = member.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("pcell"), F.col("v").alias("pvec")
+    )
+    unsplit_p = cents_all.join(
+        split_cells.withColumnRenamed("cell", "pcell"), "pcell", "left_anti"
+    ).withColumn("psub", F.lit(0))
+    split_p = trained.select(
+        F.col("cell").alias("pcell"), F.col("sub").alias("psub"),
+        F.col("svec").alias("pvec"),
+    )
+    probes_tbl = unsplit_p.select("pcell", "psub", "pvec").unionByName(
+        split_p.select("pcell", "psub", "pvec")
+    )
+
+    q = member.filter(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    scored_p = q.crossJoin(F.broadcast(probes_tbl)).select(
+        "query_id", "pcell", "psub",
+        cosine(F.col("qvec"), F.col("pvec")).alias("pcos"),
+    )
+    qprobe = topk_per_group(
+        scored_p,
+        ["query_id"],
+        [F.col("pcos").desc(), (F.col("pcell") * 2 + F.col("psub")).asc()],
+        k=IVF_NPROBE,
+    ).select("query_id", "pcell", "psub")
+
+    unsplit_m = member.join(split_cells, "cell", "left_anti").select(
+        F.col("cell").alias("pcell"), F.lit(0).alias("psub"), "vec_id", "v"
+    )
+    split_m = a2.select(
+        F.col("cell").alias("pcell"), F.col("sub").alias("psub"), "vec_id", "v"
+    )
+    members_all = unsplit_m.unionByName(split_m)
+    cand = members_all.join(F.broadcast(qprobe), ["pcell", "psub"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "vec_id", cosine(F.col("qvec"), F.col("v")).alias("cos_sim")
+    )
+    approx = topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=TOPK,
+    ).select("query_id", "vec_id")
+    brute = (
+        REGISTRY["emb_cosine_topk"].fn(spark, sf_dir).select("query_id", "vec_id")
+    )
+    hits = (
+        brute.join(approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_overlap"))
+    )
+    return hits.select(
+        "query_id",
+        "n_overlap",
+        (F.col("n_overlap") * 1.0 / TOPK).alias(f"recall_at_{TOPK}"),
+    )
+
+
+def _late_bind_split_recall_oracle() -> None:
+    from .llm_queries import (
+        _Q_IDS,
+        _sql_cosine_topk,
+        EMB_DIM,
+        IVF_NPROBE,
+        TOPK,
+    )
+    from .registry import REGISTRY
+    from ..functions.vectors import sql_dot
+
+    dot_probe = sql_dot("q.embedding", "p.pvec", EMB_DIM)
+    dot_cand = sql_dot("q.embedding", "e.embedding", EMB_DIM)
+    REGISTRY["emb_ivf_split_recall"].oracle = f"""
+    WITH {_sql_split_chain()},
+    probes AS (
+      SELECT c.cid AS pcell, 0 AS psub, c.cvec::DOUBLE[] AS pvec,
+             c.cnrm AS pnrm
+      FROM cents c LEFT JOIN splitcells s ON s.cell = c.cid
+      WHERE s.cell IS NULL
+      UNION ALL
+      SELECT cell AS pcell, sub AS psub, svec AS pvec, snrm AS pnrm FROM tn
+    ),
+    qsc AS (
+      SELECT q.vec_id AS query_id, p.pcell, p.psub,
+             round({dot_probe} / (nq.nrm * p.pnrm), 6) AS pcos
+      FROM embeddings q
+      JOIN vnorms nq ON nq.vec_id = q.vec_id
+      CROSS JOIN probes p
+      WHERE q.vec_id IN ({_Q_IDS})
+    ),
+    qprobe AS (
+      SELECT query_id, pcell, psub FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pcos DESC,
+                                              pcell * 2 + psub ASC) AS rn
+        FROM qsc
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    members AS (
+      SELECT m.cell AS pcell, 0 AS psub, m.vec_id FROM member m
+      LEFT JOIN splitcells s ON s.cell = m.cell WHERE s.cell IS NULL
+      UNION ALL
+      SELECT cell AS pcell, sub AS psub, vec_id FROM a2
+    ),
+    sc AS (
+      SELECT p.query_id, mm.vec_id,
+             round({dot_cand} / (nq.nrm * ne.nrm), 6) AS cos_sim
+      FROM qprobe p
+      JOIN members mm ON mm.pcell = p.pcell AND mm.psub = p.psub
+                     AND mm.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = mm.vec_id
+      JOIN vnorms nq ON nq.vec_id = p.query_id
+      JOIN vnorms ne ON ne.vec_id = mm.vec_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM sc
+      ) WHERE rn <= {TOPK}
+    ),
+    bf AS (SELECT query_id, vec_id FROM ({_sql_cosine_topk()})),
+    hits AS (
+      SELECT b.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_overlap
+      FROM bf b LEFT JOIN approx a
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, n_overlap,
+           n_overlap * 1.0 / {TOPK} AS recall_at_{TOPK}
+    FROM hits
+"""
+
+
+_late_bind_split_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# corpus_epoch_shuffle: the deterministic data-order a trainer consumes
+# --------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2  # distinct seeded orders proven per run
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle=None,  # set below (composes the shard-manifest oracle)
+    tags=("llm", "corpus", "data-order"),
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch shard shuffle — the data-ORDER step between
+    corpus assembly and the training loop: each epoch orders every
+    (split, source) training window of corpus_shard_manifest by a
+    salted portable hash of its identity, interleaving sources within
+    a split (no source-block runs, the curriculum hazard) while
+    staying fully deterministic and resumable (position = pure
+    function of (epoch, split, source, chunk), so a preempted run
+    re-derives its cursor instead of checkpointing RNG state).
+
+    Scale: pure metadata — the manifest's chunk rows (corpus tokens /
+    {PACK_CAPACITY}), one map-side hash per (epoch, chunk) and one
+    keyed window per (epoch, split). The document text never moves;
+    loaders seek into shards by the manifest offsets."""
+    from ..functions.text import portable_hash64
+    from .registry import REGISTRY
+
+    m = REGISTRY["corpus_shard_manifest"].fn(spark, sf_dir).select(
+        "split", "source", "chunk_no"
+    )
+    epochs = spark.range(1, SHUFFLE_EPOCHS + 1).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    # NULL-propagating concat (not concat_ws, which SKIPS nulls while
+    # the oracle's || nulls out) so a NULL source hashes to a NULL key
+    # in BOTH engines; the window then pins NULLS FIRST explicitly —
+    # Spark's ASC default, spelled out in the oracle because DuckDB's
+    # default is NULLS LAST.
+    keyed = m.crossJoin(F.broadcast(epochs)).withColumn(
+        "shuffle_key",
+        portable_hash64(
+            F.concat(
+                F.lit("shuf:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("split"),
+                F.lit(":"),
+                F.col("source"),
+                F.lit(":"),
+                F.col("chunk_no").cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch", "split").orderBy(
+        F.col("shuffle_key").asc_nulls_first(),
+        F.col("source").asc_nulls_first(),
+        F.col("chunk_no").asc(),
+    )
+    return keyed.select(
+        "epoch",
+        "split",
+        "source",
+        "chunk_no",
+        F.row_number().over(w).cast("long").alias("shuffle_pos"),
+    )
+
+
+def _late_bind_epoch_shuffle_oracle() -> None:
+    from ..functions.text import sql_portable_hash64
+    from .registry import REGISTRY
+
+    manifest = REGISTRY["corpus_shard_manifest"].oracle
+    h = sql_portable_hash64(
+        "'shuf' || ':' || CAST(epoch AS VARCHAR) || ':' || split || ':' "
+        "|| source || ':' || CAST(chunk_no AS VARCHAR)"
+    )
+    REGISTRY["corpus_epoch_shuffle"].oracle = f"""
+    WITH m AS (SELECT split, source, chunk_no FROM ({manifest})),
+    keyed AS (
+      SELECT m.*, e.epoch, {h} AS shuffle_key
+      FROM m CROSS JOIN (SELECT CAST(UNNEST(range(1, {SHUFFLE_EPOCHS + 1}))
+                                     AS BIGINT) AS epoch) e
+    )
+    SELECT epoch, split, source, chunk_no,
+           CAST(row_number() OVER (PARTITION BY epoch, split
+                                   ORDER BY shuffle_key ASC NULLS FIRST,
+                                            source ASC NULLS FIRST,
+                                            chunk_no ASC) AS BIGINT)
+             AS shuffle_pos
+    FROM keyed
+"""
+
+
+try:
+    _late_bind_epoch_shuffle_oracle()
+except KeyError:  # pragma: no cover - partial checkout without round16
+    pass

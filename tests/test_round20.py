@@ -199,6 +199,63 @@ def test_increment_equals_rebuild_on_natural_data(spark):
     assert a == b and len(a) > 0
 
 
+def test_cell_split_store_merge_is_surgical(spark, tmp_path):
+    """The r10 VERDICT's phrasing made literal: applying the cell
+    split to a cell-partitioned assignment index rewrites ONLY the
+    split cells' partitions — every untouched cell directory is
+    carried into the new version as hardlinks (same inodes, zero data
+    movement), exactly the emb_ann_ivfpq_increment contract."""
+    import os
+
+    from pse_stocks_etl_spark.plans.round18_queries import _semdedup_members
+    from pse_stocks_etl_spark.plans.round20_queries import ivf_cell_split_frame
+    from pse_stocks_etl_spark.store.parquet_table import ParquetTable
+
+    member = _semdedup_members(spark, SF_DIR).select("vec_id", "cell", "v")
+    base_idx = member.select(
+        F.col("cell").cast("long").alias("cell"),
+        "vec_id",
+        F.lit(0).cast("long").alias("sub_cell"),
+    )
+    root = str(tmp_path / "ivf_index")
+    table = ParquetTable(spark, root, base_idx.schema, partition_by=("cell",))
+    table.overwrite(base_idx)  # v1: the standing assignment index
+
+    split = ivf_cell_split_frame(member).select("cell", "vec_id", "sub_cell")
+    split_cells = {r.cell for r in split.select("cell").distinct().collect()}
+    assert split_cells, "fixture degenerate: nothing split"
+    table.merge(split, keys=["cell", "vec_id"])  # v2: the rebalance
+
+    def inodes(vdir):
+        out = {}
+        for entry in os.listdir(vdir):
+            if entry.startswith("cell="):
+                d = os.path.join(vdir, entry)
+                out[entry] = {
+                    os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    v1 = inodes(os.path.join(root, "_versions", "v00001"))
+    v2 = inodes(os.path.join(root, "_versions", "v00002"))
+    touched = {f"cell={int(c)}" for c in split_cells}
+    untouched = set(v1) - touched
+    assert untouched, "fixture degenerate: every cell was split"
+    for cell in untouched:
+        assert v2[cell] == v1[cell], f"{cell} rewritten but not split"
+    for cell in touched & set(v1):
+        assert v2[cell].isdisjoint(v1[cell]), f"{cell} not re-merged"
+    # and the rebalanced index actually carries the sub-cell labels
+    got = {
+        (r.cell, r.vec_id): r.sub_cell
+        for r in table.read().filter(F.col("cell").isin(*split_cells)).collect()
+    }
+    want = {(r.cell, r.vec_id): r.sub_cell for r in split.collect()}
+    assert got == want
+
+
 def test_quality_train_learns_separable_signal(spark):
     """On a corpus with genuine vocabulary signal the trained
     classifier beats the majority baseline (the natural fixture is
@@ -263,3 +320,55 @@ def test_registry_query_runs_and_is_deterministic(spark):
     clear_working_set_caches()
     b = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_split_recall_is_measured_and_sane(spark):
+    """The split-index recall audit emits one row per probe query with
+    recall in [0, 1]; brute-force always contains the query's true
+    neighbors, so n_overlap ≤ k and the mean recall is meaningfully
+    positive on the fixture (the probed sub-cells cover the nearest
+    region)."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.llm_queries import ANN_QUERY_IDS, TOPK
+
+    rows = plans.REGISTRY["emb_ivf_split_recall"].fn(spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(ANN_QUERY_IDS)
+    for r in rows:
+        assert 0 <= r.n_overlap <= TOPK
+        assert abs(r[f"recall_at_{TOPK}"] - r.n_overlap / TOPK) < 1e-12
+    assert sum(r.n_overlap for r in rows) > 0, "split index found nothing"
+
+
+def test_epoch_shuffle_orders_differ_and_are_deterministic(spark):
+    """Different epochs produce genuinely different shard orders (the
+    point of reshuffling), each a permutation of the same chunk set,
+    and a re-run reproduces positions exactly (resumability without
+    RNG state)."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round20_queries import SHUFFLE_EPOCHS
+
+    fn = plans.REGISTRY["corpus_epoch_shuffle"].fn
+    rows = fn(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[(r.split, r.source, r.chunk_no)] = (
+            r.shuffle_pos
+        )
+    assert set(by_epoch) == set(range(1, SHUFFLE_EPOCHS + 1))
+    e1, e2 = by_epoch[1], by_epoch[2]
+    assert set(e1) == set(e2)  # same chunk universe each epoch
+    assert any(e1[k] != e2[k] for k in e1), "epochs produced identical order"
+    # positions within (epoch, split) are a 1..n permutation
+    per_split = {}
+    for (split, src, chunk), pos in e1.items():
+        per_split.setdefault(split, []).append(pos)
+    for split, poss in per_split.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {
+        (r.epoch, r.split, r.source, r.chunk_no): r.shuffle_pos
+        for r in fn(spark, SF_DIR).collect()
+    }
+    first = {
+        (r.epoch, r.split, r.source, r.chunk_no): r.shuffle_pos for r in rows
+    }
+    assert again == first
