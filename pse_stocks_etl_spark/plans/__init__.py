@@ -121,12 +121,12 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # --apply` (re-run after every addition batch; the planner rewrites
 # this block in place). It derives from the CORRECTNESS_r*.json files
 # on disk: docs_semdedup_increment leads (the one query without a
-# hash-green row), the six round-11 additions (IVF cell split + its
+# hash-green row), the seven round-11 additions (IVF cell split + its
 # recall audit, trained quality classifier + serving pass, incremental
-# corpus build, epoch shard shuffle) follow as never-checked, and the
-# rest of the window is pure
-# stalest-green refresh — the r3/r4-era roundtrip/store/window block
-# whose most-recent green rows are oldest.
+# corpus build, epoch shard shuffle, data-constrained epoch cap
+# water-fill) follow as never-checked, and the rest of the window is
+# pure stalest-green refresh — the r3/r4-era roundtrip/store/window
+# block whose most-recent green rows are oldest.
 #
 # ROTATION POLICY (standing): step zero of every round is two commands:
 #   python scripts/plan_rotation.py --apply
@@ -142,7 +142,7 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=7, stale refill=43) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=8, stale refill=42) --
     "docs_semdedup_increment",
     "emb_ivf_cell_split",
     "docs_quality_train",
@@ -150,6 +150,7 @@ _DRIVER_FIRST = [
     "corpus_build_increment",
     "emb_ivf_split_recall",
     "corpus_epoch_shuffle",
+    "docs_epoch_cap_redistribute",
     "empty_relation_clone",
     "except_lapsed_customers",
     "flagship_latest_price",
@@ -192,7 +193,6 @@ _DRIVER_FIRST = [
     "cms_heavy_hitters",
     "copurchase_pagerank",
     "copurchase_triangle_count",
-    "csv_malformed_tolerant_read",
 ]
 
 

@@ -1052,3 +1052,124 @@ try:
     _late_bind_epoch_shuffle_oracle()
 except KeyError:  # pragma: no cover - partial checkout without round16
     pass
+
+
+# --------------------------------------------------------------------------
+# docs_epoch_cap_redistribute: data-constrained epoch water-filling
+# --------------------------------------------------------------------------
+
+# Per-source repeat cap in milli-epochs. The production rule is the
+# data-constrained-scaling one (~4 epochs of repeats before returns
+# decay, i.e. 4000 milli); the fixture's mixture budget only asks for
+# ~0.5 epochs per source, so the cap is set at 500 to ENGAGE on the
+# fixture (epochs_milli spans 467-546 there) — the graded object is the
+# water-fill algebra, the constant is a knob.
+EPOCH_CAP_MILLI = 500
+
+
+@register(
+    "docs_epoch_cap_redistribute",
+    oracle=None,  # set below (composes the mixture-plan CTE)
+    tags=("llm", "mixture", "data-constrained"),
+)
+def docs_epoch_cap_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation: the temperature mixture's
+    per-source token targets, clamped to a repeat cap (no source may
+    be consumed past EPOCH_CAP_MILLI milli-epochs — the
+    data-constrained-scaling rule that repeating a small source
+    indefinitely stops buying loss), with the clipped surplus
+    WATER-FILLED back onto uncapped sources proportionally to their
+    mixture weight, then clamped once more; whatever still cannot be
+    placed is reported as unallocated budget. Two unrolled rounds,
+    exact integer arithmetic throughout (the overflow-safe floor-split
+    _muldiv), so the allocation hash-pins.
+
+    Scale: composes the mixture plan's one corpus scan; every round
+    after that is arithmetic + unpartitioned windows over the bounded
+    source enum (20 rows at any sf — the documented bounded
+    single-partition pass of the mixture lanes)."""
+    from .round18_queries import _mixture_plan_frame, _muldiv
+
+    plan = _mixture_plan_frame(spark, sf_dir).select(
+        "source", "n_tokens", "weight_ppm", "target_tokens"
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r1 = (
+        plan.withColumn(
+            "cap_tokens", F.expr(f"(n_tokens * {EPOCH_CAP_MILLI}) div 1000")
+        )
+        .withColumn("r1", F.expr("least(target_tokens, cap_tokens)"))
+        .withColumn("headroom", F.expr("cap_tokens - r1"))
+        .withColumn(
+            "surplus1", F.sum(F.expr("target_tokens - r1")).over(w_all)
+        )
+        .withColumn(
+            "uncapped_w",
+            F.sum(F.expr("CASE WHEN headroom > 0 THEN weight_ppm ELSE 0 END")).over(
+                w_all
+            ),
+        )
+    )
+    share = (
+        "CASE WHEN headroom > 0 AND uncapped_w > 0 THEN "
+        + _muldiv("surplus1", "weight_ppm", "uncapped_w", "div")
+        + " ELSE 0 END"
+    )
+    r2 = (
+        r1.withColumn("share", F.expr(share))
+        .withColumn("alloc_tokens", F.expr("least(r1 + share, cap_tokens)"))
+        .withColumn(
+            "unalloc_tokens",
+            F.col("surplus1") - F.sum(F.expr("alloc_tokens - r1")).over(w_all),
+        )
+    )
+    return r2.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.expr("(alloc_tokens * 1000) div n_tokens").alias("epochs_milli"),
+        (F.col("alloc_tokens") == F.col("cap_tokens")).alias("capped"),
+        F.col("unalloc_tokens").cast("long").alias("unalloc_tokens"),
+    )
+
+
+def _late_bind_epoch_cap_oracle() -> None:
+    from .registry import REGISTRY
+    from .round18_queries import _muldiv, _sql_mixture_plan_cte
+
+    share = (
+        "CASE WHEN headroom > 0 AND uncapped_w > 0 THEN "
+        + _muldiv("surplus1", "weight_ppm", "uncapped_w", "//")
+        + " ELSE 0 END"
+    )
+    REGISTRY["docs_epoch_cap_redistribute"].oracle = f"""
+    WITH {_sql_mixture_plan_cte()},
+    r1 AS (
+      SELECT source, n_tokens, weight_ppm, target_tokens,
+             (n_tokens * {EPOCH_CAP_MILLI}) // 1000 AS cap_tokens,
+             LEAST(target_tokens, (n_tokens * {EPOCH_CAP_MILLI}) // 1000) AS r1
+      FROM plan
+    ),
+    r1w AS (
+      SELECT *, cap_tokens - r1 AS headroom,
+             CAST(SUM(target_tokens - r1) OVER () AS BIGINT) AS surplus1,
+             CAST(SUM(CASE WHEN cap_tokens - r1 > 0 THEN weight_ppm ELSE 0 END)
+                  OVER () AS BIGINT) AS uncapped_w
+      FROM r1
+    ),
+    r2 AS (
+      SELECT *, LEAST(r1 + ({share}), cap_tokens) AS alloc_tokens
+      FROM r1w
+    )
+    SELECT source, n_tokens, target_tokens, cap_tokens, alloc_tokens,
+           (alloc_tokens * 1000) // n_tokens AS epochs_milli,
+           (alloc_tokens = cap_tokens) AS capped,
+           CAST(surplus1 - SUM(alloc_tokens - r1) OVER () AS BIGINT)
+             AS unalloc_tokens
+    FROM r2
+"""
+
+
+_late_bind_epoch_cap_oracle()

@@ -137,6 +137,21 @@ ALLOWED = {
     # heavy-hitter bound <= n/cap; the under-cap tail routes via
     # broadcast ANTI join against the same bounded list (r9 review).
     ("plans/round16_queries.py", "hot_doms"): "over-cap domain list (<= n/cap keys, heavy-hitter bound); used for BOTH semi and anti routing",
+    # --- round-20 lanes (r11): IVF split / incremental build / training
+    ("plans/round20_queries.py", "tmax"): "global max id (1 row)",
+    ("plans/round20_queries.py", "n_frame"): "label count (1 row)",
+    ("plans/round20_queries.py", "split_cells"): "split-cell set: <= n_cells (16 frozen) rows",
+    ("plans/round20_queries.py", "cent"): "split cells' centroid vectors: <= 16 rows",
+    ("plans/round20_queries.py", "centroids"): "Lloyd seeds / trained sub-centroids: <= 2 per split cell (<= 32)",
+    ("plans/round20_queries.py", "over_st"): "over-cap bucket list (<= n/cap keys, same bound as llm_queries wide)",
+    ("plans/round20_queries.py", "over_union"): "over-cap bucket list (<= n/cap keys)",
+    ("plans/round20_queries.py", "flipped"): "buckets that crossed the cap when the batch landed: subset of over_union (<= n/cap keys)",
+    ("plans/round20_queries.py", "epochs"): "epoch enum (SHUFFLE_EPOCHS = 2 rows)",
+    ("plans/round20_queries.py", "probes_tbl"): "probe vectors: <= 16 centroids + 2 per split cell (<= 48 rows)",
+    ("plans/round20_queries.py", "q"): "frozen query vectors (3 rows)",
+    ("plans/round20_queries.py", "qprobe"): "per-query probed sub-cells (3 x nprobe rows)",
+    ("plans/round20_queries.py", "rep_sh"): "benchmark-rep shingles (subset of the bounded-by-contract bench set, same as corpus_queries bench_sh)",
+    ("plans/round20_queries.py", "w"): "trained weight vector: <= QTRAIN_BUCKETS+1 = 65 rows",
     ("plans/round6_queries.py", "du"): None,  # REMOVED r8 — left as tombstone
     ("plans/round6_queries.py", "dv"): None,  # REMOVED r8 — tombstone
 }

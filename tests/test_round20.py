@@ -372,3 +372,29 @@ def test_epoch_shuffle_orders_differ_and_are_deterministic(spark):
         (r.epoch, r.split, r.source, r.chunk_no): r.shuffle_pos for r in rows
     }
     assert again == first
+
+
+def test_epoch_cap_redistribute_conserves_budget(spark):
+    """Water-fill invariants: allocation never exceeds the repeat cap,
+    total allocated + unallocated == total targeted (token conservation
+    across the redistribution), and the fixture genuinely engages the
+    cap (some sources capped, some receiving redistributed surplus)."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round20_queries import EPOCH_CAP_MILLI
+
+    rows = plans.REGISTRY["docs_epoch_cap_redistribute"].fn(spark, SF_DIR).collect()
+    assert rows
+    total_target = sum(r.target_tokens for r in rows)
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    unalloc = {r.unalloc_tokens for r in rows}
+    assert len(unalloc) == 1  # global value, same on every row
+    assert total_alloc + unalloc.pop() == total_target
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.epochs_milli <= EPOCH_CAP_MILLI
+        assert r.capped == (r.alloc_tokens == r.cap_tokens)
+    assert any(r.capped for r in rows), "cap never engaged on the fixture"
+    # redistribution actually moved surplus onto at least one source
+    assert any(
+        r.alloc_tokens > r.target_tokens for r in rows
+    ), "no source received redistributed budget"
