@@ -512,7 +512,14 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- LSH buckets with standing-vs-union width accounting; the
     # batch flag re-derives from the broadcast max_id (map-side) so the
-    # width aggregate needs no join back to the docs scan
+    # width aggregate needs no join back to the docs scan. Five join
+    # lineages below reference the bucket frame, but all inside ONE
+    # action, where Spark's ReusedExchange dedupes the identical
+    # signature-aggregation subtree — a persist was A/B-measured at
+    # sf0.1 and LOST (10-12.8s cached vs 8.5-10s uncached: the
+    # materialization costs more than the reuse saves), unlike the
+    # cross-action shingle/semdedup working sets which genuinely
+    # re-execute per action.
     sh = _shingles_cached(spark, sf_dir)
     buckets = _band_buckets(_minhash_sig(sh))
     bwidth = (
