@@ -101,10 +101,10 @@ except ImportError:  # pragma: no cover - partial checkouts
 
 try:  # round-20 queries (IVF cell split, incremental corpus build)
     from . import round20_queries  # noqa: F401
-except (ImportError, KeyError):  # pragma: no cover - partial checkouts
-    # KeyError: the late-bind oracles index other modules' REGISTRY
-    # entries; a partial checkout that dropped one must not break the
-    # package import.
+except ImportError:  # pragma: no cover - partial checkouts
+    # The late-bind oracles guard their own REGISTRY preconditions and
+    # early-return on partial checkouts; an unexpected KeyError (typo,
+    # renamed key) now raises loudly instead of being swallowed here.
     pass
 
 # ---------------------------------------------------------------------------
@@ -142,57 +142,57 @@ except (ImportError, KeyError):  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=8, stale refill=42) --
-    "docs_semdedup_increment",
-    "emb_ivf_cell_split",
-    "docs_quality_train",
-    "docs_quality_train_score",
-    "corpus_build_increment",
-    "emb_ivf_split_recall",
-    "corpus_epoch_shuffle",
-    "docs_epoch_cap_redistribute",
-    "empty_relation_clone",
-    "except_lapsed_customers",
-    "flagship_latest_price",
-    "funnel_stages",
-    "gapfill_locf_daily",
-    "grouped_rollup_store_roundtrip",
-    "grouping_sets_revenue",
-    "intersect_trading_nations",
-    "json_extract_props",
-    "jsonl_roundtrip_stats",
-    "kmv_distinct_users",
-    "lateral_top_orders",
-    "median_price_per_flag",
-    "moving_avg_price",
-    "multimodal_wav_decode",
-    "nation_trade_volume",
-    "orc_roundtrip_counts",
-    "pandas_median_per_segment",
-    "range_interval_user_stats",
-    "range_join_binned",
-    "returned_items_topn",
-    "running_total_per_customer",
-    "salted_hot_key_agg",
-    "scd2_intervals",
-    "session_window_native",
-    "sql_api_top_nations",
-    "unpivot_event_counts",
-    "user_interarrival_stats",
-    "value_zscore_outliers",
-    "wau_rolling_distinct",
-    "weekly_ohlc_bars",
-    "window_rank_suite",
-    "zorder_pruned_scan",
-    "approx_distinct_per_key",
-    "approx_quantile_per_key",
-    "basket_cooccurrence_lift",
-    "benford_first_digit",
-    "bloom_prefilter_semi_join",
-    "click_max_concurrency",
-    "cms_heavy_hitters",
-    "copurchase_pagerank",
-    "copurchase_triangle_count",
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=0, stale refill=50) --
+    "csv_malformed_tolerant_read",
+    "customer_abc_classes",
+    "daily_cusum_shift",
+    "data_expectations_check",
+    "docs_incremental_dedup",
+    "docs_mixture_weights",
+    "docs_token_budget_select",
+    "docs_uniform_sample",
+    "docs_weighted_sample",
+    "emb_int8_quantize",
+    "event_transition_matrix",
+    "event_trigram_paths",
+    "fk_orphan_audit",
+    "funnel_strict_24h",
+    "gapfill_interp_daily",
+    "kmv_set_algebra",
+    "mode_event_per_user",
+    "part_name_near_dup",
+    "part_price_size_skyline",
+    "purchase_touch_attribution",
+    "retention_cohorts",
+    "rolling_volatility",
+    "sliding_window_counts",
+    "streaming_click_join",
+    "streaming_dedup_counts",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_user_stats",
+    "table_key_checksums",
+    "table_profile",
+    "user_activity_islands",
+    "user_time_weighted_avg",
+    "user_trend_slope",
+    "user_value_ewma",
+    "user_value_rolling_median",
+    "value_histogram",
+    "value_mad_outliers",
+    "variant_props_histogram",
+    "vwap_weekly",
+    "array_agg_user_profile",
+    "brand_bracket_revenue",
+    "custkey_skew_profile",
+    "customer_order_distribution",
+    "customer_rfm_segments",
+    "daily_seasonal_backtest",
+    "daily_type_share",
+    "docs_bow_dedup",
+    "docs_char_diversity",
 ]
 
 

@@ -577,6 +577,12 @@ def docs_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _late_bind_consensus_oracle() -> None:
     from .registry import REGISTRY
 
+    needed = ("docs_minhash_lsh_pairs", "docs_substring_dedup", "docs_semdedup")
+    if any(k not in REGISTRY for k in needed):  # pragma: no cover - partial
+        # checkout: a stage module (llm/round17/round18) failed to import, so
+        # its REGISTRY entry is absent. Skip binding rather than break the
+        # package import; an unexpected KeyError still raises loudly.
+        return
     minhash_sql = REGISTRY["docs_minhash_lsh_pairs"].oracle
     substring_sql = REGISTRY["docs_substring_dedup"].oracle
     semdedup_sql = REGISTRY["docs_semdedup"].oracle
@@ -614,13 +620,7 @@ def _late_bind_consensus_oracle() -> None:
 """
 
 
-try:
-    _late_bind_consensus_oracle()
-except KeyError:  # pragma: no cover - partial checkout: a stage module
-    # (llm/round17/round18) failed to import, so its REGISTRY entry is
-    # absent. Skip binding rather than break the whole package import —
-    # plans/__init__.py's ImportError guards don't see a KeyError.
-    pass
+_late_bind_consensus_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -354,6 +354,11 @@ def _late_bind_qtrain_oracles() -> None:
     from ..functions.text import sql_portable_hash64, sql_tokens
     from .registry import REGISTRY
 
+    if "docs_pipeline_keep" not in REGISTRY:  # pragma: no cover - partial
+        # checkout without the corpus_queries pipeline module: skip binding
+        # rather than break the package import. Any OTHER KeyError (a typo,
+        # a renamed key) must still raise loudly at import time.
+        return
     keep = REGISTRY["docs_pipeline_keep"].oracle
     h = sql_portable_hash64(f"'{QTRAIN_SALT}' || t")
     feat_weights = f"""
@@ -416,11 +421,7 @@ def _late_bind_qtrain_oracles() -> None:
 """
 
 
-try:
-    _late_bind_qtrain_oracles()
-except KeyError:  # pragma: no cover - partial checkout without the
-    # corpus_queries pipeline module
-    pass
+_late_bind_qtrain_oracles()
 
 
 # --------------------------------------------------------------------------
@@ -1033,6 +1034,9 @@ def _late_bind_epoch_shuffle_oracle() -> None:
     from ..functions.text import sql_portable_hash64
     from .registry import REGISTRY
 
+    if "corpus_shard_manifest" not in REGISTRY:  # pragma: no cover - partial
+        # checkout without round16: skip binding; unexpected KeyErrors raise.
+        return
     manifest = REGISTRY["corpus_shard_manifest"].oracle
     h = sql_portable_hash64(
         "'shuf' || ':' || CAST(epoch AS VARCHAR) || ':' || split || ':' "
@@ -1055,10 +1059,7 @@ def _late_bind_epoch_shuffle_oracle() -> None:
 """
 
 
-try:
-    _late_bind_epoch_shuffle_oracle()
-except KeyError:  # pragma: no cover - partial checkout without round16
-    pass
+_late_bind_epoch_shuffle_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -147,7 +147,7 @@ def test_increment_equals_rebuild_under_bucket_flips(spark, flip_corpus, monkeyp
     clear_working_set_caches()
     try:
         # precondition: at least one bucket is under-cap for standing
-        # (ids <= 37 boundary: batch = doc_id*10 > 41*9, i.e. >= 38)
+        # (standing <= 36, batch >= 37: doc_id*10 > 41*9 first holds at 37)
         # but over-cap for the union — otherwise this test regressed
         # into the trivial no-flip case.
         sh = _shingles_cached(spark, flip_corpus)
