@@ -39,6 +39,45 @@ sys.path.insert(0, REPO)
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# FROZEN 30-query core (r12, VERDICT r11 item 7): the headline set
+# grows round over round (34 -> 37 -> 38 -> 39), so the top-line sum is
+# not cross-round comparable without manual set intersection. core_sec
+# sums exactly these 30 r10-era queries every round — regression
+# detection diffs core_sec (normalized by canary_sec); new queries land
+# in full_sec only. DO NOT edit this list; that would break the series.
+CORE_30 = (
+    "asof_click_attribution",
+    "basket_cooccurrence_lift",
+    "bloom_prefilter_semi_join",
+    "corpus_build",
+    "dedup_argmax",
+    "docs_bigram_lm_score",
+    "docs_bm25_topk",
+    "docs_line_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard_pairs",
+    "docs_pipeline_keep",
+    "docs_repetition_stats",
+    "docs_semdedup",
+    "docs_span_dedup",
+    "docs_substring_dedup",
+    "docs_tfidf_top_terms",
+    "docs_token_budget_select",
+    "docs_token_stats",
+    "emb_cosine_topk",
+    "emb_pq_quantize",
+    "events_cascade_increment",
+    "hourly_event_rollup",
+    "local_supplier_volume",
+    "nation_year_profit",
+    "pricing_summary",
+    "sessionization",
+    "star_join_revenue",
+    "store_mv_refresh_increment",
+    "streaming_hourly_counts",
+    "watermark_per_key",
+)
+
 
 def canaries_sec(spark) -> dict[str, float]:
     """Host-speed calibration canaries: three fixed, parquet-free
@@ -186,10 +225,16 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     canaries = canaries_sec(spark)
+    missing_core = [n for n in CORE_30 if n not in timings]
     summary = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        # the cross-round regression series: sum over the FROZEN 30-query
+        # core (plus the full-set sum, which grows as headliners land)
+        "core_sec": round(sum(timings[n] for n in CORE_30 if n in timings), 4),
+        "full_sec": round(sum(timings.values()), 4),
+        "core_n": len(CORE_30) - len(missing_core),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # median of the three shape canaries — the normalization

@@ -107,6 +107,11 @@ except ImportError:  # pragma: no cover - partial checkouts
     # renamed key) now raises loudly instead of being swallowed here.
     pass
 
+try:  # round-21 queries (store-backed incremental corpus admission)
+    from . import round21_queries  # noqa: F401
+except ImportError:  # pragma: no cover - partial checkouts
+    pass
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation.
 #
@@ -142,7 +147,8 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=0, stale refill=50) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=1, stale refill=49) --
+    "corpus_build_increment_store",
     "csv_malformed_tolerant_read",
     "customer_abc_classes",
     "daily_cusum_shift",
@@ -192,7 +198,6 @@ _DRIVER_FIRST = [
     "daily_seasonal_backtest",
     "daily_type_share",
     "docs_bow_dedup",
-    "docs_char_diversity",
 ]
 
 

@@ -125,9 +125,17 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — two shuffles and a 1.5M-row explode — measured 0.79s → 0.38s
     at sf0.1 with bit-identical results. Both fractions are single
     exact IEEE divisions of integers."""
-    d = _docs(spark, sf_dir)
-    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
-    srt = F.array_sort(_bigrams(F.col("__tk")))
+    return repetition_frame(_docs(spark, sf_dir))
+
+
+def repetition_stat_cols(tk: Column) -> tuple[Column, Column, Column]:
+    """(n_tokens, n_distinct, max_bg) expressions over a PRE-PROJECTED
+    tokens column — the per-doc repetition statistics as raw column
+    expressions, shared by repetition_frame and the store-backed
+    admission lane's featurized batch projection so the two can never
+    drift. max_bg is the longest-equal-run fold over the sorted bigram
+    array (see docs_repetition_stats)."""
+    srt = F.array_sort(_bigrams(tk))
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -144,11 +152,37 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(acc["best"], run).alias("best"),
         )
 
+    return (
+        F.size(tk).cast("long"),
+        F.size(F.array_distinct(tk)).cast("long"),
+        F.aggregate(srt, init, step, lambda acc: acc["best"]),
+    )
+
+
+def repetitive_col(n_tokens: Column, n_distinct: Column, max_bg: Column) -> Column:
+    """The Gopher drop verdict from the three raw stats — the exact
+    fraction expressions of repetition_frame (same casts, same IEEE
+    divisions), factored so the featurized-batch projection flags
+    docs map-side without building the stats frame."""
+    dup_frac = (n_tokens - n_distinct).cast("double") / n_tokens
+    top_frac = (2 * max_bg).cast("double") / n_tokens
+    return (dup_frac > DUP_WORD_FRAC_MAX) | (top_frac > TOP_BIGRAM_FRAC_MAX)
+
+
+def repetition_frame(d: DataFrame) -> DataFrame:
+    """docs_repetition_stats' per-row projection over an ARBITRARY docs
+    slice (doc_id, text) — the frame-based form the store-backed
+    incremental build applies to just the day's batch (standing
+    verdicts come from the persisted decision table). Zero exchanges
+    either way; shared so slice and full-corpus stats can never
+    diverge."""
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    n_tokens, n_distinct, max_bg = repetition_stat_cols(F.col("__tk"))
     stats = toked.select(
         "doc_id",
-        F.size("__tk").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("__tk")).cast("long").alias("n_distinct"),
-        F.aggregate(srt, init, step, lambda acc: acc["best"]).alias("max_bg"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        max_bg.alias("max_bg"),
     )
     dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
         "n_tokens"

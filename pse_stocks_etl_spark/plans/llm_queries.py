@@ -253,6 +253,80 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_array(text: Column) -> Column:
+    """array<long> of 60-bit shingle hashes for one text column —
+    shingle_docs without the explode, for map-side composition (the
+    store-backed admission lane computes shingles, MinHash signatures
+    and band buckets in ONE per-row projection, no shuffle). Same
+    tokenize → shingle → hash chain, element-for-element."""
+    from ..functions.text import portable_hash64, shingles_from_tokens, tokens
+
+    return F.transform(
+        shingles_from_tokens(tokens(text), SHINGLE_N), portable_hash64
+    )
+
+
+def minhash_sig_array(sh_arr: Column) -> Column:
+    """array<long> MinHash(k) signature from a shingle-hash array —
+    _minhash_sig's exact arithmetic ((a*(sh%P)+b)%P, min per hash)
+    evaluated map-side over the array instead of a groupBy over the
+    explode. Empty shingle set → null elements (callers must exclude
+    empty docs from bucket membership, matching the groupBy form where
+    such docs simply have no rows)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh_arr,
+                    lambda s: (MINHASH_A[i] * (s % MINHASH_P) + MINHASH_B[i])
+                    % MINHASH_P,
+                )
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
+def band_bucket_array(sig_arr: Column) -> Column:
+    """array<long> of band-bucket keys from a signature array —
+    _band_buckets' key construction (hash of 'band:sig:sig:sig'),
+    token-for-token, map-side."""
+    from ..functions.text import portable_hash64
+
+    rows = MINHASH_K // MINHASH_BANDS
+    return F.array(
+        *[
+            portable_hash64(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(sig_arr, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+
+
+def shingle_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, 60-bit shingle-hash) frame for an ARBITRARY docs slice
+    (doc_id, text) — the frame-based twin of _shingle_explode, used by
+    the store-backed incremental build to shingle ONLY the day's batch
+    instead of the whole corpus. Same tokenize → shingle → hash chain,
+    so slices compose bit-identically with the cached full working set."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    raw = toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("__tk"), SHINGLE_N)).alias("sh"),
+    )
+    return raw.select("doc_id", portable_hash64(F.col("sh")).alias("sh"))
+
+
 def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, 60-bit shingle-hash) working set (distinct by
     construction — shingles are deduped per doc)."""

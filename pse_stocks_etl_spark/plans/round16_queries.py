@@ -509,10 +509,23 @@ def pack_layout(docs: DataFrame, kept: DataFrame) -> DataFrame:
     (round20_queries.corpus_build_increment) so the two can never pack
     differently. One (split, source)-keyed window over tiny metadata
     rows (doc_id, n); the document text never enters the shuffle."""
+    d = docs.join(kept, "doc_id")
+    return pack_from_meta(
+        d.select(
+            "doc_id", "source", token_count(F.col("text")).cast("long").alias("n")
+        )
+    )
+
+
+def pack_from_meta(meta: DataFrame) -> DataFrame:
+    """pack_layout's split + window arithmetic over PRE-COMPUTED pack
+    metadata (doc_id, source, n) — the form the store-backed
+    incremental build feeds from its persisted standing survivor
+    table, where n was token-counted when the doc was admitted and the
+    text never re-enters the plan."""
     from .llm_queries import SPLIT_TEST_PCT, SPLIT_VAL_PCT
     from .corpus_queries import PACK_CAPACITY
 
-    d = docs.join(kept, "doc_id")
     bucket = (
         portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
         % 100
@@ -523,15 +536,9 @@ def pack_layout(docs: DataFrame, kept: DataFrame) -> DataFrame:
         .otherwise("train")
     )
     w = Window.partitionBy("split", "source").orderBy("doc_id")
-    out = (
-        d.select(
-            "doc_id",
-            "source",
-            split.alias("split"),
-            token_count(F.col("text")).cast("long").alias("n"),
-        )
-        .withColumn("cum", F.sum("n").over(w))
-    )
+    out = meta.select(
+        "doc_id", "source", split.alias("split"), F.col("n").cast("long").alias("n")
+    ).withColumn("cum", F.sum("n").over(w))
     return out.select(
         "doc_id",
         "source",
