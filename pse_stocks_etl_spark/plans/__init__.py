@@ -147,8 +147,10 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=1, stale refill=49) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=3, stale refill=47) --
     "corpus_build_increment_store",
+    "emb_ivf_split_iterate",
+    "corpus_epoch_plan",
     "csv_malformed_tolerant_read",
     "customer_abc_classes",
     "daily_cusum_shift",
@@ -196,8 +198,6 @@ _DRIVER_FIRST = [
     "customer_order_distribution",
     "customer_rfm_segments",
     "daily_seasonal_backtest",
-    "daily_type_share",
-    "docs_bow_dedup",
 ]
 
 

@@ -589,3 +589,451 @@ def _late_bind_store_increment_oracle() -> None:
 
 
 _late_bind_store_increment_oracle()
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_split_iterate: overload-split to quiescence (VERDICT r11 item 4)
+# --------------------------------------------------------------------------
+# emb_ivf_cell_split does ONE binary split per invocation; a real
+# rebalancer loops until no cell exceeds its bar (the SemDeDup-paper
+# contract: cell count scales with the corpus). This lane unrolls
+# ITERATE_ROUNDS split rounds (the emb_kmeans_refine unrolled-oracle
+# pattern), each touching ONLY still-hot cells, and terminates early —
+# a round whose overload set is empty passes members and centroids
+# through unchanged.
+#
+# The bar is the MAINTENANCE band (n * 2 > 3 * ideal, i.e. 1.5x the
+# ideal share), deliberately tighter than emb_ivf_cell_stats' 4x ALARM
+# bar: the audit flags emergencies, the maintenance loop keeps the file
+# near-uniform — and the registry fixture (max cell ~48-50 vs ideal 31)
+# genuinely exercises a round-1 split under it, quiescing in round 2.
+# Split cells get STRING keys ("<cell>", then "<cell>.0"/"<cell>.1",
+# "<cell>.1.0", ...) because sub-cells have trained (synthetic)
+# centroids, not centroid vec_ids — the frozen-IVF id convention stops
+# at round 1.
+
+ITERATE_ROUNDS = 2
+ITERATE_OVER_NUM = 3  # n * ITERATE_OVER_DEN > ITERATE_OVER_NUM * ideal
+ITERATE_OVER_DEN = 2
+
+
+def _split_round(member: DataFrame, cents: DataFrame):
+    """One overload-split round. member: (vec_id, cell, ck, v);
+    cents: (ck, cvec). Returns (member', cents') with hot cells split
+    in two (furthest-point-seeded one-step Lloyd, the
+    ivf_cell_split_frame mechanics generalized to vector-carried
+    centroids) and everything else untouched — on a cell-partitioned
+    store only hot-cell partitions rewrite (the
+    emb_ann_ivfpq_increment hardlink contract)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+    from ..operators.dedup import topk_per_group
+    from .round20_queries import SPLIT_QUANT  # fixed-point Lloyd-mean quantum
+
+    per = member.groupBy("ck").agg(F.count("*").cast("long").alias("n"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = per.withColumn("total", F.sum("n").over(w_all)).withColumn(
+        "k", F.count("*").over(w_all)
+    )
+    over = tot.filter(
+        F.expr(f"n * {ITERATE_OVER_DEN} > {ITERATE_OVER_NUM} * (total div k)")
+    ).select("ck")
+
+    hot = member.join(F.broadcast(over), "ck")
+    cold = member.join(F.broadcast(over), "ck", "left_anti")
+    chot = cents.join(F.broadcast(over), "ck")
+    ccold = cents.join(F.broadcast(over), "ck", "left_anti")
+
+    hcos = hot.join(F.broadcast(chot), "ck").select(
+        "ck", "vec_id", cosine(F.col("v"), F.col("cvec")).alias("ccos")
+    )
+    seed1 = (
+        topk_per_group(hcos, ["ck"], [F.col("ccos").asc(), F.col("vec_id").asc()], k=1)
+        .join(member.select("vec_id", "v"), "vec_id")
+        .select("ck", F.col("v").alias("svec"), F.lit(1).alias("sub"))
+    )
+    seed0 = chot.select("ck", F.col("cvec").alias("svec"), F.lit(0).alias("sub"))
+    seeds = seed0.unionByName(seed1)
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = hot.join(F.broadcast(centroids), "ck").select(
+            "ck",
+            "cell",
+            "vec_id",
+            "v",
+            "sub",
+            cosine(F.col("v"), F.col("svec")).alias("scos"),
+        )
+        return topk_per_group(
+            scored, ["vec_id"], [F.col("scos").desc(), F.col("sub").asc()], k=1
+        ).select("ck", "cell", "vec_id", "v", "sub")
+
+    a1 = assign(seeds)
+    longd = a1.select("ck", "sub", F.posexplode("v").alias("dim", "val")).select(
+        "ck",
+        "sub",
+        "dim",
+        F.round(F.col("val") * SPLIT_QUANT).cast("long").alias("vq"),
+    )
+    mean = longd.groupBy("ck", "sub", "dim").agg(
+        (F.sum("vq") * 1.0 / F.count("*") / float(SPLIT_QUANT)).alias("val")
+    )
+    trained = mean.groupBy("ck", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s["val"],
+        ).alias("svec")
+    )
+    a2 = assign(trained)
+
+    sub_key = F.concat_ws(".", F.col("ck"), F.col("sub").cast("string"))
+    member2 = cold.unionByName(
+        a2.select("vec_id", "cell", sub_key.alias("ck"), "v")
+    )
+    cents2 = ccold.unionByName(trained.select(sub_key.alias("ck"), F.col("svec").alias("cvec")))
+    return member2, cents2
+
+
+def ivf_split_iterate_parts(member: DataFrame, cents: DataFrame, rounds: int):
+    """Per-round (member, cents) states — round 0 is the input. Tests
+    assert the max-cell-population monotonicity on these."""
+    states = [(member, cents)]
+    for _ in range(rounds):
+        member, cents = _split_round(member, cents)
+        states.append((member, cents))
+    return states
+
+
+@register(
+    "emb_ivf_split_iterate",
+    oracle=None,  # set below (unrolled 2-round chain over the member CTE)
+    tags=("llm", "similarity", "index-maintenance", "iterative"),
+)
+def emb_ivf_split_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated IVF rebalance: {ITERATE_ROUNDS} unrolled overload-split
+    rounds over the frozen 16-cell inverted file, each splitting every
+    cell above the maintenance band (1.5x ideal share) and leaving the
+    rest untouched, with early quiescence (an empty overload set makes
+    the round an exact pass-through). Output: each member's final cell
+    key + population.
+
+    Scale: per round, the overload set is a bounded broadcast; seeds
+    and trained sub-centroids are ≤2 rows per hot cell, broadcast; the
+    Lloyd step and re-assign are two passes over HOT members only. k
+    grows by |overloaded| per round, so the file converges toward the
+    SemDeDup-paper contract (cells ∝ corpus) without ever rewriting a
+    cold cell's partition."""
+    from .llm_queries import IVF_CENTROID_IDS, _emb
+    from ..functions.vectors import to_double_array
+    from .round18_queries import _semdedup_members
+
+    member = _semdedup_members(spark, sf_dir).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("cell").cast("string").alias("ck"),
+        "v",
+    )
+    cents = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").cast("string").alias("ck"),
+            to_double_array(F.col("embedding")).alias("cvec"),
+        )
+    )
+    for _ in range(ITERATE_ROUNDS):
+        member, cents = _split_round(member, cents)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ck")
+    return member.select(
+        "vec_id",
+        "cell",
+        F.col("ck").alias("cell_key"),
+        F.count("*").over(w).cast("long").alias("n_cell"),
+    )
+
+
+def _sql_iterate_round(i: int, p: str) -> str:
+    """One unrolled split round as a CTE block: inputs m{p}/c{p} →
+    outputs m{i}/c{i}. Every pair cosine expands its dot ONCE in an
+    inner projection (compile-footprint budget: 4 vec-vec dots per
+    round — hot-member-vs-centroid, seed assign, trained self-norm,
+    trained assign)."""
+    from .llm_queries import EMB_DIM
+    from .round20_queries import SPLIT_QUANT
+    from ..functions.vectors import sql_dot
+
+    dot_cent = sql_dot("e.embedding", "c.cvec", EMB_DIM)
+    dot_seed = sql_dot("e.embedding", "s.svec", EMB_DIM)
+    dot_self = sql_dot("svec", "svec", EMB_DIM)
+    dot_tr = sql_dot("e.embedding", "t.svec", EMB_DIM)
+    return f"""
+    p{i} AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n FROM m{p} GROUP BY ck),
+    t{i} AS (
+      SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM p{i}
+    ),
+    o{i} AS (
+      SELECT ck FROM t{i}
+      WHERE n * {ITERATE_OVER_DEN} > {ITERATE_OVER_NUM} * (total // k)
+    ),
+    h{i} AS (
+      SELECT m.vec_id, m.cell, m.ck FROM m{p} m JOIN o{i} o ON o.ck = m.ck
+    ),
+    hc{i} AS (
+      SELECT h.vec_id, h.ck,
+             round({dot_cent} / (n.nrm * c.cnrm), 6) AS ccos
+      FROM h{i} h
+      JOIN embeddings e ON e.vec_id = h.vec_id
+      JOIN vnorms n ON n.vec_id = h.vec_id
+      JOIN c{p} c ON c.ck = h.ck
+    ),
+    sd{i} AS (
+      SELECT c.ck, 0 AS sub, c.cvec AS svec, c.cnrm AS snrm
+      FROM c{p} c JOIN o{i} o ON o.ck = c.ck
+      UNION ALL
+      SELECT x.ck, 1, e.embedding::DOUBLE[] AS svec, nn.nrm
+      FROM (
+        SELECT ck, vec_id,
+               row_number() OVER (PARTITION BY ck
+                                  ORDER BY ccos ASC, vec_id ASC) AS rn
+        FROM hc{i}
+      ) x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN vnorms nn ON nn.vec_id = x.vec_id
+      WHERE x.rn = 1
+    ),
+    a{i}1 AS (
+      SELECT ck, cell, vec_id, sub FROM (
+        SELECT ck, cell, vec_id, sub,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY scos DESC, sub ASC) AS rn
+        FROM (
+          SELECT h.ck, h.cell, h.vec_id, s.sub,
+                 round({dot_seed} / (ne.nrm * s.snrm), 6) AS scos
+          FROM h{i} h
+          JOIN sd{i} s ON s.ck = h.ck
+          JOIN embeddings e ON e.vec_id = h.vec_id
+          JOIN vnorms ne ON ne.vec_id = h.vec_id
+        )
+      ) WHERE rn = 1
+    ),
+    mm{i} AS (
+      SELECT a.ck, a.sub, u.dim,
+             SUM(u.vq) * 1.0 / COUNT(*) / {SPLIT_QUANT}.0 AS val
+      FROM a{i}1 a JOIN u ON u.vec_id = a.vec_id
+      GROUP BY a.ck, a.sub, u.dim
+    ),
+    tr{i} AS (
+      SELECT ck, sub, list(val ORDER BY dim) AS svec FROM mm{i}
+      GROUP BY ck, sub
+    ),
+    tn{i} AS (
+      SELECT ck, sub, svec, sqrt({dot_self}) AS snrm FROM tr{i}
+    ),
+    a{i}2 AS (
+      SELECT ck, cell, vec_id, sub FROM (
+        SELECT ck, cell, vec_id, sub,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY scos DESC, sub ASC) AS rn
+        FROM (
+          SELECT h.ck, h.cell, h.vec_id, t.sub,
+                 round({dot_tr} / (ne.nrm * t.snrm), 6) AS scos
+          FROM h{i} h
+          JOIN tn{i} t ON t.ck = h.ck
+          JOIN embeddings e ON e.vec_id = h.vec_id
+          JOIN vnorms ne ON ne.vec_id = h.vec_id
+        )
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT m.vec_id, m.cell, m.ck FROM m{p} m
+      WHERE m.ck NOT IN (SELECT ck FROM o{i})
+      UNION ALL
+      SELECT a.vec_id, a.cell,
+             a.ck || '.' || CAST(a.sub AS VARCHAR) AS ck
+      FROM a{i}2 a
+    ),
+    c{i} AS (
+      SELECT c.ck, c.cvec, c.cnrm FROM c{p} c
+      WHERE c.ck NOT IN (SELECT ck FROM o{i})
+      UNION ALL
+      SELECT ck || '.' || CAST(sub AS VARCHAR) AS ck, svec AS cvec,
+             snrm AS cnrm
+      FROM tn{i}
+    )"""
+
+
+def _late_bind_split_iterate_oracle() -> None:
+    from .registry import REGISTRY
+    from .round18_queries import _sql_semdedup_member_cte
+    from .round20_queries import SPLIT_QUANT
+
+    if "emb_ivf_split_iterate" not in REGISTRY:  # pragma: no cover
+        return
+    REGISTRY["emb_ivf_split_iterate"].oracle = f"""
+    WITH {_sql_semdedup_member_cte()},
+    m0 AS (SELECT vec_id, cell, CAST(cell AS VARCHAR) AS ck FROM member),
+    c0 AS (
+      SELECT CAST(cid AS VARCHAR) AS ck, cvec::DOUBLE[] AS cvec, cnrm
+      FROM cents
+    ),
+    u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding::DOUBLE[]) * {SPLIT_QUANT}) AS BIGINT) AS vq
+      FROM embeddings
+    ),{_sql_iterate_round(1, "0")},{_sql_iterate_round(2, "1")}
+    SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell, m.ck AS cell_key,
+           CAST(COUNT(*) OVER (PARTITION BY m.ck) AS BIGINT) AS n_cell
+    FROM m2 m
+"""
+
+
+_late_bind_split_iterate_oracle()
+
+
+# --------------------------------------------------------------------------
+# corpus_epoch_plan: the dataloader's cursor sequence (VERDICT r11 item 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle=None,  # set below (composes manifest + shuffle + cap oracles)
+    tags=("llm", "corpus", "data-order", "mixture", "composition"),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training data-order manifest: compose
+    docs_epoch_cap_redistribute (HOW MANY tokens each source
+    contributes — the data-constrained water-fill) with
+    corpus_epoch_shuffle (WHAT ORDER the train chunks stream in) into
+    the artifact a dataloader actually consumes: per epoch, the train
+    chunks in shuffle order, each with the token count actually DRAWN
+    from it (full, the partial cap-boundary draw, or 0 once its
+    source's allocation is exhausted) and its cursor position among
+    admitted chunks.
+
+    Consumption rule (deterministic, resumable): chunks consume their
+    source's allocation in (epoch, shuffle_pos) order; a chunk takes
+    min(its tokens, remaining allocation) — so per source,
+    Σ take_tokens == min(alloc_tokens, available) exactly (the
+    conservation law tests/test_round21.py pins) and no draw ever
+    crosses the cap.
+
+    Scale: pure metadata like its two inputs — the manifest's chunk
+    rows × epochs, one keyed join against the bounded source-enum
+    allocation (broadcast), one per-source running window, one
+    per-epoch admitted-counter window. The text never moves."""
+    from .registry import REGISTRY
+    from pyspark.sql import Window
+
+    shuffle = (
+        REGISTRY["corpus_epoch_shuffle"].fn(spark, sf_dir).filter(F.col("split") == "train")
+    )
+    chunks = (
+        REGISTRY["corpus_shard_manifest"]
+        .fn(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .select("source", "chunk_no", F.col("n_tokens").alias("chunk_tokens"))
+    )
+    alloc = (
+        REGISTRY["docs_epoch_cap_redistribute"]
+        .fn(spark, sf_dir)
+        .select("source", "alloc_tokens")
+    )
+    seq = shuffle.join(
+        chunks,
+        shuffle["source"].eqNullSafe(chunks["source"])
+        & (shuffle["chunk_no"] == chunks["chunk_no"]),
+    ).select(
+        "epoch",
+        shuffle["source"].alias("source"),
+        shuffle["chunk_no"].alias("chunk_no"),
+        "shuffle_pos",
+        "chunk_tokens",
+    ).join(
+        F.broadcast(alloc).withColumnRenamed("source", "a_source"),
+        F.col("source").eqNullSafe(F.col("a_source")),
+        "left",
+    )
+    w_src = Window.partitionBy("source").orderBy("epoch", "shuffle_pos")
+    run = seq.withColumn("run", F.sum("chunk_tokens").over(w_src))
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.col("chunk_tokens"),
+            F.coalesce(F.col("alloc_tokens"), F.lit(0)) - (F.col("run") - F.col("chunk_tokens")),
+        ),
+    )
+    f = run.withColumn("take_tokens", take.cast("long"))
+    w_ep = Window.partitionBy("epoch").orderBy("shuffle_pos")
+    cursor = F.when(
+        F.col("take_tokens") > 0,
+        F.sum(F.when(F.col("take_tokens") > 0, 1).otherwise(0)).over(w_ep),
+    ).cast("long")
+    return f.select(
+        "epoch",
+        "source",
+        "chunk_no",
+        "shuffle_pos",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "take_tokens",
+        cursor.alias("cursor_pos"),
+    )
+
+
+def _late_bind_epoch_plan_oracle() -> None:
+    from .registry import REGISTRY
+
+    needed = (
+        "corpus_epoch_plan",
+        "corpus_epoch_shuffle",
+        "corpus_shard_manifest",
+        "docs_epoch_cap_redistribute",
+    )
+    if any(k not in REGISTRY for k in needed):  # pragma: no cover - partial
+        # checkout: skip binding; unexpected KeyErrors raise loudly.
+        return
+    shuffle = REGISTRY["corpus_epoch_shuffle"].oracle
+    manifest = REGISTRY["corpus_shard_manifest"].oracle
+    cap = REGISTRY["docs_epoch_cap_redistribute"].oracle
+    REGISTRY["corpus_epoch_plan"].oracle = f"""
+    WITH s AS (SELECT * FROM ({shuffle}) WHERE split = 'train'),
+    tr AS (
+      SELECT source, chunk_no, n_tokens FROM ({manifest}) WHERE split = 'train'
+    ),
+    a AS (SELECT source, alloc_tokens FROM ({cap})),
+    seq AS (
+      SELECT s.epoch, s.source, s.chunk_no, s.shuffle_pos,
+             t.n_tokens AS chunk_tokens, a.alloc_tokens
+      FROM s
+      JOIN tr t ON t.source IS NOT DISTINCT FROM s.source
+               AND t.chunk_no = s.chunk_no
+      LEFT JOIN a ON a.source IS NOT DISTINCT FROM s.source
+    ),
+    r AS (
+      SELECT *, SUM(chunk_tokens) OVER (PARTITION BY source
+                                        ORDER BY epoch, shuffle_pos) AS run
+      FROM seq
+    ),
+    f AS (
+      SELECT *,
+             CAST(GREATEST(0, LEAST(chunk_tokens,
+                  COALESCE(alloc_tokens, 0) - (run - chunk_tokens)))
+                  AS BIGINT) AS take_tokens
+      FROM r
+    )
+    SELECT epoch, source, chunk_no, shuffle_pos,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens, take_tokens,
+           CASE WHEN take_tokens > 0 THEN
+             CAST(SUM(CASE WHEN take_tokens > 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY epoch ORDER BY shuffle_pos) AS BIGINT)
+           END AS cursor_pos
+    FROM f
+"""
+
+
+_late_bind_epoch_plan_oracle()
