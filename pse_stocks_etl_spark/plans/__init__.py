@@ -147,10 +147,16 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=3, stale refill=47) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=9, stale refill=41) --
     "corpus_build_increment_store",
     "emb_ivf_split_iterate",
     "corpus_epoch_plan",
+    "docs_dsir_weights",
+    "docs_dsir_select",
+    "corpus_build_quality",
+    "corpus_resume_cursor",
+    "docs_crossdoc_dup_rate",
+    "docs_dsir_increment",
     "csv_malformed_tolerant_read",
     "customer_abc_classes",
     "daily_cusum_shift",
@@ -192,12 +198,6 @@ _DRIVER_FIRST = [
     "value_mad_outliers",
     "variant_props_histogram",
     "vwap_weekly",
-    "array_agg_user_profile",
-    "brand_bracket_revenue",
-    "custkey_skew_profile",
-    "customer_order_distribution",
-    "customer_rfm_segments",
-    "daily_seasonal_backtest",
 ]
 
 

@@ -1,4 +1,7 @@
-"""Round-21 queries: store-backed incremental corpus admission.
+"""Round-21 queries: store-backed incremental corpus admission, the
+iterated IVF rebalance, the epoch dataloader plan + resume, DSIR
+importance resampling (batch + incremental), the classifier-distilled
+build, and the cross-document duplicate-window audit.
 
 `corpus_build_increment` (round20_queries.py) proved the standing+batch
 decomposition equals a full rebuild, but its self-contained form
@@ -1037,3 +1040,682 @@ def _late_bind_epoch_plan_oracle() -> None:
 
 
 _late_bind_epoch_plan_oracle()
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram importance weights)
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., 2023): score
+# every raw document by how much more likely its hashed n-gram bag is
+# under a TARGET distribution than under the raw-corpus distribution,
+# then sample with probability proportional to that importance weight.
+# The target here is the corpus's curated slice (DSIR_TARGET_SOURCES —
+# the paper's "formal text" role); features are hashed unigram buckets.
+#
+# Integer-exactness: the paper's log-likelihood-ratio sum is libm
+# territory (breaks cross-engine value hashing), so the score is the
+# k-weighted ARITHMETIC mean of per-bucket probability ratios in ppm
+# fixed point — the docs_bigram_lm_score convention: a related integer
+# proxy with the same qualitative ranking boundary as the log-sum, NOT
+# a monotone transform of it (the mean of ratios orders extreme docs
+# the same way the sum of logs does, but can disagree in the middle).
+
+DSIR_BUCKETS = 4096  # hashed feature space (paper: 10k buckets)
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the curated target slice
+DSIR_ACCEPT_DIV = 2  # acceptance_ppm = score_ppm / 2, capped at 1e6
+
+
+def dsir_scored(docs: DataFrame, target_sources=DSIR_TARGET_SOURCES) -> DataFrame:
+    """Per-doc DSIR importance score over any (doc_id, source, text)
+    frame (factored out so tests can feed engineered corpora).
+
+    Two passes, exactly the two DSIR itself requires: (1) FIT — one
+    tokenize + hash scan aggregated to a <=DSIR_BUCKETS-row weight
+    table (shuffle keyed on the bucket id, map-side combined; the
+    totals ride an unpartitioned window over the BOUNDED bucket frame,
+    the documented mixture-lane pass); (2) SCORE — re-tokenize and
+    join the BROADCAST weight table map-side, then one groupBy(doc).
+    At 100 TB production would fit pass (1) on a sample of raw (the
+    paper does); the plan is unchanged, only the fit input shrinks.
+
+    Laplace +1 smoothing keeps unseen buckets finite on both sides;
+    weight_ppm = ((ct+1)/(T+B)) / ((cr+1)/(R+B)) in ppm via two exact
+    integer divisions + the overflow-split _muldiv. Headroom: the
+    intermediate products stay in int64 while token totals are under
+    ~9.2e12 per side — the same documented class as the bigram lane."""
+    occ = _dsir_occ(docs, target_sources)
+    return dsir_score_against(occ, dsir_weight_table(occ))
+
+
+def _dsir_occ(docs: DataFrame, target_sources=DSIR_TARGET_SOURCES) -> DataFrame:
+    """(doc_id, is_target, g, k): hashed-bucket occurrence counts —
+    the shared substrate of the fit and score passes."""
+    from ..functions.text import portable_hash64, tokens
+
+    d = docs.filter(F.col("text").isNotNull())
+    return (
+        d.select(
+            "doc_id",
+            F.coalesce(
+                F.col("source").isin(*target_sources), F.lit(False)
+            ).alias("is_target"),
+            F.explode(tokens(F.col("text"))).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                portable_hash64(F.concat(F.lit("dsir|"), F.col("w")))
+                % DSIR_BUCKETS
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "is_target", "g")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+
+
+def dsir_weight_table(occ: DataFrame) -> DataFrame:
+    """FIT: the <=DSIR_BUCKETS-row (g, weight_ppm) table from an
+    occurrence frame."""
+    from pyspark.sql import Window
+
+    from .round18_queries import PPM, _muldiv
+
+    cnt = occ.groupBy("g").agg(
+        F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cr"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cnt.withColumn("t_tot", F.sum("ct").over(w_all))
+        .withColumn("r_tot", F.sum("cr").over(w_all))
+        .withColumn("ratio1", F.expr(f"((ct + 1) * {PPM}) div (cr + 1)"))
+        .withColumn(
+            "scale1",
+            F.expr(
+                f"((r_tot + {DSIR_BUCKETS}) * {PPM}) div (t_tot + {DSIR_BUCKETS})"
+            ),
+        )
+        .withColumn("weight_ppm", F.expr(_muldiv("ratio1", "scale1", PPM, "div")))
+        .select("g", "weight_ppm")
+    )
+
+
+def dsir_score_against(occ: DataFrame, wt: DataFrame) -> DataFrame:
+    """SCORE: per-doc ratio-mean score of an occurrence frame under a
+    (broadcast) weight table. Buckets absent from the table score as
+    the neutral smoothed floor would: the left join coalesces a
+    missing weight to 0, which UNDER-ranks genuinely unseen
+    vocabulary — the conservative direction for admission."""
+    return (
+        occ.join(F.broadcast(wt), "g", "left")
+        .withColumn("weight_ppm", F.coalesce(F.col("weight_ppm"), F.lit(0)))
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.sum("k").cast("long").alias("n_toks"),
+            F.sum(F.col("k") * F.col("weight_ppm")).cast("long").alias("sum_w_micro"),
+        )
+        .withColumn("score_ppm", F.expr("sum_w_micro div n_toks"))
+    )
+
+
+def _sql_dsir_cte(target_sources=DSIR_TARGET_SOURCES) -> str:
+    """Oracle CTE chain ending in `dscore(doc_id, is_target, n_toks,
+    sum_w_micro, score_ppm)` — token-identical arithmetic to
+    dsir_scored."""
+    from ..functions.text import sql_portable_hash64
+    from .round8_queries import _SQL_TOKS
+    from .round18_queries import PPM, _muldiv
+
+    srcs = ", ".join(f"'{s}'" for s in target_sources)
+    g = sql_portable_hash64("'dsir|' || w")
+    return f"""
+    dtoks AS (
+      SELECT doc_id, COALESCE(source IN ({srcs}), FALSE) AS is_target,
+             unnest({_SQL_TOKS}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    docc AS (
+      SELECT doc_id, is_target, ({g}) % {DSIR_BUCKETS} AS g,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM dtoks GROUP BY 1, 2, 3
+    ),
+    dcnt AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN is_target THEN k ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN NOT is_target THEN k ELSE 0 END) AS BIGINT) AS cr
+      FROM docc GROUP BY g
+    ),
+    dtot AS (
+      SELECT *, CAST(SUM(ct) OVER () AS BIGINT) AS t_tot,
+             CAST(SUM(cr) OVER () AS BIGINT) AS r_tot
+      FROM dcnt
+    ),
+    dwt AS (
+      SELECT g,
+             ((ct + 1) * {PPM}) // (cr + 1) AS ratio1,
+             ((r_tot + {DSIR_BUCKETS}) * {PPM}) // (t_tot + {DSIR_BUCKETS}) AS scale1
+      FROM dtot
+    ),
+    dwt2 AS (
+      SELECT g, {_muldiv("ratio1", "scale1", PPM, "//")} AS weight_ppm FROM dwt
+    ),
+    dscore AS (
+      SELECT o.doc_id, o.is_target,
+             CAST(SUM(o.k) AS BIGINT) AS n_toks,
+             CAST(SUM(o.k * w.weight_ppm) AS BIGINT) AS sum_w_micro,
+             (CAST(SUM(o.k * w.weight_ppm) AS BIGINT)
+              // CAST(SUM(o.k) AS BIGINT)) AS score_ppm
+      FROM docc o JOIN dwt2 w ON o.g = w.g
+      GROUP BY o.doc_id, o.is_target
+    )"""
+
+
+from .round18_queries import PPM as _PPM  # noqa: E402 (oracle literals)
+from ..functions.text import sql_portable_hash64 as _sql_h64  # noqa: E402
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH {_sql_dsir_cte()}
+    SELECT doc_id, is_target, n_toks, sum_w_micro, score_ppm FROM dscore
+""",
+    tags=("llm", "selection", "dsir"),
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the corpus: per doc the hashed-
+    unigram importance score of its bag under target-vs-raw bucket
+    models (see dsir_scored for the fit/score shape and the integer
+    ratio-mean proxy note). The curated slice itself is scored too
+    (is_target = TRUE) — its scores sit high by construction and act
+    as the lane's self-diagnostic."""
+    from .llm_queries import _docs
+
+    return dsir_scored(_docs(spark, sf_dir))
+
+
+@register(
+    "docs_dsir_select",
+    oracle=f"""
+    WITH {_sql_dsir_cte()}
+    SELECT doc_id, score_ppm, accept_ppm, hash_ppm,
+           (hash_ppm < accept_ppm) AS keep
+    FROM (
+      SELECT doc_id, score_ppm,
+             LEAST({_PPM}, score_ppm // {DSIR_ACCEPT_DIV}) AS accept_ppm,
+             ({_sql_h64("'dsirsel|' || CAST(doc_id AS VARCHAR)")}) % {_PPM} AS hash_ppm
+      FROM dscore
+    )
+""",
+    tags=("llm", "selection", "dsir", "sampling"),
+)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING on the DSIR weights: deterministic
+    per-doc Bernoulli admission with acceptance probability
+    proportional to the importance score (accept_ppm = score_ppm /
+    2, capped at 1) — the docs_temperature_sample coin convention
+    (the doc's own hash, not RNG state), so re-runs admit the same
+    docs and a preempted selection resumes for free.
+
+    The proportionality constant is FIXED (a tuning parameter), not a
+    per-run max-normalization: a global max over per-doc scores would
+    be one more full-corpus aggregate and would make yesterday's
+    admission decisions depend on today's corpus — the fixed scale
+    keeps selection a map-side filter over the scored frame at 100 TB
+    and keeps admission monotone under corpus growth."""
+    from ..functions.text import portable_hash64
+    from .llm_queries import _docs
+    from .round18_queries import PPM
+
+    s = dsir_scored(_docs(spark, sf_dir))
+    hash_ppm = (
+        portable_hash64(
+            F.concat(F.lit("dsirsel|"), F.col("doc_id").cast("string"))
+        )
+        % PPM
+    )
+    return (
+        s.select(
+            "doc_id",
+            "score_ppm",
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(f"score_ppm div {DSIR_ACCEPT_DIV}"),
+            ).alias("accept_ppm"),
+            hash_ppm.alias("hash_ppm"),
+        )
+        .withColumn("keep", F.col("hash_ppm") < F.col("accept_ppm"))
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_build_quality: classifier-distilled corpus assembly
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_build_quality",
+    oracle=None,  # set below (ANDs the classifier gate into the build SQL)
+    tags=("llm", "pipeline", "quality-classifier", "composition", "packing"),
+)
+def corpus_build_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated corpus assembly: the end-to-end build
+    (corpus_build, round16_queries.py:477) with the TRAINED quality
+    classifier composed into the admission gate — a doc packs iff the
+    cleaning pipeline keeps it AND the classifier serving pass
+    (docs_quality_train_score) predicts keep. This is the
+    high-precision intersection corpus a production curation stack
+    ships when a cheap learned filter runs beside the rule pipeline;
+    the packing arithmetic is pack_layout, shared verbatim with
+    corpus_build and both incremental builds, so the two corpora can
+    never pack differently.
+
+    Scale: the pipeline verdict is derived ONCE and reused as both the
+    training labels and the admission gate — the two consumers share
+    one lineage object, so their canonicalized subplans are identical
+    and Spark's ReusedExchange pays the pipeline once per action
+    (composing the registered score query instead re-derives the
+    pipeline in a fresh lineage per consumer: measured 18.7s vs this
+    plan's one-pipeline cost at sf0.1 ×1). The classifier side is the
+    bounded-grid weight table (broadcast) + a per-doc margin sum; the
+    feature frame is likewise one shared lineage across XtX/Xty/
+    serving; packing stays the (split, source)-partitioned window."""
+    from .registry import REGISTRY
+    from .round16_queries import pack_layout
+    from .round20_queries import _qtrain_feat, _qtrain_weights
+    from .llm_queries import _docs
+
+    pk = (
+        REGISTRY["docs_pipeline_keep"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=False)  # pipeline verdict paid once
+    )
+    labels = pk.select("doc_id", (F.col("keep").cast("int") * 2 - 1).alias("y"))
+    feat = _qtrain_feat(spark, sf_dir).localCheckpoint(eager=False)
+    w = _qtrain_weights(feat, labels).select("bucket", "w_scaled")
+    margins = (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_scaled").cast("long").alias("margin"))
+    )
+    kept = (
+        pk.filter(F.col("keep"))
+        .select("doc_id")
+        .join(margins.filter(F.col("margin") > 0).select("doc_id"), "doc_id")
+    )
+    return pack_layout(_docs(spark, sf_dir), kept)
+
+
+def _late_bind_build_quality_oracle() -> None:
+    from .corpus_queries import PACK_CAPACITY
+    from .llm_queries import SPLIT_TEST_PCT, SPLIT_VAL_PCT
+    from .registry import REGISTRY
+    from ..functions.text import sql_portable_hash64, sql_token_count
+
+    needed = ("corpus_build_quality", "docs_pipeline_keep", "docs_quality_train_score")
+    if any(k not in REGISTRY for k in needed):  # pragma: no cover - partial
+        # checkout: skip binding; unexpected KeyErrors raise loudly.
+        return
+    keep = REGISTRY["docs_pipeline_keep"].oracle
+    score = REGISTRY["docs_quality_train_score"].oracle
+    h = sql_portable_hash64("'split:' || CAST(d.doc_id AS VARCHAR)")
+    REGISTRY["corpus_build_quality"].oracle = f"""
+    WITH kept AS (
+      SELECT k.doc_id FROM ({keep}) k
+      JOIN ({score}) s ON s.doc_id = k.doc_id
+      WHERE k.keep AND s.pred_keep
+    ),
+    sdocs AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN ({h}) % 100 < {SPLIT_TEST_PCT} THEN 'test'
+                  WHEN ({h}) % 100 < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split,
+             {sql_token_count('d.text')} AS n
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    ),
+    c AS (
+      SELECT doc_id, source, split, n,
+             CAST(SUM(n) OVER (PARTITION BY split, source ORDER BY doc_id)
+                  AS BIGINT) AS cum
+      FROM sdocs
+    )
+    SELECT doc_id, source, split, CAST(n AS BIGINT) AS n_tokens,
+           (cum - n) AS start_off,
+           ((cum - n) // {PACK_CAPACITY}) AS first_chunk,
+           ((cum - 1) // {PACK_CAPACITY}) AS last_chunk
+    FROM c
+"""
+
+
+_late_bind_build_quality_oracle()
+
+
+# --------------------------------------------------------------------------
+# corpus_resume_cursor: dataloader resume from a checkpoint position
+# --------------------------------------------------------------------------
+
+RESUME_EPOCH = 1
+RESUME_CURSOR = 3  # the dataloader died after drawing cursor 3 of epoch 1
+
+
+@register(
+    "corpus_resume_cursor",
+    oracle=None,  # set below (filters the corpus_epoch_plan oracle)
+    tags=("llm", "corpus", "data-order", "resume"),
+)
+def corpus_resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader RESUME: the remaining draw stream after a checkpoint
+    (epoch {RESUME_EPOCH}, cursor {RESUME_CURSOR}) — every admitted
+    chunk strictly past the checkpoint in (epoch, cursor) order. This
+    is corpus_epoch_plan's resumability claim made executable: because
+    position is a pure function of the manifest (no RNG state), resume
+    is a FILTER over the re-derived plan, and the property test pins
+    resume == full admitted stream minus the consumed prefix.
+
+    Scale: the plan's own audited shape plus one map-side predicate —
+    nothing new shuffles."""
+    from .registry import REGISTRY
+
+    plan = REGISTRY["corpus_epoch_plan"].fn(spark, sf_dir)
+    return (
+        plan.filter(F.col("take_tokens") > 0)
+        .filter(
+            (F.col("epoch") > RESUME_EPOCH)
+            | (
+                (F.col("epoch") == RESUME_EPOCH)
+                & (F.col("cursor_pos") > RESUME_CURSOR)
+            )
+        )
+        .select(
+            "epoch", "source", "chunk_no", "shuffle_pos", "take_tokens", "cursor_pos"
+        )
+    )
+
+
+def _late_bind_resume_oracle() -> None:
+    from .registry import REGISTRY
+
+    needed = ("corpus_resume_cursor", "corpus_epoch_plan")
+    if any(k not in REGISTRY for k in needed):  # pragma: no cover - partial
+        return
+    plan = REGISTRY["corpus_epoch_plan"].oracle
+    REGISTRY["corpus_resume_cursor"].oracle = f"""
+    SELECT epoch, source, chunk_no, shuffle_pos, take_tokens, cursor_pos
+    FROM ({plan})
+    WHERE take_tokens > 0
+      AND (epoch > {RESUME_EPOCH}
+           OR (epoch = {RESUME_EPOCH} AND cursor_pos > {RESUME_CURSOR}))
+"""
+
+
+_late_bind_resume_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_crossdoc_dup_rate: cross-document repeated-window rate
+# --------------------------------------------------------------------------
+# docs_substring_dedup (round17) counts ANY second occurrence of an
+# L-token window — including repeats WITHIN one document, the removable
+# class. This lane measures the complementary memorization-risk signal
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", §5): windows that appear in MORE THAN ONE document. A
+# boilerplate header repeated across 10k pages is a cross-doc dup; a
+# chorus repeated inside one song is not — and only the former is the
+# train/test-leak + verbatim-memorization hazard.
+
+
+@register(
+    "docs_crossdoc_dup_rate",
+    oracle=None,  # set below (module constants)
+    tags=("llm", "dedup-substring", "memorization", "audit"),
+)
+def docs_crossdoc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: how many of its L-token windows ({SUB_L} tokens, the
+    substring-dedup L) also occur in at least one OTHER document, the
+    rate in ppm, and a flag at >=20% cross-doc coverage.
+
+    Shape: the stride-1 window stream is |tokens| rows of 8-byte
+    hashes (the docs_substring_dedup budget). The distinct-document
+    count per window hash rides TWO keyed windows on one lineage — a
+    row_number over (w, doc_id) marks each doc's first occurrence,
+    then a sum of those marks over (w) is the distinct-doc count —
+    instead of a distinct+groupBy+join-back, which would re-shuffle
+    the stream twice and re-scan the corpus for the join. Per-doc
+    rollup and the left join ride doc_id. No all-pairs stage — linear
+    at 100 TB like its round17 sibling."""
+    from pyspark.sql import Window
+
+    from ..functions.text import portable_hash64, tokens
+    from .llm_queries import _docs
+    from .round8_queries import _grams_all
+    from .round17_queries import SUB_L
+    from .round18_queries import PPM
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    wins = toked.select(
+        "doc_id",
+        F.posexplode(_grams_all(F.col("tk"), SUB_L, 1)).alias("pos", "g"),
+    ).select("doc_id", "pos", portable_hash64(F.col("g")).alias("w"))
+    first_in_doc = (
+        F.row_number().over(Window.partitionBy("w", "doc_id").orderBy("pos")) == 1
+    ).cast("int")
+    flagged = wins.select(
+        "doc_id", "pos", first_in_doc.alias("fid"), "w"
+    ).withColumn("n_docs", F.sum("fid").over(Window.partitionBy("w")))
+    perdoc = (
+        flagged.filter(F.col("n_docs") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_cross_windows"))
+    )
+    base = toked.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.greatest(F.size("tk") - (SUB_L - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    j = base.join(perdoc, "doc_id", "left")
+    ncw = F.coalesce(F.col("n_cross_windows"), F.lit(0).cast("long"))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        ncw.alias("n_cross_windows"),
+        F.when(F.col("n_windows") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"(coalesce(n_cross_windows, 0) * {PPM}) div n_windows"))
+        .alias("cross_ppm"),
+        (5 * ncw >= F.col("n_windows")).alias("flag_doc"),
+    )
+
+
+def _late_bind_crossdoc_oracle() -> None:
+    from ..functions.text import sql_portable_hash64
+    from .registry import REGISTRY
+    from .round8_queries import _SQL_TOKS
+    from .round17_queries import SUB_L
+    from .round18_queries import PPM
+
+    if "docs_crossdoc_dup_rate" not in REGISTRY:  # pragma: no cover - partial
+        return
+    REGISTRY["docs_crossdoc_dup_rate"].oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             {sql_portable_hash64(f"array_to_string(tk[pos:pos+{SUB_L - 1}], ' ')")} AS w
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - {SUB_L - 1}, 0) + 1)) AS pos
+            FROM toks)
+    ),
+    firsts AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN row_number() OVER (PARTITION BY w, doc_id ORDER BY pos) = 1
+                  THEN 1 ELSE 0 END AS fid
+      FROM wins
+    ),
+    flagged AS (
+      SELECT doc_id, pos, SUM(fid) OVER (PARTITION BY w) AS n_docs
+      FROM firsts
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cross_windows
+      FROM flagged WHERE n_docs > 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(t.tk) - {SUB_L - 1}, 0) AS BIGINT) AS n_windows,
+           COALESCE(p.n_cross_windows, 0) AS n_cross_windows,
+           CASE WHEN greatest(len(t.tk) - {SUB_L - 1}, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (COALESCE(p.n_cross_windows, 0) * {PPM})
+                     // greatest(len(t.tk) - {SUB_L - 1}, 0) END AS cross_ppm,
+           (5 * COALESCE(p.n_cross_windows, 0)
+              >= greatest(len(t.tk) - {SUB_L - 1}, 0)) AS flag_doc
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+_late_bind_crossdoc_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_dsir_increment: batch admission under the FROZEN standing weights
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_dsir_increment",
+    oracle=None,  # set below (standing-fit / batch-score CTE split)
+    tags=("llm", "selection", "dsir", "incremental"),
+)
+def docs_dsir_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR admission: the day's crawl batch (top tenth of
+    the id range — the corpus_build_increment convention) is scored
+    and hash-thinned under the weight table fitted on STANDING docs
+    only. This is the production posture: the bucket models are
+    refreshed on a cadence, not per batch, so admission decisions are
+    (a) cheap — the batch pays one tokenize + one broadcast join, the
+    standing corpus is only scanned when the weights refresh — and
+    (b) stable — yesterday's keep cannot flip because today's batch
+    shifted the raw distribution. Batch buckets unseen in the standing
+    fit score the conservative 0 floor (dsir_score_against).
+
+    Contract difference vs docs_dsir_select, stated plainly: the
+    scores here are NOT the full-refit scores (the oracle fits on the
+    standing slice verbatim) — the lane's claim is frozen-model
+    serving, not refit equivalence."""
+    from ..functions.text import portable_hash64
+    from .llm_queries import _docs
+    from .round18_queries import PPM
+
+    d = _docs(spark, sf_dir)
+    tmax = d.agg(F.max("doc_id").alias("max_id"))
+    dd = d.crossJoin(F.broadcast(tmax))
+    is_batch = F.col("doc_id") * 10 > F.col("max_id") * 9
+    standing = dd.filter(~is_batch).drop("max_id")
+    batch = dd.filter(is_batch).drop("max_id")
+    wt = dsir_weight_table(_dsir_occ(standing))
+    s = dsir_score_against(_dsir_occ(batch), wt)
+    hash_ppm = (
+        portable_hash64(
+            F.concat(F.lit("dsirsel|"), F.col("doc_id").cast("string"))
+        )
+        % PPM
+    )
+    return (
+        s.select(
+            "doc_id",
+            "score_ppm",
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(f"score_ppm div {DSIR_ACCEPT_DIV}"),
+            ).alias("accept_ppm"),
+            hash_ppm.alias("hash_ppm"),
+        )
+        .withColumn("keep", F.col("hash_ppm") < F.col("accept_ppm"))
+    )
+
+
+def _late_bind_dsir_increment_oracle() -> None:
+    from ..functions.text import sql_portable_hash64
+    from .registry import REGISTRY
+    from .round8_queries import _SQL_TOKS
+    from .round18_queries import PPM, _muldiv
+
+    if "docs_dsir_increment" not in REGISTRY:  # pragma: no cover - partial
+        return
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    g = sql_portable_hash64("'dsir|' || w")
+    hsel = sql_portable_hash64("'dsirsel|' || CAST(doc_id AS VARCHAR)")
+
+    def occ(p: str, rel: str) -> str:
+        return f"""
+    {p}toks AS (
+      SELECT doc_id, COALESCE(source IN ({srcs}), FALSE) AS is_target,
+             unnest({_SQL_TOKS}) AS w
+      FROM {rel} WHERE text IS NOT NULL
+    ),
+    {p}occ AS (
+      SELECT doc_id, is_target, ({g}) % {DSIR_BUCKETS} AS g,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM {p}toks GROUP BY 1, 2, 3
+    )"""
+
+    REGISTRY["docs_dsir_increment"].oracle = f"""
+    WITH dmax AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    st AS (
+      SELECT d.* FROM documents d, dmax m
+      WHERE NOT (d.doc_id * 10 > m.max_id * 9)
+    ),
+    bt AS (
+      SELECT d.* FROM documents d, dmax m
+      WHERE d.doc_id * 10 > m.max_id * 9
+    ),{occ("st", "st")},
+    stcnt AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN is_target THEN k ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN NOT is_target THEN k ELSE 0 END) AS BIGINT) AS cr
+      FROM stocc GROUP BY g
+    ),
+    sttot AS (
+      SELECT *, CAST(SUM(ct) OVER () AS BIGINT) AS t_tot,
+             CAST(SUM(cr) OVER () AS BIGINT) AS r_tot
+      FROM stcnt
+    ),
+    stwt AS (
+      SELECT g,
+             ((ct + 1) * {PPM}) // (cr + 1) AS ratio1,
+             ((r_tot + {DSIR_BUCKETS}) * {PPM}) // (t_tot + {DSIR_BUCKETS}) AS scale1
+      FROM sttot
+    ),
+    stwt2 AS (
+      SELECT g, {_muldiv("ratio1", "scale1", PPM, "//")} AS weight_ppm FROM stwt
+    ),{occ("bt", "bt")},
+    bscore AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.k) AS BIGINT) AS n_toks,
+             CAST(SUM(o.k * COALESCE(w.weight_ppm, 0)) AS BIGINT) AS sum_w_micro,
+             (CAST(SUM(o.k * COALESCE(w.weight_ppm, 0)) AS BIGINT)
+              // CAST(SUM(o.k) AS BIGINT)) AS score_ppm
+      FROM btocc o LEFT JOIN stwt2 w ON o.g = w.g
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, score_ppm, accept_ppm, hash_ppm,
+           (hash_ppm < accept_ppm) AS keep
+    FROM (
+      SELECT doc_id, score_ppm,
+             LEAST({PPM}, score_ppm // {DSIR_ACCEPT_DIV}) AS accept_ppm,
+             ({hsel}) % {PPM} AS hash_ppm
+      FROM bscore
+    )
+"""
+
+
+_late_bind_dsir_increment_oracle()

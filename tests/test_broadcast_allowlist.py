@@ -152,6 +152,23 @@ ALLOWED = {
     ("plans/round20_queries.py", "qprobe"): "per-query probed sub-cells (3 x nprobe rows)",
     ("plans/round20_queries.py", "rep_sh"): "benchmark-rep shingles (subset of the bounded-by-contract bench set, same as corpus_queries bench_sh)",
     ("plans/round20_queries.py", "w"): "trained weight vector: <= QTRAIN_BUCKETS+1 = 65 rows",
+    # --- round-21 lanes (r12): store-backed admission / iterated split /
+    # epoch plan / DSIR / classifier-distilled build
+    ("plans/round21_queries.py", "tmax"): "global max id (1 row; three sites: store seed, batch featurize, DSIR increment split)",
+    ("plans/round21_queries.py", "bt_hash.select('h')"): "batch content hashes: one row per BATCH doc — the admission contract's small side; broadcasting it is the point (matched-then-anti, so the 100 TB keeper table never shuffles). A batch too big to broadcast is a re-seed event, not an admission",
+    ("plans/round21_queries.py", "matched"): "keeper hashes hit by the batch: subset of the batch hash set above",
+    ("plans/round21_queries.py", "bt_bench.select('h')"): "batch's benchmark-slice hashes: subset of the batch hash set",
+    ("plans/round21_queries.py", "matched_rep"): "standing reps hit by the batch: subset of the batch bench hashes",
+    ("plans/round21_queries.py", "over_st"): "over-cap bucket list from the persisted widths (<= n/cap keys)",
+    ("plans/round21_queries.py", "over_union"): "over-cap ∪ flipped buckets (<= n/cap keys)",
+    ("plans/round21_queries.py", "flipped"): "buckets the batch pushed over the cap: subset of batch-touched buckets, <= n/cap keys",
+    ("plans/round21_queries.py", "rep_sh"): "benchmark-rep shingles (bounded-by-contract bench set, same as corpus_queries bench_sh; two sites: store seed + admission)",
+    ("plans/round21_queries.py", "over"): "overloaded cell keys per iterate round: <= current cell count (<= 16·2^ROUNDS = 64)",
+    ("plans/round21_queries.py", "chot"): "hot cells' centroid vectors: subset of `over`",
+    ("plans/round21_queries.py", "centroids"): "Lloyd seeds / trained sub-centroids: <= 2 per hot cell (<= 128)",
+    ("plans/round21_queries.py", "alloc"): "per-source epoch allocation: bounded source enum (the mixture-lane bound)",
+    ("plans/round21_queries.py", "wt"): "DSIR weight table: <= DSIR_BUCKETS = 4096 rows by construction",
+    ("plans/round21_queries.py", "w"): "trained quality-classifier weight vector: <= QTRAIN_BUCKETS+1 = 65 rows",
     ("plans/round6_queries.py", "du"): None,  # REMOVED r8 — left as tombstone
     ("plans/round6_queries.py", "dv"): None,  # REMOVED r8 — tombstone
 }

@@ -280,3 +280,174 @@ def test_epoch_plan_conservation(spark):
                 want += 1
             else:
                 assert r.cursor_pos is None
+
+
+def _dsir_corpus(spark):
+    """Engineered corpus: the target slice speaks vocab A; raw docs are
+    either in-distribution (vocab A — DSIR should uprank) or
+    off-distribution (vocab B — downrank)."""
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "zork quux blorp fnord grue wumpus"
+    rows = (
+        [(i, "tgt", a) for i in range(10)]
+        + [(100 + i, "rawsrc", a) for i in range(5)]  # in-distribution
+        + [(200 + i, "rawsrc", b) for i in range(5)]  # off-distribution
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_dsir_separates_in_from_off_distribution(spark):
+    """Every in-distribution raw doc outscores every off-distribution
+    raw doc, and the target slice's own scores sit at/above the
+    in-distribution raw scores (it IS the target sample)."""
+    from pse_stocks_etl_spark.plans.round21_queries import dsir_scored
+
+    rows = dsir_scored(_dsir_corpus(spark), target_sources=("tgt",)).collect()
+    by_id = {r.doc_id: r for r in rows}
+    in_dist = [by_id[100 + i].score_ppm for i in range(5)]
+    off_dist = [by_id[200 + i].score_ppm for i in range(5)]
+    assert min(in_dist) > max(off_dist), (in_dist, off_dist)
+    tgt = [by_id[i].score_ppm for i in range(10)]
+    assert min(tgt) >= min(in_dist)
+    # smoothing keeps everything finite and positive
+    assert all(r.score_ppm > 0 for r in rows)
+    assert all(r.n_toks == 6 for r in rows)
+
+
+def test_dsir_select_contract(spark):
+    """Selection invariants on the registry fixture: acceptance is the
+    capped half-score, the coin is the doc's own hash (re-run gives
+    identical decisions), and keep == hash < accept exactly."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round18_queries import PPM
+
+    out = plans.REGISTRY["docs_dsir_select"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.accept_ppm <= PPM
+        assert r.accept_ppm == min(PPM, r.score_ppm // 2)
+        assert 0 <= r.hash_ppm < PPM
+        assert r.keep == (r.hash_ppm < r.accept_ppm)
+    again = {r.doc_id: r.keep for r in out.collect()}
+    assert again == {r.doc_id: r.keep for r in rows}
+
+
+def test_dsir_target_slice_outscores_raw_at_fixture(spark):
+    """On the driver fixture the curated slice's mean score must beat
+    the raw mean — the lane's self-diagnostic (if this fails, the
+    weight table learned nothing)."""
+    from pse_stocks_etl_spark import plans
+
+    rows = plans.REGISTRY["docs_dsir_weights"].fn(spark, SF_DIR).collect()
+    tgt = [r.score_ppm for r in rows if r.is_target]
+    raw = [r.score_ppm for r in rows if not r.is_target]
+    assert tgt and raw
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_build_quality_is_gate_intersection(spark):
+    """corpus_build_quality packs exactly the docs BOTH gates keep —
+    its doc set is the intersection, a strict subset check against the
+    plain build, and the packing arithmetic agrees doc-for-doc with
+    corpus_build on the shared survivors' (split, source) windows."""
+    from pse_stocks_etl_spark import plans
+
+    q = plans.REGISTRY["corpus_build_quality"].fn(spark, SF_DIR).collect()
+    b = {r.doc_id for r in plans.REGISTRY["corpus_build"].fn(spark, SF_DIR).collect()}
+    clf = {
+        r.doc_id
+        for r in plans.REGISTRY["docs_quality_train_score"].fn(spark, SF_DIR).collect()
+        if r.pred_keep
+    }
+    got = {r.doc_id for r in q}
+    assert got == (b & clf) and got
+    assert got <= b
+
+
+def test_resume_is_suffix_of_full_plan(spark):
+    """corpus_resume_cursor == the full plan's admitted stream minus
+    the consumed prefix — the resumability claim as a set equality."""
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round21_queries import RESUME_CURSOR, RESUME_EPOCH
+
+    full = plans.REGISTRY["corpus_epoch_plan"].fn(spark, SF_DIR).collect()
+    admitted = [
+        r
+        for r in full
+        if r.take_tokens > 0
+        and (
+            r.epoch > RESUME_EPOCH
+            or (r.epoch == RESUME_EPOCH and r.cursor_pos > RESUME_CURSOR)
+        )
+    ]
+    want = {
+        (r.epoch, r.source, r.chunk_no, r.shuffle_pos, r.take_tokens, r.cursor_pos)
+        for r in admitted
+    }
+    got = {
+        tuple(r)
+        for r in plans.REGISTRY["corpus_resume_cursor"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_crossdoc_rate_ignores_internal_repeats(spark, tmp_path_factory):
+    """The lane's entire point vs docs_substring_dedup: a window
+    repeated only WITHIN one doc is not a cross-doc dup; shared
+    boilerplate across two docs is."""
+    import os
+
+    from pse_stocks_etl_spark import plans
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # exactly one L-window
+    internal = " ".join(f"r{i}" for i in range(12))
+    rows = [
+        (1, f"{boiler} xxa xxb xxc", "en", "s", 10),      # shares boiler with 2
+        (2, f"{boiler} yya yyb yyc", "en", "s", 10),      # shares boiler with 1
+        (3, f"{internal} zza {internal}", "en", "s", 10), # internal repeat only
+        (4, "short words only here", "en", "s", 10),      # < L tokens: 0 windows
+    ]
+    sf = str(tmp_path_factory.mktemp("cross_sf"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           plans.REGISTRY["docs_crossdoc_dup_rate"].fn(spark, sf).collect()}
+    assert out[1].n_cross_windows >= 1 and out[2].n_cross_windows >= 1
+    assert out[3].n_cross_windows == 0, "internal repetition must not count"
+    assert out[3].n_windows > 0
+    assert out[4].n_windows == 0 and out[4].cross_ppm == 0
+    assert out[1].flag_doc is not None
+
+
+def test_dsir_increment_scores_under_frozen_standing_weights(spark, tmp_path_factory):
+    """The increment's contract: batch docs score under weights fitted
+    on STANDING docs only. An in-target-distribution batch doc scores
+    far above ppm-neutral; a batch doc whose vocabulary the standing
+    fit never saw falls to (near) the conservative 0 floor."""
+    import os
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.round18_queries import PPM
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "zork quux blorp fnord grue wumpus"
+    c = "xylem phloem quasar nebula meson boson"  # unseen in standing
+    rows = (
+        [(i, a, "en", "src0", 10) for i in range(10)]        # standing target
+        + [(10 + i, b, "en", "raw", 10) for i in range(10)]  # standing raw
+        + [(95, a, "en", "raw", 10), (100, c, "en", "raw", 10)]  # batch
+    )
+    sf = str(tmp_path_factory.mktemp("dsir_inc_sf"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           plans.REGISTRY["docs_dsir_increment"].fn(spark, sf).collect()}
+    assert set(out) == {95, 100}, "batch = ids past 9/10 of the id range only"
+    assert out[95].score_ppm > PPM, "in-target-distribution doc must uprank"
+    assert out[100].score_ppm < PPM // 10, "unseen vocabulary ~ the 0 floor"
+    assert out[95].score_ppm > out[100].score_ppm
+    for r in out.values():
+        assert r.keep == (r.hash_ppm < r.accept_ppm)
