@@ -147,7 +147,7 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=9, stale refill=41) --
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=12, stale refill=38) --
     "corpus_build_increment_store",
     "emb_ivf_split_iterate",
     "corpus_epoch_plan",
@@ -157,6 +157,9 @@ _DRIVER_FIRST = [
     "corpus_resume_cursor",
     "docs_crossdoc_dup_rate",
     "docs_dsir_increment",
+    "docs_ccnet_buckets",
+    "corpus_pack_nosplit",
+    "corpus_pack_efficiency",
     "csv_malformed_tolerant_read",
     "customer_abc_classes",
     "daily_cusum_shift",
@@ -195,9 +198,6 @@ _DRIVER_FIRST = [
     "user_value_ewma",
     "user_value_rolling_median",
     "value_histogram",
-    "value_mad_outliers",
-    "variant_props_histogram",
-    "vwap_weekly",
 ]
 
 

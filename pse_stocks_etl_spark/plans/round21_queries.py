@@ -1719,3 +1719,341 @@ def _late_bind_dsir_increment_oracle() -> None:
 
 
 _late_bind_dsir_increment_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_ccnet_buckets: per-source LM-score terciles (CCNet head/middle/tail)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_ccnet_buckets",
+    oracle=None,  # set below (composes the bigram-LM per-doc CTE)
+    tags=("llm", "quality", "lm", "curation"),
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    source, rank documents by the corpus-trained bigram-LM score
+    (docs_bigram_lm_score's avg inverse conditional probability — low
+    = fluent) and cut into equal THIRDS: head (most fluent), middle,
+    tail. CCNet buckets per language by LM perplexity and trains on
+    head+middle; source plays the language role here and the integer
+    LM proxy plays perplexity (same qualitative boundary, per the
+    round18 module note).
+
+    Exactness vs scale, stated plainly: ntile(3) over (source) is the
+    EXACT rank cut and what the oracle pins, but it sorts each
+    source's rows inside one partition — fine for bounded sources, a
+    skew hazard for a mega-source. The 100 TB form computes boundary
+    VALUES from a sample (CCNet itself does) or the log2-histogram
+    cumulative (the docs_length_quantile_hist pattern) and buckets
+    map-side against broadcast boundaries; output differs only by
+    boundary estimation error the paper already accepts."""
+    from pyspark.sql import Window
+
+    from .llm_queries import _docs
+    from .registry import REGISTRY
+
+    lm = (
+        REGISTRY["docs_bigram_lm_score"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "avg_ip_micro")
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_ip_micro").asc(), F.col("doc_id").asc()
+    )
+    t = F.ntile(3).over(w)
+    return (
+        lm.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_ip_micro",
+            t.cast("long").alias("tercile"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .withColumn("train_keep", F.col("tercile") <= 2)
+    )
+
+
+def _late_bind_ccnet_oracle() -> None:
+    from .registry import REGISTRY
+    from .round18_queries import _sql_lm_perdoc_cte
+
+    if "docs_ccnet_buckets" not in REGISTRY:  # pragma: no cover - partial
+        return
+    REGISTRY["docs_ccnet_buckets"].oracle = f"""
+    WITH {_sql_lm_perdoc_cte()},
+    ranked AS (
+      SELECT l.doc_id, d.source, l.avg_ip_micro,
+             CAST(ntile(3) OVER (PARTITION BY d.source
+                                 ORDER BY l.avg_ip_micro ASC, l.doc_id ASC)
+                  AS BIGINT) AS tercile
+      FROM lmdoc l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, source, avg_ip_micro, tercile,
+           CASE WHEN tercile = 1 THEN 'head'
+                WHEN tercile = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (tercile <= 2) AS train_keep
+    FROM ranked
+"""
+
+
+_late_bind_ccnet_oracle()
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_nosplit: sample packing WITHOUT document splitting
+# --------------------------------------------------------------------------
+# corpus_build's shard layout packs tokens back-to-back: zero internal
+# waste, but a document may straddle a chunk boundary — fine for plain
+# LM pretraining, wrong when samples must not cross sequence
+# boundaries (packed fine-tuning, attention-separated packing). The
+# packing-without-splitting problem is bin packing; Krell et al. 2022
+# ("Efficient Sequence Packing without Cross-contamination") solve it
+# on the bounded LENGTH HISTOGRAM. This lane implements the
+# one-window closed form of that family — FOLDED PAIRING: within each
+# (split, source) shard, rank docs by length (desc, id tiebreak) and
+# pair rank r with rank n+1-r; a pair that fits shares a pack, one
+# that doesn't splits into two packs (the longer alone). At most one
+# window + one rank-keyed metadata self-join — no sequential greedy,
+# no driver loop — at the cost of a measured fill-rate gap vs true
+# SPFHP (folded pairing is the 2-per-pack special case).
+
+
+@register(
+    "corpus_pack_nosplit",
+    oracle=None,  # set below (needs PACK_CAPACITY + split constants)
+    tags=("llm", "corpus", "packing", "curation"),
+)
+def corpus_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: its shard (split, source), token count, folded-pairing
+    pack id, the pack's total tokens, and the pack fill rate in ppm
+    (fill > 1e6 flags an overlong single doc — never truncated, the
+    honest diagnostic). Pack numbering: pair at fold position p emits
+    pack 2p when it fits (or is the odd middle singleton), else the
+    longer member keeps 2p and the shorter moves to 2p+1 — ids stay
+    unique and deterministic without a second pass.
+
+    Scale: ranks are per-(split, source) keyed windows over one-row-
+    per-doc metadata (the pack_from_meta posture — text never enters
+    the shuffle); the partner lookup is a (split, source, rank)-keyed
+    equi-join of that frame to itself, co-partitioned by the same
+    keys."""
+    from pyspark.sql import Window
+
+    from ..functions.text import portable_hash64, token_count
+    from .corpus_queries import PACK_CAPACITY
+    from .llm_queries import SPLIT_TEST_PCT, SPLIT_VAL_PCT, _docs
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    bucket = (
+        portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, "test")
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    meta = d.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("split", "source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    wp = Window.partitionBy("split", "source")
+    r = meta.withColumn("r", F.row_number().over(w).cast("long")).withColumn(
+        "n_part", F.count("*").over(wp).cast("long")
+    )
+    partner = r.select(
+        F.col("split").alias("p_split"),
+        F.col("source").alias("p_source"),
+        F.col("r").alias("p_r"),
+        F.col("n_tokens").alias("partner_tokens"),
+    )
+    j = r.join(
+        partner,
+        (F.col("split").eqNullSafe(F.col("p_split")))
+        & (F.col("source").eqNullSafe(F.col("p_source")))
+        & (F.col("n_part") + 1 - F.col("r") == F.col("p_r")),
+    )
+    p = F.least(F.col("r"), F.col("n_part") + 1 - F.col("r"))
+    is_mid = F.col("r") * 2 == F.col("n_part") + 1
+    fits = F.col("n_tokens") + F.col("partner_tokens") <= PACK_CAPACITY
+    pack_no = (
+        F.when(is_mid, p * 2)
+        .when(fits, p * 2)
+        .when(F.col("r") < F.col("n_part") + 1 - F.col("r"), p * 2)
+        .otherwise(p * 2 + 1)
+    )
+    pack_tokens = (
+        F.when(is_mid | ~fits, F.col("n_tokens"))
+        .otherwise(F.col("n_tokens") + F.col("partner_tokens"))
+    )
+    return j.select(
+        "doc_id",
+        "split",
+        "source",
+        "n_tokens",
+        F.col("r").alias("len_rank"),
+        pack_no.cast("long").alias("pack_no"),
+        pack_tokens.cast("long").alias("pack_tokens"),
+    ).withColumn(
+        "fill_ppm", F.expr(f"(pack_tokens * 1000000) div {PACK_CAPACITY}")
+    )
+
+
+def _late_bind_pack_nosplit_oracle() -> None:
+    from ..functions.text import sql_portable_hash64, sql_token_count
+    from .corpus_queries import PACK_CAPACITY
+    from .llm_queries import SPLIT_TEST_PCT, SPLIT_VAL_PCT
+    from .registry import REGISTRY
+
+    if "corpus_pack_nosplit" not in REGISTRY:  # pragma: no cover - partial
+        return
+    h = sql_portable_hash64("'split:' || CAST(doc_id AS VARCHAR)")
+    REGISTRY["corpus_pack_nosplit"].oracle = f"""
+    WITH meta AS (
+      SELECT doc_id, source,
+             CASE WHEN ({h}) % 100 < {SPLIT_TEST_PCT} THEN 'test'
+                  WHEN ({h}) % 100 < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST({sql_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY split, source
+                                     ORDER BY n_tokens DESC, doc_id ASC)
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY split, source) AS BIGINT) AS n_part
+      FROM meta
+    ),
+    j AS (
+      SELECT a.*, b.n_tokens AS partner_tokens
+      FROM ranked a
+      JOIN ranked b
+        ON b.split IS NOT DISTINCT FROM a.split
+       AND b.source IS NOT DISTINCT FROM a.source
+       AND b.r = a.n_part + 1 - a.r
+    )
+    SELECT doc_id, split, source, n_tokens, r AS len_rank,
+           CAST(CASE
+             WHEN r * 2 = n_part + 1 THEN LEAST(r, n_part + 1 - r) * 2
+             WHEN n_tokens + partner_tokens <= {PACK_CAPACITY}
+               THEN LEAST(r, n_part + 1 - r) * 2
+             WHEN r < n_part + 1 - r THEN LEAST(r, n_part + 1 - r) * 2
+             ELSE LEAST(r, n_part + 1 - r) * 2 + 1
+           END AS BIGINT) AS pack_no,
+           CAST(CASE
+             WHEN r * 2 = n_part + 1 THEN n_tokens
+             WHEN n_tokens + partner_tokens <= {PACK_CAPACITY}
+               THEN n_tokens + partner_tokens
+             ELSE n_tokens
+           END AS BIGINT) AS pack_tokens,
+           (CAST(CASE
+             WHEN r * 2 = n_part + 1 THEN n_tokens
+             WHEN n_tokens + partner_tokens <= {PACK_CAPACITY}
+               THEN n_tokens + partner_tokens
+             ELSE n_tokens
+           END AS BIGINT) * 1000000) // {PACK_CAPACITY} AS fill_ppm
+    FROM j
+"""
+
+
+_late_bind_pack_nosplit_oracle()
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_efficiency: the no-split packer's measured waste
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pack_efficiency",
+    oracle=None,  # set below (aggregates the corpus_pack_nosplit oracle)
+    tags=("llm", "corpus", "packing", "audit"),
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (split, source): the folded packer's pack count vs the
+    bin-packing LOWER BOUND ceil(total_tokens / capacity), mean fill
+    in ppm, and the overlong-doc count — the audit that says what the
+    one-window approximation costs vs a perfect packer (which cannot
+    beat the lower bound). Krell et al. report SPFHP within ~2% of
+    optimal; this measures where folded pairing lands on THIS corpus.
+
+    Scale: an aggregate over the packer's per-doc metadata — bounded
+    output (splits × sources rows)."""
+    from .corpus_queries import PACK_CAPACITY
+    from .registry import REGISTRY
+
+    per = REGISTRY["corpus_pack_nosplit"].fn(spark, sf_dir)
+    packs = per.groupBy("split", "source", "pack_no").agg(
+        # members of a pack carry identical pack_tokens (invariant test);
+        # MIN (not first) keeps the aggregate order-free by construction
+        F.min("pack_tokens").alias("pack_tokens")
+    )
+    return (
+        packs.groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_packs"),
+            F.sum("pack_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("pack_tokens") > PACK_CAPACITY, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlong"),
+        )
+        .withColumn(
+            "lower_bound",
+            F.expr(f"(total_tokens + {PACK_CAPACITY} - 1) div {PACK_CAPACITY}"),
+        )
+        .withColumn(
+            "mean_fill_ppm",
+            F.expr(f"(total_tokens * 1000000) div (n_packs * {PACK_CAPACITY})"),
+        )
+        .withColumn("packs_over_bound", F.expr("n_packs - lower_bound"))
+    )
+
+
+def _late_bind_pack_efficiency_oracle() -> None:
+    from .corpus_queries import PACK_CAPACITY
+    from .registry import REGISTRY
+
+    needed = ("corpus_pack_efficiency", "corpus_pack_nosplit")
+    if any(k not in REGISTRY for k in needed):  # pragma: no cover - partial
+        return
+    per = REGISTRY["corpus_pack_nosplit"].oracle
+    REGISTRY["corpus_pack_efficiency"].oracle = f"""
+    WITH per AS ({per}),
+    packs AS (
+      SELECT split, source, pack_no, MIN(pack_tokens) AS pack_tokens
+      FROM per GROUP BY split, source, pack_no
+    ),
+    agg AS (
+      SELECT split, source,
+             CAST(COUNT(*) AS BIGINT) AS n_packs,
+             CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN pack_tokens > {PACK_CAPACITY} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlong
+      FROM packs GROUP BY split, source
+    )
+    SELECT split, source, n_packs, total_tokens, n_overlong,
+           ((total_tokens + {PACK_CAPACITY} - 1) // {PACK_CAPACITY}) AS lower_bound,
+           ((total_tokens * 1000000) // (n_packs * {PACK_CAPACITY})) AS mean_fill_ppm,
+           (n_packs - ((total_tokens + {PACK_CAPACITY} - 1) // {PACK_CAPACITY}))
+             AS packs_over_bound
+    FROM agg
+"""
+
+
+_late_bind_pack_efficiency_oracle()

@@ -451,3 +451,79 @@ def test_dsir_increment_scores_under_frozen_standing_weights(spark, tmp_path_fac
     assert out[95].score_ppm > out[100].score_ppm
     for r in out.values():
         assert r.keep == (r.hash_ppm < r.accept_ppm)
+
+
+def test_ccnet_terciles_are_balanced_and_ordered(spark):
+    """Within every source: tercile sizes differ by <= 1 (the ntile
+    contract) and max(head) <= min(middle) <= ... up to tie values
+    (scores are ordered across the cut points)."""
+    from collections import defaultdict
+
+    from pse_stocks_etl_spark import plans
+
+    rows = plans.REGISTRY["docs_ccnet_buckets"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_src = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_src[r.source][r.tercile].append(r.avg_ip_micro)
+        assert r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tercile]
+        assert r.train_keep == (r.tercile <= 2)
+    for src, ts in by_src.items():
+        sizes = [len(ts.get(t, [])) for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        if ts.get(1) and ts.get(2):
+            assert max(ts[1]) <= min(ts[2]), src
+        if ts.get(2) and ts.get(3):
+            assert max(ts[2]) <= min(ts[3]), src
+
+
+def test_pack_nosplit_invariants(spark):
+    """Folded pairing: every doc lands in exactly one pack; a pack
+    holds 1-2 docs of one (split, source); 2-doc packs fit the
+    capacity and their pack_tokens is the member sum; overfull packs
+    are single overlong docs."""
+    from collections import defaultdict
+
+    from pse_stocks_etl_spark import plans
+    from pse_stocks_etl_spark.plans.corpus_queries import PACK_CAPACITY
+
+    rows = plans.REGISTRY["corpus_pack_nosplit"].fn(spark, SF_DIR).collect()
+    assert rows
+    packs = defaultdict(list)
+    for r in rows:
+        packs[(r.split, r.source, r.pack_no)].append(r)
+    for key, ms in packs.items():
+        assert 1 <= len(ms) <= 2, key
+        tot = sum(m.n_tokens for m in ms)
+        for m in ms:
+            assert m.pack_tokens == tot, key
+        if len(ms) == 2:
+            assert tot <= PACK_CAPACITY, key
+        if tot > PACK_CAPACITY:
+            assert len(ms) == 1, "overfull pack must be a single overlong doc"
+    # every doc exactly once
+    assert sum(len(v) for v in packs.values()) == len(rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_pack_efficiency_bounds(spark):
+    """The audit's own laws: n_packs >= lower_bound always (no packer
+    can beat bin packing's volume bound), fill <= 1e6 unless the shard
+    has an overlong doc, and totals reconcile with the per-doc
+    packer."""
+    from collections import defaultdict
+
+    from pse_stocks_etl_spark import plans
+
+    eff = plans.REGISTRY["corpus_pack_efficiency"].fn(spark, SF_DIR).collect()
+    assert eff
+    per = plans.REGISTRY["corpus_pack_nosplit"].fn(spark, SF_DIR).collect()
+    tok = defaultdict(int)
+    for r in per:
+        tok[(r.split, r.source)] += r.n_tokens
+    for e in eff:
+        assert e.n_packs >= e.lower_bound, (e.split, e.source)
+        assert e.packs_over_bound == e.n_packs - e.lower_bound
+        if e.n_overlong == 0:
+            assert e.mean_fill_ppm <= 1_000_000
+        assert e.total_tokens == tok[(e.split, e.source)]
