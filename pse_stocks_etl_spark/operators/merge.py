@@ -153,28 +153,56 @@ def merge_cdf(
     guard) emit nothing — they are not part of the commit.
 
     Columns = target columns + `_change_type` (Delta's reserved name).
-    Built from one `classify_merge` pass; the preimage is a semi-join
-    of the target against the updated keys, so the plan shuffles on the
-    merge keys only — the same cost envelope as the merge itself.
+
+    One full-outer join on the merge keys, then a per-row branch
+    exploded into 0/1/2 CDF rows (r12 optimization): the earlier form
+    (classify join + a second target semi-join, unioned three ways)
+    re-executed the classify join in EVERY union branch — the physical
+    plan carried it three times and each branch was a full pass over
+    both inputs (plans/r12/store_mv_refresh_increment_before.txt shows
+    8 passes over the cached fact for one CDF). Here each side is
+    read and shuffled exactly once; `explode` (non-outer) drops the
+    NULL branch rows (skips and untouched target rows), so no second
+    pass filters them. Both inputs are key-unique by the MERGE
+    contract (Delta throws on duplicate source keys; the property
+    suite pins agreement with merge_dataframes on key-unique inputs),
+    under which the matched pairs here are exactly the classify
+    matches of the previous form.
     """
     cols = list(target.columns)
-    classified = classify_merge(target, source, keys, freshness_col)
-    inserts = (
-        classified.filter(F.col("merge_action") == "insert")
-        .select(*cols)
-        .withColumn("_change_type", F.lit("insert"))
+    t = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in cols],
+        F.lit(True).alias("__t_matched"),
     )
-    updates = classified.filter(F.col("merge_action") == "update")
-    post = updates.select(*cols).withColumn(
-        "_change_type", F.lit("update_postimage")
+    s = source.select(*cols, F.lit(True).alias("__s_matched"))
+    cond = _null_safe_key_cond(s, t, keys, [f"__t_{k}" for k in keys])
+    joined = s.join(t, on=cond, how="full_outer")
+
+    def _row(prefix: str, change: str):
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+            F.lit(change).alias("_change_type"),
+        )
+
+    if freshness_col:
+        fresh_ok = (
+            F.col(freshness_col) >= F.col(f"__t_{freshness_col}")
+        ) | F.col(f"__t_{freshness_col}").isNull()
+    else:
+        fresh_ok = F.lit(True)
+    branch = (
+        F.when(
+            F.col("__t_matched").isNull(), F.array(_row("", "insert"))
+        )
+        .when(
+            F.col("__s_matched").isNotNull() & fresh_ok,
+            F.array(
+                _row("__t_", "update_preimage"), _row("", "update_postimage")
+            ),
+        )
+        # else NULL: freshness skip, or target-only row — explode drops it
     )
-    ukeys = updates.select(*[F.col(k).alias(f"__u_{k}") for k in keys])
-    pre = target.join(
-        ukeys,
-        on=_null_safe_key_cond(target, ukeys, keys, [f"__u_{k}" for k in keys]),
-        how="left_semi",
-    ).withColumn("_change_type", F.lit("update_preimage"))
-    return inserts.unionByName(pre).unionByName(post)
+    return joined.select(F.explode(branch).alias("__r")).select("__r.*")
 
 
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
