@@ -537,24 +537,48 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles_cached,
     )
     from .registry import REGISTRY
-    from .round16_queries import pack_layout
+    from ..functions.text import token_count
+    from .round16_queries import pack_from_meta
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "source")
     docs = d.filter(F.col("text").isNotNull())
     tmax = docs.agg(F.max("doc_id").alias("max_id"))
-    base = docs.crossJoin(F.broadcast(tmax)).withColumn(
-        "is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9
+    # r12 optimization (guide §8: decide with small rows): ONE corpus
+    # scan emits every per-doc decision input this query needs — the
+    # content hash (exact dedup + contamination reps), the token count
+    # (packing), and the batch flag — as a ~40 B/doc metadata frame,
+    # localCheckpointed so the dozen standing/batch/rep/pack lineages
+    # read the cached frame instead of each re-scanning the corpus and
+    # re-hashing the text (the before-plan carried 305 parquet scans;
+    # the profile showed ~15 surviving at runtime). The TEXT never
+    # materializes: shingles ride the session working-set cache, and
+    # docs_repetition_stats keeps its own audited scan.
+    meta = (
+        docs.crossJoin(F.broadcast(tmax))
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            token_count(F.col("text")).cast("long").alias("n"),
+            (F.col("doc_id") * 10 > F.col("max_id") * 9).alias("is_batch"),
+        )
+        .localCheckpoint(eager=False)
     )
-    st = base.filter(~F.col("is_batch"))
-    bt = base.filter(F.col("is_batch"))
+    st = meta.filter(~F.col("is_batch"))
+    bt = meta.filter(F.col("is_batch"))
 
     # -- exact dedup: frozen standing keepers + batch hash admission
-    st_keep = st.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # st_keep is consumed by 4 lineages (standing survivors, batch
+    # anti-join, and through st_surv the LSH membership semi-joins);
+    # same localCheckpoint treatment as `buckets` below.
+    st_keep = (
+        st.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
     )
     st_surv = st_keep.select("doc_id")
     bt_surv = (
-        bt.groupBy(F.md5("text").alias("h"))
+        bt.groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(st_keep.select("h"), "h", "left_anti")
         .select("doc_id")
@@ -572,7 +596,26 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-action shingle/semdedup working sets which genuinely
     # re-execute per action.
     sh = _shingles_cached(spark, sf_dir)
-    buckets = _band_buckets(_minhash_sig(sh))
+    # r12 optimization: non-eager localCheckpoint of the bucket frame.
+    # The r11 in-plan note recorded a persist() A/B that LOST (10-12.8s
+    # vs 8.5-10s) and concluded ReusedExchange dedupes the subtree; the
+    # r12 stage profile disproved the conclusion — ReusedExchange
+    # dedupes only the EXCHANGE, and the reduce-side MinHash-signature
+    # aggregation + band hashing re-executed in ~11 consumer lineages
+    # (213 stages for one action, the dominant stage cluster). The
+    # checkpoint pays one materialization of the tiny (doc_id, bk)
+    # frame and replaces the other ~10 re-aggregations with cached-RDD
+    # scans, and truncates the lineage so the 213-stage plan collapses
+    # (92 stages, executor time 202s -> 7.7s after the full set of r12
+    # changes here). A/B same-session at sf0.1 (bench methodology,
+    # best-of-warm-runs): 9.59s baseline -> 6.01s buckets-only ->
+    # 4.2-4.9s adding the st_keep / bwidth / meta checkpoints.
+    # Checkpointing bt_surv was tried and REVERTED (5.6s — its blocking
+    # materialization job costs more than the duplicate derivation it
+    # saves; same verdict for checkpointing st_keep/bwidth WITHOUT
+    # buckets, 9.3s: the frames only pay off once the bucket frame
+    # they derive from is itself cached).
+    buckets = _band_buckets(_minhash_sig(sh)).localCheckpoint(eager=False)
     bwidth = (
         buckets.crossJoin(F.broadcast(tmax))
         .withColumn("is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9)
@@ -581,6 +624,7 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("w_all"),
             F.sum(F.col("is_batch").cast("int")).alias("w_b"),
         )
+        .localCheckpoint(eager=False)
     )
     over_union = bwidth.filter(F.col("w_all") > LSH_BUCKET_CAP).select("bk")
     over_st = bwidth.filter(
@@ -661,12 +705,12 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
     st_reps = (
         st.filter(is_bench)
-        .groupBy(F.md5("text").alias("h"))
+        .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
     )
     new_reps = (
         bt.filter(is_bench)
-        .groupBy(F.md5("text").alias("h"))
+        .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(st_reps.select("h"), "h", "left_anti")
     )
@@ -703,7 +747,13 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id", "left_anti")
         .join(cont, "doc_id", "left_anti")
     )
-    return pack_layout(docs, kept)
+    # Packing reads the token counts off the metadata frame (the
+    # pack_from_meta form the store-backed build also uses) — n was
+    # computed in the single scan above with pack_layout's exact
+    # token_count expression, so the layout is bit-identical.
+    return pack_from_meta(
+        meta.join(kept, "doc_id").select("doc_id", "source", "n")
+    )
 
 
 def _late_bind_corpus_increment_oracle() -> None:
