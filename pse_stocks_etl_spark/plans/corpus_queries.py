@@ -57,7 +57,13 @@ INDEX_BUCKET = 100  # doc_ids per global-index bucket
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r12: consumers here are tokenize/explode CPU-dense (TF-IDF,
+    # repetition/bigram stats, token budgets), so the scan carries the
+    # parallelism floor (see load_table_spread — structural no-op once
+    # the scan itself yields >= floor tasks).
+    from ..sources.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents", "doc_id")
 
 
 def _bigrams(tk: Column) -> Column:

@@ -244,8 +244,13 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle transform (see shingles_from_tokens: an inline split
     expression would re-tokenize per element, O(tokens²) per doc)."""
     from ..functions.text import shingles_from_tokens, tokens
+    from ..sources.catalog import load_table_spread
 
-    d = _docs(spark, sf_dir)
+    # r12: parallelism floor for the tokenize+shingle+hash projection —
+    # the 100x-the-scan CPU stage every near-dup query pays (see
+    # load_table_spread; structural no-op once the scan itself yields
+    # >= cores tasks).
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toked = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
     return toked.select(
         "doc_id",

@@ -150,7 +150,14 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, segs array) — the shared segmentation projection."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..sources.catalog import load_table_spread
+
+    # r12: parallelism floor for the segment explode + reassembly (the
+    # dominant CPU stages ran as ONE task on the single-split local
+    # scan; see load_table_spread — no-op at real scale).
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.col("text").isNotNull()
+    )
     ws = F.split(F.col("text"), " ")
     n_segs = (F.ceil(F.size(ws) / float(LINE_K))).cast("int")
     segs = F.transform(

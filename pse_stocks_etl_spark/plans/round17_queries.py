@@ -55,7 +55,13 @@ from .round8_queries import _grams_all, _sql_grams_all, _SQL_TOKS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r12: every consumer in this module (stride-1 window explode,
+    # BPE word explode) is tokenize-explode CPU-dense, so the scan
+    # carries the parallelism floor (see load_table_spread — a
+    # structural no-op once the scan itself yields >= floor tasks).
+    from ..sources.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents", "doc_id")
 
 
 # --------------------------------------------------------------------------

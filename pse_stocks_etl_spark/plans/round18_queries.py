@@ -97,7 +97,13 @@ QUANTILES = (50, 90, 99)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r12: consumers here are tokenize/explode CPU-dense (bigram LM,
+    # Gopher stats, quality features), so the scan carries the
+    # parallelism floor (see load_table_spread — structural no-op once
+    # the scan itself yields >= floor tasks).
+    from ..sources.catalog import load_table_spread
+
+    return load_table_spread(spark, sf_dir, "documents", "doc_id")
 
 
 def _muldiv(a: str, b: str, d: int, intdiv: str) -> str:

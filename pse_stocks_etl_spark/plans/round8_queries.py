@@ -302,7 +302,13 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size, the property that makes suffix-array-style
     dedup tractable as a distributed plan. Docs shorter than {SPAN_W}
     words have no windows and drop out (nothing to dedup)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..sources.catalog import load_table_spread
+
+    # r12: parallelism floor for the window explode (see
+    # load_table_spread — no-op at real scale).
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.col("text").isNotNull()
+    )
     toked = d.select("doc_id", tokens(F.col("text")).alias("tk"))
     wins = toked.select(
         "doc_id",
