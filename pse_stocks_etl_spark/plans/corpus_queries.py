@@ -962,20 +962,78 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the survivor filter, so the candidate universe is capped
     exactly as the oracle caps it (a survivors-width cap would admit
     buckets the oracle kills)."""
+    return _pipeline_keep_from_meta(spark, sf_dir, _pipeline_meta(spark, sf_dir))
+
+
+def _pipeline_meta(spark: SparkSession, sf_dir: str, pack: bool = False) -> DataFrame:
+    """ONE corpus scan emitting the per-doc decision inputs the cleaning
+    composition consumes (guide §8: decide with small rows) — the
+    content hash for exact dedup / bench representatives / the final
+    classify join, plus (pack=True, for corpus_build) the source and
+    token count packing needs — as a ~40 B/doc metadata frame,
+    non-eager localCheckpointed. Before this (r12 stage profile), every
+    consumer lineage re-scanned the corpus and re-hashed the text: the
+    one-action plan carried ~10 concurrent document scans, most of them
+    then BLOCKING ~1.1s each on the shingle-cache partition lock while
+    the working set built. The TEXT itself never enters the checkpoint:
+    shingles ride the session working-set cache."""
+    from ..functions.text import token_count
+
+    cols = [F.col("doc_id"), F.md5("text").alias("h")]
+    if pack:
+        cols = [
+            F.col("doc_id"),
+            F.col("source"),
+            F.md5("text").alias("h"),
+            token_count(F.col("text")).cast("long").alias("n"),
+        ]
+    return _docs(spark, sf_dir).select(*cols).localCheckpoint(eager=False)
+
+
+def _pipeline_keep_from_meta(
+    spark: SparkSession, sf_dir: str, meta: DataFrame
+) -> DataFrame:
+    """docs_pipeline_keep's decision plan over a PRE-COMPUTED metadata
+    frame (doc_id, h[, ...]) — shared with corpus_build, whose meta
+    additionally carries the packing columns, so the cleaning decision
+    and the pack layout read the same single corpus scan. Same
+    expressions as before the r12 refactor: md5-keyed keepers, capped
+    LSH buckets, survivor-scoped verify/contamination — bit-identical
+    output, fewer derivations (the checkpoint ledger lives on each
+    frame's comment)."""
     from .llm_queries import (
-        _capped_band_buckets,
+        _band_buckets,
         _exact_jaccard,
         _minhash_sig,
         _shingles_cached,
     )
+    from .llm_queries import LSH_BUCKET_CAP
     from .registry import REGISTRY
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    keepers = d.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
+    # keepers is consumed by 3 lineages (survivors -> the LSH semi-join
+    # + train_sh, and the final classify join); checkpoint per the
+    # corpus_build_increment A/B ledger (round20_queries.py).
+    keepers = (
+        meta.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .localCheckpoint(eager=False)
     )
     sh = _shingles_cached(spark, sf_dir)
-    buckets = _capped_band_buckets(_minhash_sig(sh))  # cap on FULL widths
+    # Raw band buckets checkpointed BEFORE the width cap: the MinHash
+    # signature aggregation + band hashing above them otherwise
+    # re-executes per consumer (the cap's width groupBy AND the capped
+    # membership anti-join both read it; ReusedExchange dedupes only
+    # the exchange, not the reduce-side agg — the r12 finding that gave
+    # corpus_build_increment its 1.8x). Cap semantics unchanged: widths
+    # on the FULL bucket population, then anti-join.
+    buckets_raw = _band_buckets(_minhash_sig(sh)).localCheckpoint(eager=False)
+    wide = (
+        buckets_raw.groupBy("bk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > LSH_BUCKET_CAP)
+        .select("bk")
+    )
+    buckets = buckets_raw.join(F.broadcast(wide), "bk", "left_anti")
     survivors = keepers.select(F.col("keep_id").alias("doc_id"))
     sb = buckets.join(survivors, "doc_id", "left_semi")
     x, y = sb.alias("x"), sb.alias("y")
@@ -1010,8 +1068,8 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs never read their cont flag ('exact_dup' precedence).
     is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
     bench_reps = (
-        d.filter(is_bench)
-        .groupBy(F.md5("text").alias("bh"))
+        meta.filter(is_bench)
+        .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -1036,7 +1094,7 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cont"), "contaminated")
     )
     return (
-        d.join(keepers, F.md5("text") == F.col("h"))
+        meta.join(keepers, "h")
         .join(near, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")

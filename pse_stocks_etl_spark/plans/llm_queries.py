@@ -488,11 +488,21 @@ def _exact_jaccard(
     boilerplate, not near-dup signal. Sizes are computed on the same
     capped set, so the Jaccard stays self-consistent.
 
-    With candidates (the LSH verify stage): common-shingle counts are
-    computed ONLY for candidate pairs by joining the pair list against
-    the two shingle sets — the all-pairs blowup never materializes,
-    which is the whole point of LSH (no cap needed: the candidate list
-    already bounds the work).
+    With candidates (the LSH verify stage): per-doc shingle SETS are
+    collected once (one groupBy of the working set) and the pair list
+    joins the two array columns; |intersection| and both set sizes are
+    then map-side array ops (r12, guide §2.3/§2.4 — the prior form
+    joined the pair list against the exploded frame twice, shuffling
+    the working set by doc_a AND by (doc_b, sh) and materializing one
+    row per matching shingle before re-aggregating; the two ~4.5s twin
+    stages it cost dominated corpus_build_increment's profile). The
+    all-pairs blowup still never materializes (no cap needed: the
+    candidate list bounds the work). Equivalence: the working set is
+    distinct per (doc_id, sh) by construction, so join-match counts
+    equal intersection cardinalities — the same reasoning (and the
+    same 60-bit-collision caveat) as the store-backed build's
+    persisted sh_arr table (round21_queries._T_SH_ARR), whose oracle
+    is the full-rebuild SQL.
     """
     if candidates is None and df_cap is not None:
         hot = (
@@ -504,29 +514,40 @@ def _exact_jaccard(
         # The hot set is tiny by construction (distinct shingles whose
         # df exceeds the cap); broadcast keeps the anti-join shuffle-free.
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    j = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     if candidates is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         pairs = (
             a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_common"))
         )
-    else:
-        a = sh.withColumnsRenamed({"doc_id": "doc_a"})
-        b = sh.withColumnsRenamed({"doc_id": "doc_b"})
-        pairs = (
-            candidates.join(a, "doc_a")
-            .join(b, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_common"))
+        sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+        sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", j.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
-    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
-    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
-    j = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Candidate-verify path: one set-collect of the working set, then
+    # map-side array ops per pair. n_common/n_a/n_b are int (size())
+    # where the exploded form produced long (count()) — internal only;
+    # the returned jaccard double is the identical IEEE division.
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("sh_arr"))
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_common"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
         .select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -655,11 +676,21 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("bk"))
 
 
-def _capped_band_buckets(sig: DataFrame) -> DataFrame:
+def _capped_band_buckets(sig: DataFrame, checkpoint: bool = False) -> DataFrame:
     """(doc_id, bk) band-bucket pairs with degenerate buckets wider
     than LSH_BUCKET_CAP dropped (the cap is computed over the WHOLE
-    bucket population, mirrored exactly in the SQL oracles)."""
+    bucket population, mirrored exactly in the SQL oracles).
+
+    checkpoint=True non-eager-localCheckpoints the raw membership
+    before the cap: the MinHash-signature aggregation + band hashing
+    above it otherwise re-executes once per consumer lineage (the
+    width groupBy, the anti-join left side, and each side of a
+    downstream self-join — ReusedExchange dedupes only the exchange,
+    not the reduce-side agg; the r12 corpus_build_increment finding).
+    Pure plan change, bit-identical rows."""
     buckets = _band_buckets(sig)
+    if checkpoint:
+        buckets = buckets.localCheckpoint(eager=False)
     wide = (
         buckets.groupBy("bk")
         .agg(F.count("*").alias("n"))
@@ -692,7 +723,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a degenerate band — boilerplate-identical docs) are dropped so no
     bucket can go quadratic (VERDICT r1 item 7)."""
     sh = _shingles_cached(spark, sf_dir)
-    buckets = _capped_band_buckets(_minhash_sig(sh))
+    # checkpoint=True: the sig agg fed 4 lineages here (width cap,
+    # anti-join, and both sides of the bucket self-join) — see helper.
+    buckets = _capped_band_buckets(_minhash_sig(sh), checkpoint=True)
     x, y = buckets.alias("x"), buckets.alias("y")
     candidates = (
         x.join(
@@ -1595,7 +1628,9 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact-Jaccard verification touches only candidate pairs.
     Admitted docs are returned by anti-join on the verified dup set."""
     sh = _shingles_cached(spark, sf_dir)
-    buckets = _capped_band_buckets(_minhash_sig(sh))
+    # checkpoint=True: the sig agg fed 4 lineages (cap internals + the
+    # ex/nw sides of the new-vs-existing join) — see helper.
+    buckets = _capped_band_buckets(_minhash_sig(sh), checkpoint=True)
     ex = buckets.filter(F.col("doc_id") % 2 == 0)
     nw = buckets.filter(F.col("doc_id") % 2 == 1)
     cand = (

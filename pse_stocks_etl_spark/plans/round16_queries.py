@@ -492,15 +492,23 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sum PARTITIONED BY (split, source) — each shard packs
     independently, no single-partition global sort (parallelism =
     splits x sources, exactly how production packers shard)."""
-    from .registry import REGISTRY
+    from .corpus_queries import _pipeline_keep_from_meta, _pipeline_meta
 
+    # r12: ONE corpus scan feeds both the cleaning decision and the
+    # pack layout — the checkpointed metadata frame carries the content
+    # hash for the pipeline stages plus (source, token count) for
+    # packing, so pack_layout's second corpus scan + re-tokenization is
+    # gone. n is pack_layout's exact token_count expression computed in
+    # the same select, so the layout is bit-identical.
+    meta = _pipeline_meta(spark, sf_dir, pack=True)
     kept = (
-        REGISTRY["docs_pipeline_keep"]
-        .fn(spark, sf_dir)
+        _pipeline_keep_from_meta(spark, sf_dir, meta)
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    return pack_layout(_docs(spark, sf_dir), kept)
+    return pack_from_meta(
+        meta.select("doc_id", "source", "n").join(kept, "doc_id")
+    )
 
 
 def pack_layout(docs: DataFrame, kept: DataFrame) -> DataFrame:

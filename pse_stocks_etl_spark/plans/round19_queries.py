@@ -80,8 +80,12 @@ def docs_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = _shingles_cached(spark, sf_dir).select("doc_id", "sh").distinct()
-    sig = _minhash_sig(sh)
-    buckets = _capped_band_buckets(sig)
+    # r12: the signature agg feeds 5 lineages here (cap internals, both
+    # self-join sides, sa, sb) — checkpoint it once (non-eager; pure
+    # plan change, bit-identical rows), and the capped buckets again
+    # for the self-join (see _capped_band_buckets).
+    sig = _minhash_sig(sh).localCheckpoint(eager=False)
+    buckets = _capped_band_buckets(sig, checkpoint=True)
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(
