@@ -535,7 +535,17 @@ def _exact_jaccard(
     # map-side array ops per pair. n_common/n_a/n_b are int (size())
     # where the exploded form produced long (count()) — internal only;
     # the returned jaccard double is the identical IEEE division.
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("sh_arr"))
+    # localCheckpoint: the a/b sides below project DIFFERENT column
+    # names, so their subtrees don't canonicalize equal and each
+    # broadcast/join build re-ran the collect_set over the full
+    # working set (two ~4s twin broadcast-build stages in
+    # corpus_build_increment's r12 profile); the checkpoint pays the
+    # aggregation once and both sides read the cached frame.
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh_arr"))
+        .localCheckpoint(eager=False)
+    )
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     return (

@@ -673,11 +673,6 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     st_kept_pairs = st_pairs.join(
         flip_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
     )
-    st_near_final = (
-        _exact_jaccard(sh, st_kept_pairs.unionByName(rev_pairs))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
 
     # batch flags: any union survivor as witness, batch survivor as loser
     surv_bk_u = buckets.join(surv, "doc_id", "left_semi").join(
@@ -690,8 +685,19 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    bt_near = _exact_jaccard(sh, bt_pairs).select(F.col("doc_b").alias("doc_id")).distinct()
-    near = st_near_final.unionByName(bt_near).distinct()
+    # r12: ONE verify over the union of all three pair families —
+    # per-pair Jaccard is independent of which family produced the
+    # pair and the near set is distinct-doc_b of the union either way,
+    # so splitting the verify bought nothing and paid the working-set
+    # array collection twice (the two ~4s twin stages in the r12
+    # profile). Row-identical by construction.
+    near = (
+        _exact_jaccard(
+            sh, st_kept_pairs.unionByName(rev_pairs).unionByName(bt_pairs)
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
 
     # -- repetition: per-doc verdicts (delta path = the batch slice)
     rep = (
