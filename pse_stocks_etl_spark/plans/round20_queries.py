@@ -583,7 +583,15 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(st_keep.select("h"), "h", "left_anti")
         .select("doc_id")
     )
-    surv = st_surv.unionByName(bt_surv)
+    # r12: checkpoint the survivor union. The optimizer pushes the
+    # kept-chain's three LeftAnti joins THROUGH this Union (semi/anti
+    # pushdown), duplicating the whole near/rep/cont exclusion subtree
+    # per union branch — the r12 profile's remaining twin ~4s stages
+    # were the two copies of the Jaccard-verify build racing to
+    # materialize _exact_jaccard's checkpoint. Truncating the union's
+    # lineage (a tiny doc_id frame) removes the Union before the
+    # pushdown rule sees it, so every exclusion subtree appears once.
+    surv = st_surv.unionByName(bt_surv).localCheckpoint(eager=False)
 
     # -- LSH buckets with standing-vs-union width accounting; the
     # batch flag re-derives from the broadcast max_id (map-side) so the
