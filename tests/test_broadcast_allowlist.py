@@ -121,6 +121,7 @@ ALLOWED = {
     # sidecar. If a cap changes, re-review.
     ("plans/llm_queries.py", "hot"): "LSH bucket-cap hot list (≤ n/cap keys)",
     ("plans/llm_queries.py", "wide"): "over-cap bucket list (≤ n/cap keys)",
+    ("plans/corpus_queries.py", "wide"): "over-cap bucket list (≤ n/cap keys; the pipeline composition's width cap, same bound as llm_queries wide)",
     ("plans/round9_queries.py", "wide"): "over-cap block list (≤ n/cap keys)",
     ("plans/round9_queries.py", "hot_srcs"): "over-cap source list (bounded source enum)",
     ("plans/round9_queries.py", "small_srcs"): "under-cap source list (bounded source enum)",
