@@ -28,6 +28,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.catalog import load_table, register_views
+from .llm_queries import register_working_set_cache
 from .registry import register
 
 # Gopher-style repetition thresholds (Rae et al. 2021 use a family of
@@ -202,6 +203,106 @@ def repetition_frame(d: DataFrame) -> DataFrame:
         (
             (dup_frac > DUP_WORD_FRAC_MAX) | (top_frac > TOP_BIGRAM_FRAC_MAX)
         ).alias("repetitive"),
+    )
+
+
+# the featurized-corpus working set (see corpus_featurized_cached)
+_FEAT_CACHE = register_working_set_cache(__name__ + ":featurized")
+
+
+def featurize_docs(d: DataFrame) -> DataFrame:
+    """ONE per-row projection computing EVERY per-doc decision input
+    the cleaning/assembly compositions consume — content hash (exact
+    dedup, bench representatives, classify join), token count
+    (packing), distinct shingle-hash set (Jaccard verify,
+    contamination), band-bucket keys (LSH candidates, array-form
+    MinHash — minhash_sig_array/band_bucket_array are the groupBy
+    form's exact arithmetic, token-for-token) and the Gopher
+    repetition verdict — over an arbitrary (doc_id, text, source)
+    slice. This is round21's featurized-batch projection generalized
+    to any slice, shared by the store-backed admission lane (batch
+    slice) and the full-corpus compositions (corpus_featurized_cached)
+    so the two can never drift. Tokens are projected ONCE before the
+    shingle/bigram transforms (the shingles_from_tokens contract).
+
+    r12 optimization rationale (guide §1.2 the-algorithm-first, §8
+    decide-with-small-rows): before this, corpus_build /
+    docs_pipeline_keep / corpus_build_increment each tokenized the
+    corpus ~3x per action (metadata scan, shingle working set,
+    repetition re-scan) and paid a MinHash signature aggregation plus
+    a collect_set shuffle for the verify; one featurized pass replaces
+    all of them, and every downstream derivation is a map-side explode
+    or filter of the cached frame."""
+    from .llm_queries import band_bucket_array, minhash_sig_array
+    from ..functions.text import portable_hash64, shingles_from_tokens
+
+    toked = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        tokens(F.col("text")).alias("__tk"),
+    )
+    n_tokens, n_distinct, max_bg = repetition_stat_cols(F.col("__tk"))
+    return toked.select(
+        "doc_id",
+        "source",
+        "h",
+        n_tokens.alias("n"),
+        F.transform(
+            shingles_from_tokens(F.col("__tk"), SHINGLE_N), portable_hash64
+        ).alias("sh_arr"),
+        repetitive_col(n_tokens, n_distinct, max_bg).alias("repetitive"),
+    ).withColumn("bk_arr", band_bucket_array(minhash_sig_array(F.col("sh_arr"))))
+
+
+def corpus_featurized_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session working set: the featurized corpus, one copy per
+    (session, sf_dir) — the _shingles_cached convention for the
+    composition family. localCheckpoint (non-eager), NOT persist: the
+    projection's expression tree is enormous (12 MinHash folds + the
+    run-length fold + the shingle transform) and a persist still drags
+    it through Catalyst analysis in every consumer action (round21's
+    measured ~0.5s per probe); the checkpoint truncates the plan to a
+    LogicalRDD at first materialization. Non-eager so cache fills lazily
+    inside the first consuming action. Registered with the working-set
+    LRU so bench isolation / dataset rotation bounds its storage."""
+    from ..sources.catalog import load_table_spread
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _FEAT_CACHE.get_or_build(
+        key,
+        lambda: featurize_docs(
+            # parallelism floor for the one tokenize+MinHash pass (see
+            # load_table_spread: structural no-op at real scan widths)
+            load_table_spread(spark, sf_dir, "documents", "doc_id").select(
+                "doc_id", "text", "source"
+            )
+        ).localCheckpoint(eager=False),
+    )
+
+
+def _shingles_from_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded (doc_id, sh) shingle working set, derived from the
+    featurized frame and persisted into THE SAME session cache slot
+    _shingles_cached fills — the rows are identical (exploding the
+    per-doc distinct-shingle hash array == _shingle_explode's
+    explode-then-hash), so whichever family builds the slot first,
+    both share it. The compositions' contamination joins consume the
+    exploded form several times per action; scanning one persisted
+    columnar copy beats re-exploding the featurized arrays per
+    consumer lineage (r12 hot-run profile: ~5 explode passes at ~1s
+    each), and deriving it from the cached featurized frame means no
+    second tokenize pass ever runs."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .llm_queries import _SHINGLE_CACHE
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SHINGLE_CACHE.get_or_build(
+        key,
+        lambda: corpus_featurized_cached(spark, sf_dir)
+        .select("doc_id", F.explode("sh_arr").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
 
 
@@ -962,71 +1063,55 @@ def docs_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the survivor filter, so the candidate universe is capped
     exactly as the oracle caps it (a survivors-width cap would admit
     buckets the oracle kills)."""
-    return _pipeline_keep_from_meta(spark, sf_dir, _pipeline_meta(spark, sf_dir))
-
-
-def _pipeline_meta(spark: SparkSession, sf_dir: str, pack: bool = False) -> DataFrame:
-    """ONE corpus scan emitting the per-doc decision inputs the cleaning
-    composition consumes (guide §8: decide with small rows) — the
-    content hash for exact dedup / bench representatives / the final
-    classify join, plus (pack=True, for corpus_build) the source and
-    token count packing needs — as a ~40 B/doc metadata frame,
-    non-eager localCheckpointed. Before this (r12 stage profile), every
-    consumer lineage re-scanned the corpus and re-hashed the text: the
-    one-action plan carried ~10 concurrent document scans, most of them
-    then BLOCKING ~1.1s each on the shingle-cache partition lock while
-    the working set built. The TEXT itself never enters the checkpoint:
-    shingles ride the session working-set cache."""
-    from ..functions.text import token_count
-
-    cols = [F.col("doc_id"), F.md5("text").alias("h")]
-    if pack:
-        cols = [
-            F.col("doc_id"),
-            F.col("source"),
-            F.md5("text").alias("h"),
-            token_count(F.col("text")).cast("long").alias("n"),
-        ]
-    return _docs(spark, sf_dir).select(*cols).localCheckpoint(eager=False)
-
-
-def _pipeline_keep_from_meta(
-    spark: SparkSession, sf_dir: str, meta: DataFrame
-) -> DataFrame:
-    """docs_pipeline_keep's decision plan over a PRE-COMPUTED metadata
-    frame (doc_id, h[, ...]) — shared with corpus_build, whose meta
-    additionally carries the packing columns, so the cleaning decision
-    and the pack layout read the same single corpus scan. Same
-    expressions as before the r12 refactor: md5-keyed keepers, capped
-    LSH buckets, survivor-scoped verify/contamination — bit-identical
-    output, fewer derivations (the checkpoint ledger lives on each
-    frame's comment)."""
-    from .llm_queries import (
-        _band_buckets,
-        _exact_jaccard,
-        _minhash_sig,
-        _shingles_cached,
+    return _pipeline_keep_from_feat(
+        spark, sf_dir, corpus_featurized_cached(spark, sf_dir)
     )
+
+
+def _pipeline_keep_from_feat(
+    spark: SparkSession, sf_dir: str, feat: DataFrame
+) -> DataFrame:
+    """docs_pipeline_keep's decision plan over the FEATURIZED corpus
+    frame (corpus_featurized_cached) — shared with corpus_build, whose
+    pack layout reads (source, n) off the same frame, so the cleaning
+    decision and the packing read ONE corpus scan. Every stage input is
+    a map-side filter/explode of the cached frame: keepers group the
+    pre-computed hash, LSH candidates explode the pre-computed band
+    keys, the verify joins the pre-computed shingle arrays, repetition
+    is a pre-computed flag. Same expressions as the pre-featurization
+    form stage by stage — md5-keyed keepers, capped LSH buckets,
+    survivor-scoped verify/contamination — bit-identical output (the
+    array-form MinHash/verify equivalences are the store-backed
+    admission lane's, round21_queries.py, whose oracle is the full
+    rebuild SQL)."""
+    from .llm_queries import _exact_jaccard
     from .llm_queries import LSH_BUCKET_CAP
-    from .registry import REGISTRY
 
     # keepers is consumed by 3 lineages (survivors -> the LSH semi-join
     # + train_sh, and the final classify join); checkpoint per the
     # corpus_build_increment A/B ledger (round20_queries.py).
     keepers = (
-        meta.groupBy("h")
+        feat.groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
         .localCheckpoint(eager=False)
     )
-    sh = _shingles_cached(spark, sf_dir)
-    # Raw band buckets checkpointed BEFORE the width cap: the MinHash
-    # signature aggregation + band hashing above them otherwise
-    # re-executes per consumer (the cap's width groupBy AND the capped
-    # membership anti-join both read it; ReusedExchange dedupes only
-    # the exchange, not the reduce-side agg — the r12 finding that gave
-    # corpus_build_increment its 1.8x). Cap semantics unchanged: widths
-    # on the FULL bucket population, then anti-join.
-    buckets_raw = _band_buckets(_minhash_sig(sh)).localCheckpoint(eager=False)
+    sh = _shingles_from_feat(spark, sf_dir)
+    # Raw band buckets checkpointed BEFORE the width cap: the explode
+    # itself is cheap off the cached frame, but its input rows carry
+    # the heavy shingle/bucket arrays — the dedicated (doc_id, bk)
+    # checkpoint keeps the cap's width groupBy AND the capped
+    # membership anti-join from deserializing those arrays per
+    # consumer. Cap semantics unchanged: widths on the FULL bucket
+    # population, then anti-join. Docs with empty shingle sets have no
+    # membership (explode of an empty array emits nothing; the filter
+    # also excludes their junk bucket keys — minhash_sig_array yields
+    # null sig elements for them, exactly as the groupBy form emits no
+    # signature row).
+    buckets_raw = (
+        feat.filter(F.size("sh_arr") > 0)
+        .select("doc_id", F.explode("bk_arr").alias("bk"))
+        .localCheckpoint(eager=False)
+    )
     wide = (
         buckets_raw.groupBy("bk")
         .agg(F.count("*").alias("n"))
@@ -1046,15 +1131,20 @@ def _pipeline_keep_from_meta(
         .distinct()
     )
     near = (
-        _exact_jaccard(sh, candidates)
+        _exact_jaccard(
+            sh, candidates, arrs=feat.select("doc_id", "sh_arr")
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near", F.lit(True))
     )
+    # the Gopher verdict was computed in the featurized pass with
+    # docs_repetition_stats' exact expressions (repetition_stat_cols /
+    # repetitive_col — the shared-helper contract); null-text docs are
+    # absent from feat where the registered query's filter(repetitive)
+    # drops their NULL verdicts — same set either way
     rep = (
-        REGISTRY["docs_repetition_stats"]
-        .fn(spark, sf_dir)
-        .filter(F.col("repetitive"))
+        feat.filter(F.col("repetitive"))
         .select("doc_id")
         .withColumn("rep", F.lit(True))
     )
@@ -1068,7 +1158,7 @@ def _pipeline_keep_from_meta(
     # docs never read their cont flag ('exact_dup' precedence).
     is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
     bench_reps = (
-        meta.filter(is_bench)
+        feat.filter(is_bench)
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -1093,8 +1183,13 @@ def _pipeline_keep_from_meta(
         .when(F.col("rep"), "repetitive")
         .when(F.col("cont"), "contaminated")
     )
+    # NULL-text docs: absent from feat, absent from the result either
+    # way (the pre-featurization meta carried them with h=NULL, which
+    # the h equi-join then dropped — NULL never equals NULL; the oracle
+    # inner-joins on md5(text) identically)
     return (
-        meta.join(keepers, "h")
+        feat.select("doc_id", "h")
+        .join(keepers, "h")
         .join(near, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")

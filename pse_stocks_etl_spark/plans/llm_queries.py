@@ -478,6 +478,7 @@ def _exact_jaccard(
     sh: DataFrame,
     candidates: DataFrame | None = None,
     df_cap: int | None = None,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct-shingle sets.
 
@@ -531,21 +532,29 @@ def _exact_jaccard(
             .select("doc_a", "doc_b", j.alias("jaccard"))
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
-    # Candidate-verify path: one set-collect of the working set, then
-    # map-side array ops per pair. n_common/n_a/n_b are int (size())
-    # where the exploded form produced long (count()) — internal only;
-    # the returned jaccard double is the identical IEEE division.
+    # Candidate-verify path: per-doc shingle-set ARRAYS, then map-side
+    # array ops per pair. n_common/n_a/n_b are int (size()) where the
+    # exploded form produced long (count()) — internal only; the
+    # returned jaccard double is the identical IEEE division.
+    # A caller holding a featurized frame passes arrs=(doc_id, sh_arr)
+    # directly (corpus_featurized_cached carries one hash per DISTINCT
+    # SHINGLE — exactly the working set's row multiset, and exactly
+    # what the oracle's per-doc COUNT(*) sizes count; collect_set would
+    # additionally dedupe post-hash, a difference only under a 60-bit
+    # collision — the caveat both forms already document).
+    # Otherwise collect sets once from the exploded working set, with a
     # localCheckpoint: the a/b sides below project DIFFERENT column
     # names, so their subtrees don't canonicalize equal and each
     # broadcast/join build re-ran the collect_set over the full
     # working set (two ~4s twin broadcast-build stages in
     # corpus_build_increment's r12 profile); the checkpoint pays the
     # aggregation once and both sides read the cached frame.
-    arrs = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("sh_arr"))
-        .localCheckpoint(eager=False)
-    )
+    if arrs is None:
+        arrs = (
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("sh").alias("sh_arr"))
+            .localCheckpoint(eager=False)
+        )
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     return (

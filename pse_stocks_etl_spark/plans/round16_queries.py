@@ -492,22 +492,23 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sum PARTITIONED BY (split, source) — each shard packs
     independently, no single-partition global sort (parallelism =
     splits x sources, exactly how production packers shard)."""
-    from .corpus_queries import _pipeline_keep_from_meta, _pipeline_meta
+    from .corpus_queries import _pipeline_keep_from_feat, corpus_featurized_cached
 
-    # r12: ONE corpus scan feeds both the cleaning decision and the
-    # pack layout — the checkpointed metadata frame carries the content
-    # hash for the pipeline stages plus (source, token count) for
-    # packing, so pack_layout's second corpus scan + re-tokenization is
-    # gone. n is pack_layout's exact token_count expression computed in
-    # the same select, so the layout is bit-identical.
-    meta = _pipeline_meta(spark, sf_dir, pack=True)
+    # r12: ONE corpus scan (the featurized working set) feeds both the
+    # cleaning decision and the pack layout — the frame carries the
+    # content hash / shingle arrays / band keys / repetition flag for
+    # the pipeline stages plus (source, token count) for packing, so
+    # every per-doc derivation is paid once. n is pack_layout's exact
+    # token_count expression computed in the featurized select, so the
+    # layout is bit-identical.
+    feat = corpus_featurized_cached(spark, sf_dir)
     kept = (
-        _pipeline_keep_from_meta(spark, sf_dir, meta)
+        _pipeline_keep_from_feat(spark, sf_dir, feat)
         .filter(F.col("keep"))
         .select("doc_id")
     )
     return pack_from_meta(
-        meta.select("doc_id", "source", "n").join(kept, "doc_id")
+        feat.select("doc_id", "source", "n").join(kept, "doc_id")
     )
 
 

@@ -527,39 +527,42 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     all batch-proportional. Standing-side work is the linear keeper/
     bucket/rep derivation that a production run reads from its
     persisted tables instead (the semdedup_increment convention)."""
-    from .corpus_queries import BENCH_MOD, BENCH_REM, CONTAM_MIN_SHARED
-    from .llm_queries import (
-        LSH_BUCKET_CAP,
-        _band_buckets,
-        _docs,
-        _exact_jaccard,
-        _minhash_sig,
-        _shingles_cached,
+    from .corpus_queries import (
+        BENCH_MOD,
+        BENCH_REM,
+        CONTAM_MIN_SHARED,
+        _shingles_from_feat,
+        corpus_featurized_cached,
     )
-    from .registry import REGISTRY
-    from ..functions.text import token_count
+    from .llm_queries import LSH_BUCKET_CAP, _exact_jaccard
     from .round16_queries import pack_from_meta
 
-    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
-    docs = d.filter(F.col("text").isNotNull())
-    tmax = docs.agg(F.max("doc_id").alias("max_id"))
-    # r12 optimization (guide §8: decide with small rows): ONE corpus
-    # scan emits every per-doc decision input this query needs — the
-    # content hash (exact dedup + contamination reps), the token count
-    # (packing), and the batch flag — as a ~40 B/doc metadata frame,
-    # localCheckpointed so the dozen standing/batch/rep/pack lineages
-    # read the cached frame instead of each re-scanning the corpus and
-    # re-hashing the text (the before-plan carried 305 parquet scans;
-    # the profile showed ~15 surviving at runtime). The TEXT never
-    # materializes: shingles ride the session working-set cache, and
-    # docs_repetition_stats keeps its own audited scan.
+    # r12 optimization (guide §1.2 algorithm-first, §8 decide with
+    # small rows): ONE corpus scan — the featurized working set — emits
+    # every per-doc decision input this query needs: content hash
+    # (exact dedup + contamination reps), token count (packing),
+    # distinct shingle-hash array (Jaccard verify + contamination),
+    # array-form band-bucket keys (LSH membership; bit-identical to the
+    # signature-aggregation form, the store lane's proven arithmetic),
+    # and the Gopher repetition verdict. Before this the action
+    # tokenized the corpus ~3x (metadata scan, shingle working set,
+    # repetition re-scan) and paid a MinHash signature aggregation plus
+    # the verify's collect_set shuffle; now every stage input is a
+    # map-side filter/explode of the cached frame.
+    feat = corpus_featurized_cached(spark, sf_dir)
+    tmax = feat.agg(F.max("doc_id").alias("max_id"))
+    # the ~40 B/doc decision metadata, checkpointed so the dozen
+    # standing/batch/rep/pack lineages read the small frame instead of
+    # re-deserializing the featurized rows' heavy arrays per consumer
     meta = (
-        docs.crossJoin(F.broadcast(tmax))
+        feat.select("doc_id", "source", "h", "n", "repetitive")
+        .crossJoin(F.broadcast(tmax))
         .select(
             "doc_id",
             "source",
-            F.md5("text").alias("h"),
-            token_count(F.col("text")).cast("long").alias("n"),
+            "h",
+            "n",
+            "repetitive",
             (F.col("doc_id") * 10 > F.col("max_id") * 9).alias("is_batch"),
         )
         .localCheckpoint(eager=False)
@@ -595,15 +598,12 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- LSH buckets with standing-vs-union width accounting; the
     # batch flag re-derives from the broadcast max_id (map-side) so the
-    # width aggregate needs no join back to the docs scan. Five join
-    # lineages below reference the bucket frame, but all inside ONE
-    # action, where Spark's ReusedExchange dedupes the identical
-    # signature-aggregation subtree — a persist was A/B-measured at
-    # sf0.1 and LOST (10-12.8s cached vs 8.5-10s uncached: the
-    # materialization costs more than the reuse saves), unlike the
-    # cross-action shingle/semdedup working sets which genuinely
-    # re-execute per action.
-    sh = _shingles_cached(spark, sf_dir)
+    # width aggregate needs no join back to the docs scan.
+    # Exploded shingle working set for the contamination joins — the
+    # session-persisted explode of the featurized frame (one hash per
+    # distinct shingle: the _shingle_explode row multiset exactly;
+    # shared cache slot with _shingles_cached).
+    sh = _shingles_from_feat(spark, sf_dir)
     # r12 optimization: non-eager localCheckpoint of the bucket frame.
     # The r11 in-plan note recorded a persist() A/B that LOST (10-12.8s
     # vs 8.5-10s) and concluded ReusedExchange dedupes the subtree; the
@@ -623,7 +623,17 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saves; same verdict for checkpointing st_keep/bwidth WITHOUT
     # buckets, 9.3s: the frames only pay off once the bucket frame
     # they derive from is itself cached).
-    buckets = _band_buckets(_minhash_sig(sh)).localCheckpoint(eager=False)
+    # Membership now comes from the featurized frame's array-form band
+    # keys (empty shingle set => no membership, exactly as the
+    # signature groupBy emitted no row — the size() filter also
+    # excludes such docs' junk keys, whose null sig elements concat_ws
+    # would otherwise collapse); the checkpoint keeps the five
+    # consumer lineages off the heavy featurized rows.
+    buckets = (
+        feat.filter(F.size("sh_arr") > 0)
+        .select("doc_id", F.explode("bk_arr").alias("bk"))
+        .localCheckpoint(eager=False)
+    )
     bwidth = (
         buckets.crossJoin(F.broadcast(tmax))
         .withColumn("is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9)
@@ -701,19 +711,19 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profile). Row-identical by construction.
     near = (
         _exact_jaccard(
-            sh, st_kept_pairs.unionByName(rev_pairs).unionByName(bt_pairs)
+            sh,
+            st_kept_pairs.unionByName(rev_pairs).unionByName(bt_pairs),
+            arrs=feat.select("doc_id", "sh_arr"),
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
 
-    # -- repetition: per-doc verdicts (delta path = the batch slice)
-    rep = (
-        REGISTRY["docs_repetition_stats"]
-        .fn(spark, sf_dir)
-        .filter(F.col("repetitive"))
-        .select("doc_id")
-    )
+    # -- repetition: per-doc verdicts (delta path = the batch slice);
+    # computed in the featurized pass with docs_repetition_stats' exact
+    # expressions (repetition_stat_cols / repetitive_col), read off the
+    # small metadata checkpoint rather than the heavy featurized rows
+    rep = meta.filter(F.col("repetitive")).select("doc_id")
 
     # -- contamination: frozen standing reps + new-text batch reps
     is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM

@@ -236,41 +236,20 @@ def _batch_featurized(spark: SparkSession, sf_dir: str, tmax: DataFrame) -> Data
     This is the admission job's featurized input table; like the
     corpus-wide _shingles_cached working set it is session-persisted
     (and plan-truncated) so repeated admission queries against the same
-    dataset never re-tokenize. Tokens are projected ONCE before the
-    shingle/bigram transforms (the shingles_from_tokens contract)."""
-    from .corpus_queries import repetition_stat_cols, repetitive_col
-    from .llm_queries import SHINGLE_N, band_bucket_array, minhash_sig_array, _docs
-    from ..functions.text import portable_hash64, shingles_from_tokens, tokens
+    dataset never re-tokenize. The projection itself is the shared
+    featurize_docs (r12: also the full-corpus compositions' working
+    set, corpus_queries.corpus_featurized_cached), applied to the
+    batch slice — slice and corpus forms can never drift."""
+    from .corpus_queries import featurize_docs
+    from .llm_queries import _docs
 
-    docs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text", "source")
-        .filter(F.col("text").isNotNull())
-    )
-    toked = (
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    batch = (
         docs.crossJoin(F.broadcast(tmax))
         .filter(F.col("doc_id") * 10 > F.col("max_id") * 9)
-        .select(
-            "doc_id",
-            "source",
-            F.md5("text").alias("h"),
-            tokens(F.col("text")).alias("__tk"),
-        )
+        .select("doc_id", "text", "source")
     )
-    n_tokens, n_distinct, max_bg = repetition_stat_cols(F.col("__tk"))
-    return (
-        toked.select(
-            "doc_id",
-            "source",
-            "h",
-            n_tokens.alias("n"),
-            F.transform(
-                shingles_from_tokens(F.col("__tk"), SHINGLE_N), portable_hash64
-            ).alias("sh_arr"),
-            repetitive_col(n_tokens, n_distinct, max_bg).alias("repetitive"),
-        )
-        .withColumn("bk_arr", band_bucket_array(minhash_sig_array(F.col("sh_arr"))))
-    )
+    return featurize_docs(batch)
 
 
 # Durable store roots, OUTSIDE the working-set cache: clearing memory

@@ -306,3 +306,82 @@ def test_pipeline_keep_twin_dense_fixture_r10(spark, tmp_path):
         ).fetchall()
     }
     assert {d: (r.drop_reason, r.keep) for d, r in out.items()} == oracle
+
+
+# ---- r12: the featurized-corpus working set -------------------------------
+
+def test_featurized_corpus_matches_legacy_derivations(spark, sf_dir):
+    """featurize_docs over the corpus must reproduce, column for
+    column, the legacy per-pass derivations the r12 optimization
+    replaced: exploded shingle working set (_shingle_explode), LSH band
+    membership (_band_buckets over _minhash_sig), the Gopher verdict
+    (repetition_frame), and the md5/token-count metadata — the
+    equalities corpus_build / docs_pipeline_keep /
+    corpus_build_increment now rest on."""
+    import pyspark.sql.functions as F
+
+    from pse_stocks_etl_spark.functions.text import token_count
+    from pse_stocks_etl_spark.plans.corpus_queries import (
+        featurize_docs,
+        repetition_frame,
+    )
+    from pse_stocks_etl_spark.plans.llm_queries import (
+        _band_buckets,
+        _docs,
+        _minhash_sig,
+        _shingle_explode,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    feat = featurize_docs(docs)
+
+    # exploded shingles: identical row multiset
+    legacy_sh = sorted(
+        map(tuple, _shingle_explode(spark, sf_dir).collect())
+    )
+    feat_sh = sorted(
+        map(
+            tuple,
+            feat.select("doc_id", F.explode("sh_arr").alias("sh")).collect(),
+        )
+    )
+    assert feat_sh == legacy_sh and len(feat_sh) > 0
+
+    # band membership: identical (doc_id, bk) set, empty-shingle docs
+    # excluded exactly as the groupBy form excludes them
+    legacy_bk = {
+        (r.doc_id, r.bk)
+        for r in _band_buckets(
+            _minhash_sig(_shingle_explode(spark, sf_dir))
+        ).collect()
+    }
+    feat_bk = {
+        (r.doc_id, r.bk)
+        for r in feat.filter(F.size("sh_arr") > 0)
+        .select("doc_id", F.explode("bk_arr").alias("bk"))
+        .collect()
+    }
+    assert feat_bk == legacy_bk and len(feat_bk) > 0
+
+    # repetition verdict + metadata: equal per doc (null-text docs are
+    # absent from feat and carry NULL verdicts in the legacy frame)
+    legacy_rep = {
+        r.doc_id: r.repetitive
+        for r in repetition_frame(docs).collect()
+        if r.repetitive is not None
+    }
+    feat_rep = {r.doc_id: r.repetitive for r in feat.collect()}
+    assert feat_rep == legacy_rep
+
+    legacy_meta = {
+        r.doc_id: (r.h, r.n)
+        for r in docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            token_count(F.col("text")).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    feat_meta = {r.doc_id: (r.h, r.n) for r in feat.select("doc_id", "h", "n").collect()}
+    assert feat_meta == legacy_meta
