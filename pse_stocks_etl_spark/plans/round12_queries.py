@@ -142,7 +142,16 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass only (empty for a clean corpus), and reassembly is a
     JVM-side higher-order index filter over the original segment
     array — no UDF, no text re-shuffle, no second corpus scan."""
-    base = _doc_segments(spark, sf_dir)
+    # r12: checkpoint the segmented base — BOTH lineages (the exploded
+    # frequency path and the reassembly join) consume it, and their
+    # different column prunings made the two exchanges non-identical,
+    # so ReusedExchange did not fire and one lineage re-ran the whole
+    # tokenize+segment transform as a single pre-exchange task (hot-run
+    # stage profile: 1 task, 1.28s CPU — exactly the serial shape the
+    # parallelism floor exists to prevent, leaking back in through the
+    # second lineage). The checkpoint materializes (doc_id, segs) once
+    # at floor width; both lineages read the cached partitions.
+    base = _doc_segments(spark, sf_dir).localCheckpoint(eager=False)
     flagged = _window_df(_exploded_segments(base), "df")
     rem = _removal_agg(flagged.filter(F.col("df") >= LINE_DF_T))
     return _reassemble(base.join(rem, "doc_id", "left"))
@@ -584,7 +593,11 @@ def docs_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus every run; this form's cost scales with the crawl
     increment, which is the only shape that survives a daily 100 TB
     feed."""
-    base = _doc_segments(spark, sf_dir)
+    # r12: same checkpoint as docs_line_dedup — three lineages consume
+    # the segmented base (standing df, shard window, reassembly join)
+    # and their prunings defeat ReusedExchange, serializing the
+    # tokenize+segment transform into a single pre-exchange task.
+    base = _doc_segments(spark, sf_dir).localCheckpoint(eager=False)
     ex = _exploded_segments(base)
     standing = (
         ex.filter(F.col("doc_id") % 2 == 0)

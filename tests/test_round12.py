@@ -27,13 +27,20 @@ def _plan(spark, name: str) -> str:
 
 
 def test_line_dedup_plan_shape(spark):
-    """docs_line_dedup: text-null filter pushed to the scan; the ONLY
-    corpus-sized exchange carries the 60-bit segment hash (both window
-    functions share it); the removal aggregate partial-combines before
-    its (much smaller) exchange; the join-back broadcasts; no Python,
-    no cartesian anything."""
+    """docs_line_dedup: text-null filter pushed to the scan (checked on
+    the segmentation subtree — the r12 checkpoint of the shared base
+    truncates the full query's plan to a LogicalRDD, so the scan lives
+    in the checkpoint's source plan); the ONLY corpus-sized exchange
+    carries the 60-bit segment hash (both window functions share it);
+    the removal aggregate partial-combines before its (much smaller)
+    exchange; the join-back broadcasts; no Python, no cartesian
+    anything."""
+    seg_plan = spark._jvm.PythonSQLUtils.explainString(
+        round12_queries._doc_segments(spark, SF_DIR)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "PushedFilters: [IsNotNull(text)]" in seg_plan
     plan = _plan(spark, "docs_line_dedup")
-    assert "PushedFilters: [IsNotNull(text)]" in plan
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 2, f"expected 2 data exchanges, saw {len(exchanges)}"
     # the corpus exchange must partition on the segment hash, not text
