@@ -102,42 +102,47 @@ def _seed_standing_store(spark: SparkSession, sf_dir: str) -> str:
     frames of round20's corpus_build_increment) and persist each via
     ParquetTable. In production these tables already exist — they are
     the build's output state — so this runs once per (session, sf_dir)
-    and the admission query below never re-derives them."""
-    from .corpus_queries import BENCH_MOD, BENCH_REM, CONTAM_MIN_SHARED, repetition_frame
-    from .llm_queries import (
-        LSH_BUCKET_CAP,
-        _band_buckets,
-        _docs,
-        _exact_jaccard,
-        _minhash_sig,
-        shingle_docs,
-    )
-    from ..functions.text import token_count
+    and the admission query below never re-derives them.
 
-    docs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text", "source")
-        .filter(F.col("text").isNotNull())
+    r12: all per-doc derivations read the session's featurized corpus
+    frame (corpus_featurized_cached — ONE tokenize+MinHash pass,
+    shared with the full-corpus compositions) instead of re-tokenizing
+    the standing slice four times (md5 keepers, token-count metadata,
+    shingle explode, repetition re-scan) and re-aggregating MinHash
+    signatures; the equivalences are featurize_docs' shared-helper
+    contract (tests/test_corpus_queries.py,
+    test_round21.test_array_minhash_equals_grouped_form)."""
+    from .corpus_queries import (
+        BENCH_MOD,
+        BENCH_REM,
+        CONTAM_MIN_SHARED,
+        corpus_featurized_cached,
     )
-    tmax = docs.agg(F.max("doc_id").alias("max_id"))
+    from .llm_queries import LSH_BUCKET_CAP, _exact_jaccard
+
+    feat = corpus_featurized_cached(spark, sf_dir)
+    tmax = feat.agg(F.max("doc_id").alias("max_id"))
     st = (
-        docs.crossJoin(F.broadcast(tmax))
+        feat.crossJoin(F.broadcast(tmax))
         .filter(~(F.col("doc_id") * 10 > F.col("max_id") * 9))
         .drop("max_id")
+        .localCheckpoint(eager=False)  # ~10 consumer lineages below
     )
 
     # exact dedup: keeper per content hash + survivor pack metadata
-    keepers = st.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    keepers = st.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     st_surv = keepers.select("doc_id")
     surv_meta = st.join(st_surv, "doc_id", "left_semi").select(
-        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n")
+        "doc_id", "source", "n"
     )
 
     # LSH state: memberships over ALL standing docs feed the width
     # accounting (non-survivors still widen buckets, exactly as in the
     # full build); the pair-generation table keeps survivors only.
-    sh_all = shingle_docs(st)
-    bk_all = _band_buckets(_minhash_sig(sh_all))
+    sh_all = st.select("doc_id", F.explode("sh_arr").alias("sh"))
+    bk_all = st.filter(F.size("sh_arr") > 0).select(
+        "doc_id", F.explode("bk_arr").alias("bk")
+    )
     bwidth = bk_all.groupBy("bk").agg(F.count("*").alias("w_st"))
     bk_surv = bk_all.join(st_surv, "doc_id", "left_semi")
 
@@ -150,23 +155,22 @@ def _seed_standing_store(spark: SparkSession, sf_dir: str) -> str:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_surv = sh_all.join(st_surv, "doc_id", "left_semi")
     near_st = (
-        _exact_jaccard(sh_surv, st_pairs)
+        _exact_jaccard(
+            None, st_pairs, arrs=st.select("doc_id", "sh_arr")
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
 
-    # repetition drops (per-doc projection — standing slice)
-    rep_st = (
-        repetition_frame(st).filter(F.col("repetitive")).select("doc_id")
-    )
+    # repetition drops (per-doc verdict off the featurized frame)
+    rep_st = st.filter(F.col("repetitive")).select("doc_id")
 
     # benchmark reps + contamination verdicts vs standing reps
     is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
     reps = (
         st.filter(is_bench)
-        .groupBy(F.md5("text").alias("h"))
+        .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
     )
     rep_sh = sh_all.join(reps.select("doc_id"), "doc_id", "left_semi").withColumnRenamed(
@@ -193,10 +197,10 @@ def _seed_standing_store(spark: SparkSession, sf_dir: str) -> str:
     sh_docs = st_surv.unionByName(reps.select("doc_id")).distinct()
     sh_store = sh_all.join(sh_docs, "doc_id", "left_semi")
     sh_rep = rep_sh.withColumnRenamed("bench_doc_id", "doc_id")
-    from .llm_queries import shingle_array
-
+    # the featurized sh_arr IS shingle_array(text) (same expression,
+    # featurize_docs) — project it instead of re-tokenizing
     sh_arr_store = st.join(st_surv, "doc_id", "left_semi").select(
-        "doc_id", shingle_array(F.col("text")).alias("sh_arr")
+        "doc_id", "sh_arr"
     )
 
     # repetition + contamination drops are final for standing docs —
@@ -683,6 +687,14 @@ def ivf_split_iterate_parts(member: DataFrame, cents: DataFrame, rounds: int):
     states = [(member, cents)]
     for _ in range(rounds):
         member, cents = _split_round(member, cents)
+        # r12: truncate lineage between rounds (the emb_kmeans_refine
+        # lesson) — _split_round references its input ~8 times (width
+        # audit, hot/cold split, seed join-back, two assigns), so the
+        # unrolled plan otherwise grows ~8^rounds copies of every
+        # earlier round's subtree (emb_ivf_split_iterate measured 93s
+        # at sf0.01 from plan blowup alone; 3.4s checkpointed).
+        member = member.localCheckpoint(eager=False)
+        cents = cents.localCheckpoint(eager=False)
         states.append((member, cents))
     return states
 
@@ -710,11 +722,19 @@ def emb_ivf_split_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import to_double_array
     from .round18_queries import _semdedup_members
 
-    member = _semdedup_members(spark, sf_dir).select(
-        "vec_id",
-        F.col("cell").cast("long").alias("cell"),
-        F.col("cell").cast("string").alias("ck"),
-        "v",
+    # r12: the round-0 state is checkpointed like every later round's —
+    # _split_round references its input ~8 times, so an un-truncated
+    # round 0 still re-derived the full cell-assignment subtree (cosine
+    # vs all centroids, per vector) eight times inside round 1.
+    member = (
+        _semdedup_members(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("cell").cast("string").alias("ck"),
+            "v",
+        )
+        .localCheckpoint(eager=False)
     )
     cents = (
         _emb(spark, sf_dir)
@@ -726,6 +746,9 @@ def emb_ivf_split_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(ITERATE_ROUNDS):
         member, cents = _split_round(member, cents)
+        # r12: per-round lineage truncation — see ivf_split_iterate_parts
+        member = member.localCheckpoint(eager=False)
+        cents = cents.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("ck")
