@@ -662,7 +662,6 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     st_pairs = (
         x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
 
     # revision: members of flipped buckets re-derive under union caps
@@ -672,47 +671,42 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    st_bk_u = buckets.join(st_surv, "doc_id", "left_semi").join(
-        F.broadcast(over_union), "bk", "left_anti"
-    )
-    xu, yu = st_bk_u.alias("x"), st_bk_u.alias("y")
-    rev_pairs = (
-        xu.join(yu, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .join(flip_docs.withColumnRenamed("doc_id", "fd"), F.col("y.doc_id") == F.col("fd"), "left_semi")
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
     # Kept-verdict pairs (doc_b NOT in a flipped bucket — the persisted
-    # flags, standing caps) and revision pairs (doc_b in a flipped
-    # bucket — union caps) are DISJOINT by doc_b, so one Jaccard verify
-    # covers both; the candidate construction above is still the
-    # production revision algebra, the shared verify is just the
-    # expensive stage paid once.
+    # flags, standing caps) and the revision/batch pairs below are
+    # DISJOINT by doc_b, so one Jaccard verify covers all three; the
+    # candidate construction is still the production revision algebra,
+    # the shared verify is just the expensive stage paid once.
     st_kept_pairs = st_pairs.join(
         flip_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
     )
 
-    # batch flags: any union survivor as witness, batch survivor as loser
+    # r12: ONE candidate-pair join covers BOTH the revision
+    # re-derivation and the batch admission (the round21 store lane's
+    # unified form and its soundness proof, verbatim): witness side
+    # x = every union survivor's membership under union caps; loser
+    # side y = batch survivors plus the flip-doc memberships. A batch
+    # witness row can never satisfy doc_a < doc_b against a standing
+    # (flip) loser — ingest ids are monotone, so the predicate prunes
+    # exactly the rows the standing-witness-only revision algebra
+    # excludes. Replaces two separate self-joins (and their distincts:
+    # a pair sharing several buckets appears <= bands times, which
+    # only duplicates rows into the verify and the distinct-doc_b near
+    # set — the ONE distinct below pays the dedup once for all
+    # families).
     surv_bk_u = buckets.join(surv, "doc_id", "left_semi").join(
         F.broadcast(over_union), "bk", "left_anti"
     )
     bt_bk_u = surv_bk_u.join(bt_surv, "doc_id", "left_semi")
-    xa, yb = surv_bk_u.alias("x"), bt_bk_u.alias("y")
-    bt_pairs = (
+    y_rev = surv_bk_u.join(flip_docs, "doc_id", "left_semi")
+    xa, yb = surv_bk_u.alias("x"), bt_bk_u.unionByName(y_rev).alias("y")
+    pairs_u = (
         xa.join(yb, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
-    # r12: ONE verify over the union of all three pair families —
-    # per-pair Jaccard is independent of which family produced the
-    # pair and the near set is distinct-doc_b of the union either way,
-    # so splitting the verify bought nothing and paid the working-set
-    # array collection twice (the two ~4s twin stages in the r12
-    # profile). Row-identical by construction.
     near = (
         _exact_jaccard(
             sh,
-            st_kept_pairs.unionByName(rev_pairs).unionByName(bt_pairs),
+            st_kept_pairs.unionByName(pairs_u).distinct(),
             arrs=feat.select("doc_id", "sh_arr"),
         )
         .select(F.col("doc_b").alias("doc_id"))
