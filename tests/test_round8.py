@@ -482,16 +482,32 @@ def test_docs_queries_null_text_parity(spark, tmp_path):
         # and the NULL doc is excluded, not hashed as empty
         assert all(r["doc_id"] != 2 for r in sdf.collect()), name
 
-def test_repetition_and_tfidf_single_scan_forms(spark):
+def test_repetition_and_tfidf_single_scan_forms(spark, monkeypatch):
     """Round-9 rewrites locked in: repetition stats are a ZERO-exchange
     per-row projection (longest-run fold over sorted bigrams — any
-    Exchange means someone reintroduced the explode/agg/join); TF-IDF
-    computes df as a window over the collapsed (doc,term) frame, one
-    scan of documents and no broadcast of a corpus-sized aggregate."""
+    Exchange beyond the r12 scale-adaptive spread means someone
+    reintroduced the explode/agg/join); TF-IDF computes df as a window
+    over the collapsed (doc,term) frame, one scan of documents and no
+    broadcast of a corpus-sized aggregate.
+
+    The r12 parallelism floor (load_table_spread, commit 1b45c79) adds
+    ONE repartition exchange of the raw scan when the file is small
+    relative to the machine — a structural no-op at real scan widths —
+    so the per-row-projection invariant is pinned with the floor
+    disabled ($SPARK_GRAFT_SPREAD=1), and the spread form is separately
+    pinned to exactly that one exchange."""
     import re
 
+    # the spread form: exactly ONE exchange (the floor's repartition of
+    # the raw scan), nothing reduce-side
+    plan = _plan(spark, "docs_repetition_stats")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "1")  # floor off -> pure form
     plan = _plan(spark, "docs_repetition_stats")
     assert "Exchange" not in plan, "docs_repetition_stats gained a shuffle"
+    monkeypatch.delenv("SPARK_GRAFT_SPREAD")
 
     plan = _plan(spark, "docs_tfidf_top_terms")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
