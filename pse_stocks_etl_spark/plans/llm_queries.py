@@ -351,32 +351,80 @@ def _shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_CACHE_CAP = 2
 
 
+def unpersist_checkpoint_blocks(df: DataFrame) -> None:
+    """Eagerly free the persisted RDD blocks behind a localCheckpoint-
+    backed DataFrame. DataFrame.unpersist() only releases cacheManager
+    entries, and a checkpoint's LogicalRDD has none — its blocks are
+    otherwise reclaimed only when the ContextCleaner notices the RDD
+    object is garbage (driver-GC-timing-dependent; VERDICT r12 item 8:
+    a long-lived service rotating sf_dirs could transiently double-hold
+    working sets). Reaches through the analyzed plan (a LogicalRDD for
+    checkpoint-backed frames) to the underlying RDD; a frame that is
+    not checkpoint-backed has no rdd() accessor and the call is a
+    no-op. Safe on never-materialized non-eager checkpoints (unpersist
+    of an unpersisted RDD is a no-op) and after the entry is dropped
+    (the frame is never recomputed, so losing the blocks is final in
+    the good sense)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not checkpoint-backed, or session already stopped
+
+
 class _PersistedLRU:
     """LRU of persisted DataFrames; evicted entries are unpersisted.
 
     Eviction survives dead sessions: unpersist on a stopped
     SparkContext raises, which must not break the NEXT session's
-    cache fill."""
+    cache fill.
+
+    `get_or_build(..., cleanup=fn)` registers a per-entry cleanup
+    called (with the frame) on eviction and on clear(), AFTER the
+    default unpersist — the hook for entries whose storage unpersist()
+    alone cannot release (checkpoint-backed frames, see
+    unpersist_checkpoint_blocks) or that must drop a DERIVED entry in
+    another cache when they go (a derived frame whose lineage crosses
+    a parent's non-reliable checkpoint must never outlive it — ADVICE
+    r12)."""
 
     def __init__(self, cap: int):
         from collections import OrderedDict
 
         self.cap = cap
         self._entries: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
+        self._cleanups: dict = {}
 
-    def get_or_build(self, key, build):
+    def _release(self, key, df) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to free
+        cleanup = self._cleanups.pop(key, None)
+        if cleanup is not None:
+            try:
+                cleanup(df)
+            except Exception:
+                pass
+
+    def get_or_build(self, key, build, cleanup=None):
         if key in self._entries:
             self._entries.move_to_end(key)
             return self._entries[key]
         df = build()
         self._entries[key] = df
+        if cleanup is not None:
+            self._cleanups[key] = cleanup
         while len(self._entries) > self.cap:
-            _, evicted = self._entries.popitem(last=False)
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing left to free
+            k, evicted = self._entries.popitem(last=False)
+            self._release(k, evicted)
         return df
+
+    def evict(self, key) -> None:
+        """Drop + release one entry if present (parent caches evict
+        their derived entries through this)."""
+        df = self._entries.pop(key, None)
+        if df is not None:
+            self._release(key, df)
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -386,11 +434,8 @@ class _PersistedLRU:
         together — unpersisting behind the dict's back leaves stale
         handles that silently recompute un-persisted forever)."""
         while self._entries:
-            _, evicted = self._entries.popitem(last=False)
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing left to free
+            k, evicted = self._entries.popitem(last=False)
+            self._release(k, evicted)
 
 
 _SHINGLE_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)

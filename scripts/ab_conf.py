@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,9 +50,9 @@ def main() -> None:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times[val].append(round(time.perf_counter() - t0, 4))
         out[name] = times
-        med = {
-            v: sorted(ts)[len(ts) // 2] for v, ts in times.items()
-        }
+        # true median (ADVICE r12: sorted(ts)[n//2] is the UPPER median,
+        # biased for even round counts)
+        med = {v: statistics.median(ts) for v, ts in times.items()}
         print(
             f"{name}: {val_a} med={med[val_a]:.3f} {val_b} med={med[val_b]:.3f}"
             f"  raw={json.dumps(times)}",

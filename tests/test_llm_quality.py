@@ -213,6 +213,80 @@ def test_persisted_lru_eviction_order_and_dead_session_safety():
     assert lru.get_or_build("c", lambda: None) is c
 
 
+def test_persisted_lru_cleanup_hook_runs_on_evict_and_clear():
+    """r13 (VERDICT r12 item 8 / ADVICE): entries may register a
+    cleanup callback, called after the default unpersist on eviction
+    AND on clear(), and a cleanup that raises must not break the
+    cache (dead-session semantics, same as unpersist)."""
+    from pse_stocks_etl_spark.plans.llm_queries import _PersistedLRU
+
+    class Frame:
+        def unpersist(self):
+            pass
+
+    cleaned: list = []
+    lru = _PersistedLRU(cap=1)
+    a, b, c = Frame(), Frame(), Frame()
+    lru.get_or_build("a", lambda: a, cleanup=lambda df: cleaned.append(("a", df)))
+    lru.get_or_build("b", lambda: b)  # evicts a -> cleanup fires
+    assert cleaned == [("a", a)]
+    lru.get_or_build(
+        "c",
+        lambda: c,
+        cleanup=lambda df: (_ for _ in ()).throw(RuntimeError("boom")),
+    )  # evicts b (no cleanup registered)
+    assert len(lru) == 1
+    lru.clear()  # c's cleanup raises — swallowed, cache emptied
+    assert len(lru) == 0
+    # evict() on a missing key is a no-op
+    lru.evict("nope")
+
+
+def test_feat_cache_clear_frees_checkpoint_rdd_blocks(spark, sf_dir):
+    """r13 (VERDICT r12 item 8): the featurized-corpus working set is a
+    localCheckpoint-backed frame, and DataFrame.unpersist() alone does
+    NOT free a checkpoint's persisted RDD blocks (no cacheManager
+    entry) — the LRU's cleanup must release them eagerly so
+    clear_working_set_caches() actually bounds storage."""
+    from pse_stocks_etl_spark.plans import corpus_queries as cq
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    lq.clear_working_set_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    before_ids = {i.id() for i in jsc.getRDDStorageInfo()}
+
+    feat = cq.corpus_featurized_cached(spark, sf_dir)
+    feat.count()  # materialize the non-eager checkpoint
+    held = {i.id() for i in jsc.getRDDStorageInfo()} - before_ids
+    assert held, "materialized checkpoint should hold RDD blocks"
+
+    lq.clear_working_set_caches()
+    after_ids = {i.id() for i in jsc.getRDDStorageInfo()}
+    leaked = held & after_ids
+    assert not leaked, f"checkpoint RDD blocks survived clear: {leaked}"
+
+
+def test_feat_eviction_takes_derived_shingle_entry_with_it(spark, sf_dir):
+    """ADVICE r12: the exploded shingle working set's lineage crosses
+    the featurized frame's NON-RELIABLE checkpoint, so the derived
+    entry must never outlive its parent — evicting the feat entry
+    evicts (and unpersists) the same-key shingle entry too."""
+    from pse_stocks_etl_spark.plans import corpus_queries as cq
+    from pse_stocks_etl_spark.plans import llm_queries as lq
+
+    lq.clear_working_set_caches()
+    cq.corpus_featurized_cached(spark, sf_dir)
+    sh = cq._shingles_from_feat(spark, sf_dir)
+    sh.count()  # materialize the derived persist
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in lq._SHINGLE_CACHE._entries
+
+    cq._FEAT_CACHE.evict(key)
+    assert key not in lq._SHINGLE_CACHE._entries
+    assert not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
+    lq.clear_working_set_caches()
+
+
 def test_clear_working_set_caches_resets_memo_and_storage(spark, sf_dir):
     """The round-6 isolation hook: clear() must drop memo AND storage
     together. The failure mode it guards: `spark.catalog.clearCache()`
