@@ -88,6 +88,43 @@ def main() -> None:
             f"total executorRunTime {tot_run:.1f}s across "
             f"{len(stages)} stages; shuffle write {tot_shuf:.1f} MB"
         )
+        # Driver-serialization view (guide §2.6): the query's JOBS in
+        # submission order with the gap since the previous job finished
+        # — large gaps between many tiny jobs mean the driver is
+        # blocking on serial materializations (checkpoints, probes),
+        # which a thread-pool overlap can reclaim.
+        from datetime import datetime
+
+        def ts(s: str) -> float:
+            return datetime.strptime(
+                s[:23], "%Y-%m-%dT%H:%M:%S.%f"
+            ).timestamp()
+
+        jobs = [
+            j
+            for j in rest("/jobs")
+            if f"profile:{name}" in (j.get("description") or "")
+        ]
+        jobs.sort(key=lambda j: j["jobId"])
+        if jobs:
+            t_first = ts(jobs[0]["submissionTime"])
+            prev_end = None
+            gaps = 0.0
+            print(f"{'job':>5} {'start_s':>8} {'dur_s':>7} {'gap_s':>7}  stages")
+            for j in jobs:
+                sub = ts(j["submissionTime"])
+                end = ts(j.get("completionTime", j["submissionTime"]))
+                gap = (sub - prev_end) if prev_end is not None else 0.0
+                gaps += max(gap, 0.0)
+                print(
+                    f"{j['jobId']:>5} {sub - t_first:>8.2f} {end - sub:>7.2f} "
+                    f"{gap:>7.2f}  {len(j.get('stageIds', []))}"
+                )
+                prev_end = max(prev_end or end, end)
+            print(
+                f"{len(jobs)} jobs; sum of between-job driver gaps "
+                f"{gaps:.2f}s of {wall:.2f}s wall"
+            )
     spark.stop()
 
 
