@@ -233,26 +233,54 @@ def featurize_docs(d: DataFrame) -> DataFrame:
     a collect_set shuffle for the verify; one featurized pass replaces
     all of them, and every downstream derivation is a map-side explode
     or filter of the cached frame."""
-    from .llm_queries import band_bucket_array, minhash_sig_array
-    from ..functions.text import portable_hash64, shingles_from_tokens
-
+    tok_col, n_col, sh_col, rep_col, bk_col = _feat_cols(d)
     toked = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.md5("text").alias("h"),
-        tokens(F.col("text")).alias("__tk"),
+        tok_col,
     )
-    n_tokens, n_distinct, max_bg = repetition_stat_cols(F.col("__tk"))
     return toked.select(
         "doc_id",
         "source",
         "h",
-        n_tokens.alias("n"),
-        F.transform(
-            shingles_from_tokens(F.col("__tk"), SHINGLE_N), portable_hash64
-        ).alias("sh_arr"),
-        repetitive_col(n_tokens, n_distinct, max_bg).alias("repetitive"),
-    ).withColumn("bk_arr", band_bucket_array(minhash_sig_array(F.col("sh_arr"))))
+        n_col,
+        sh_col,
+        rep_col,
+    ).withColumn("bk_arr", bk_col)
+
+
+# Memoized projection Columns for featurize_docs. Building the MinHash
+# band / repetition expression trees is ~0.4s of pure Python/py4j
+# Column construction (measured r13, guide §1.2 per-task→per-call
+# work), and EVERY composition's working-set rebuild — bench-isolated
+# runs rebuild per query — paid it again. Columns are immutable
+# unresolved expression trees, so one instance serves any number of
+# plans; the cache keys on the py4j gateway so a new JVM (new gateway)
+# can never be served another JVM's object handles.
+_FEAT_COL_CACHE: dict = {}
+
+
+def _feat_cols(d: DataFrame):
+    from .llm_queries import band_bucket_array, minhash_sig_array
+    from ..functions.text import portable_hash64, shingles_from_tokens
+
+    key = id(d.sparkSession._sc._gateway)
+    cols = _FEAT_COL_CACHE.get(key)
+    if cols is None:
+        n_tokens, n_distinct, max_bg = repetition_stat_cols(F.col("__tk"))
+        cols = (
+            tokens(F.col("text")).alias("__tk"),
+            n_tokens.alias("n"),
+            F.transform(
+                shingles_from_tokens(F.col("__tk"), SHINGLE_N), portable_hash64
+            ).alias("sh_arr"),
+            repetitive_col(n_tokens, n_distinct, max_bg).alias("repetitive"),
+            band_bucket_array(minhash_sig_array(F.col("sh_arr"))),
+        )
+        _FEAT_COL_CACHE.clear()  # at most one live gateway per process
+        _FEAT_COL_CACHE[key] = cols
+    return cols
 
 
 def corpus_featurized_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

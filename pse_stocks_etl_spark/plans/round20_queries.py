@@ -527,6 +527,7 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     all batch-proportional. Standing-side work is the linear keeper/
     bucket/rep derivation that a production run reads from its
     persisted tables instead (the semdedup_increment convention)."""
+    from .concurrency import overlap
     from .corpus_queries import (
         BENCH_MOD,
         BENCH_REM,
@@ -551,50 +552,55 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side filter/explode of the cached frame.
     feat = corpus_featurized_cached(spark, sf_dir)
     tmax = feat.agg(F.max("doc_id").alias("max_id"))
-    # the ~40 B/doc decision metadata, checkpointed so the dozen
-    # standing/batch/rep/pack lineages read the small frame instead of
-    # re-deserializing the featurized rows' heavy arrays per consumer
-    meta = (
-        feat.select("doc_id", "source", "h", "n", "repetitive")
-        .crossJoin(F.broadcast(tmax))
-        .select(
-            "doc_id",
-            "source",
-            "h",
-            "n",
-            "repetitive",
-            (F.col("doc_id") * 10 > F.col("max_id") * 9).alias("is_batch"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    st = meta.filter(~F.col("is_batch"))
-    bt = meta.filter(F.col("is_batch"))
 
-    # -- exact dedup: frozen standing keepers + batch hash admission
-    # st_keep is consumed by 4 lineages (standing survivors, batch
-    # anti-join, and through st_surv the LSH membership semi-joins);
-    # same localCheckpoint treatment as `buckets` below.
-    st_keep = (
-        st.groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    st_surv = st_keep.select("doc_id")
-    bt_surv = (
-        bt.groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .join(st_keep.select("h"), "h", "left_anti")
-        .select("doc_id")
-    )
-    # r12: checkpoint the survivor union. The optimizer pushes the
-    # kept-chain's three LeftAnti joins THROUGH this Union (semi/anti
-    # pushdown), duplicating the whole near/rep/cont exclusion subtree
-    # per union branch — the r12 profile's remaining twin ~4s stages
-    # were the two copies of the Jaccard-verify build racing to
-    # materialize _exact_jaccard's checkpoint. Truncating the union's
-    # lineage (a tiny doc_id frame) removes the Union before the
-    # pushdown rule sees it, so every exclusion subtree appears once.
-    surv = st_surv.unionByName(bt_surv).localCheckpoint(eager=False)
+    def _meta_chain():
+        # the ~40 B/doc decision metadata, checkpointed so the dozen
+        # standing/batch/rep/pack lineages read the small frame instead
+        # of re-deserializing the featurized rows' heavy arrays per
+        # consumer
+        meta = (
+            feat.select("doc_id", "source", "h", "n", "repetitive")
+            .crossJoin(F.broadcast(tmax))
+            .select(
+                "doc_id",
+                "source",
+                "h",
+                "n",
+                "repetitive",
+                (F.col("doc_id") * 10 > F.col("max_id") * 9).alias("is_batch"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        st = meta.filter(~F.col("is_batch"))
+        bt = meta.filter(F.col("is_batch"))
+
+        # -- exact dedup: frozen standing keepers + batch hash admission
+        # st_keep is consumed by 4 lineages (standing survivors, batch
+        # anti-join, and through st_surv the LSH membership semi-joins);
+        # same localCheckpoint treatment as `buckets` below.
+        st_keep = (
+            st.groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint(eager=False)
+        )
+        st_surv = st_keep.select("doc_id")
+        bt_surv = (
+            bt.groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(st_keep.select("h"), "h", "left_anti")
+            .select("doc_id")
+        )
+        # r12: checkpoint the survivor union. The optimizer pushes the
+        # kept-chain's three LeftAnti joins THROUGH this Union (semi/
+        # anti pushdown), duplicating the whole near/rep/cont exclusion
+        # subtree per union branch — the r12 profile's remaining twin
+        # ~4s stages were the two copies of the Jaccard-verify build
+        # racing to materialize _exact_jaccard's checkpoint. Truncating
+        # the union's lineage (a tiny doc_id frame) removes the Union
+        # before the pushdown rule sees it, so every exclusion subtree
+        # appears once.
+        surv = st_surv.unionByName(bt_surv).localCheckpoint(eager=False)
+        return meta, st, bt, st_keep, st_surv, bt_surv, surv
 
     # -- LSH buckets with standing-vs-union width accounting; the
     # batch flag re-derives from the broadcast max_id (map-side) so the
@@ -604,6 +610,7 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shingle: the _shingle_explode row multiset exactly;
     # shared cache slot with _shingles_cached).
     sh = _shingles_from_feat(spark, sf_dir)
+
     # r12 optimization: non-eager localCheckpoint of the bucket frame.
     # The r11 in-plan note recorded a persist() A/B that LOST (10-12.8s
     # vs 8.5-10s) and concluded ReusedExchange dedupes the subtree; the
@@ -629,20 +636,34 @@ def corpus_build_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # excludes such docs' junk keys, whose null sig elements concat_ws
     # would otherwise collapse); the checkpoint keeps the five
     # consumer lineages off the heavy featurized rows.
-    buckets = (
-        feat.filter(F.size("sh_arr") > 0)
-        .select("doc_id", F.explode("bk_arr").alias("bk"))
-        .localCheckpoint(eager=False)
-    )
-    bwidth = (
-        buckets.crossJoin(F.broadcast(tmax))
-        .withColumn("is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9)
-        .groupBy("bk")
-        .agg(
-            F.count("*").alias("w_all"),
-            F.sum(F.col("is_batch").cast("int")).alias("w_b"),
+    def _bucket_chain():
+        buckets = (
+            feat.filter(F.size("sh_arr") > 0)
+            .select("doc_id", F.explode("bk_arr").alias("bk"))
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
+        bwidth = (
+            buckets.crossJoin(F.broadcast(tmax))
+            .withColumn("is_batch", F.col("doc_id") * 10 > F.col("max_id") * 9)
+            .groupBy("bk")
+            .agg(
+                F.count("*").alias("w_all"),
+                F.sum(F.col("is_batch").cast("int")).alias("w_b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        return buckets, bwidth
+
+    # r13 (guide §2.6): each localCheckpoint(eager=False) above blocks
+    # the driver on its subplan's AQE exchange jobs at CALL time, so
+    # the two chains — metadata/keepers/survivors and buckets/widths —
+    # used to run their shuffle jobs strictly serially (profile: 2.5s
+    # of between-job driver gaps in a 4.6s run). They are independent
+    # given the shared featurized frame (whose persisted blocks
+    # dedupe computation under the block manager's locks), so overlap
+    # them on two driver threads.
+    (meta, st, bt, st_keep, st_surv, bt_surv, surv), (buckets, bwidth) = overlap(
+        spark, _meta_chain, _bucket_chain
     )
     over_union = bwidth.filter(F.col("w_all") > LSH_BUCKET_CAP).select("bk")
     over_st = bwidth.filter(

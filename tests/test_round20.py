@@ -400,3 +400,40 @@ def test_epoch_cap_redistribute_conserves_budget(spark):
     assert any(
         r.alloc_tokens > r.target_tokens for r in rows
     ), "no source received redistributed budget"
+
+
+def test_overlap_runs_thunks_propagates_labels_and_errors(spark):
+    """r13 (guide §2.6): the overlap helper must (a) return results in
+    argument order, (b) propagate the caller's thread-local job
+    description into worker threads — bench.py and the profilers
+    attribute jobs by it — and (c) re-raise a thunk's exception."""
+    import pytest
+
+    from pse_stocks_etl_spark.plans.concurrency import overlap
+
+    sc = spark.sparkContext
+    sc.setJobDescription("overlap-test")
+    try:
+        seen: dict[str, str | None] = {}
+
+        def a():
+            seen["a"] = sc.getLocalProperty("spark.job.description")
+            return "ra"
+
+        def b():
+            seen["b"] = sc.getLocalProperty("spark.job.description")
+            return "rb"
+
+        assert overlap(spark, a, b) == ["ra", "rb"]
+        assert seen == {"a": "overlap-test", "b": "overlap-test"}
+
+        def boom():
+            raise RuntimeError("thunk failed")
+
+        with pytest.raises(RuntimeError, match="thunk failed"):
+            overlap(spark, a, boom)
+
+        # single-thunk fast path runs inline (same thread, no pool)
+        assert overlap(spark, lambda: 42) == [42]
+    finally:
+        sc.setJobDescription(None)
