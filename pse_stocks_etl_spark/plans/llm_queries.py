@@ -385,46 +385,84 @@ class _PersistedLRU:
     unpersist_checkpoint_blocks) or that must drop a DERIVED entry in
     another cache when they go (a derived frame whose lineage crosses
     a parent's non-reliable checkpoint must never outlive it — ADVICE
-    r12)."""
+    r12).
+
+    Thread-safe (r13): concurrent callers — overlapped plan
+    materializations (plans/concurrency.py §2.6) and parallel
+    registry sweeps — dedupe in-flight builds per key (the second
+    caller WAITS instead of paying a duplicate build: the store seed
+    behind one of these caches costs ~30s), and map mutations are
+    locked. build()/cleanup run OUTSIDE the lock, so a build that
+    fills another cache, or a cleanup that evicts a derived entry
+    from another cache, can never deadlock two caches against each
+    other."""
 
     def __init__(self, cap: int):
+        import threading
         from collections import OrderedDict
 
         self.cap = cap
         self._entries: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
         self._cleanups: dict = {}
+        self._lock = threading.Lock()
+        self._inflight: dict = {}
 
-    def _release(self, key, df) -> None:
+    def _release(self, key, df, cleanup) -> None:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing left to free
-        cleanup = self._cleanups.pop(key, None)
         if cleanup is not None:
             try:
                 cleanup(df)
             except Exception:
                 pass
 
-    def get_or_build(self, key, build, cleanup=None):
-        if key in self._entries:
-            self._entries.move_to_end(key)
-            return self._entries[key]
-        df = build()
-        self._entries[key] = df
-        if cleanup is not None:
-            self._cleanups[key] = cleanup
+    def _pop_release_list(self):
+        """Under the lock: pop over-cap entries; release them outside."""
+        out = []
         while len(self._entries) > self.cap:
             k, evicted = self._entries.popitem(last=False)
-            self._release(k, evicted)
+            out.append((k, evicted, self._cleanups.pop(k, None)))
+        return out
+
+    def get_or_build(self, key, build, cleanup=None):
+        import threading
+
+        while True:
+            with self._lock:
+                if key in self._entries:
+                    self._entries.move_to_end(key)
+                    return self._entries[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    self._inflight[key] = threading.Event()
+                    break
+            ev.wait()  # another thread is building this key — reuse it
+        try:
+            df = build()
+        except BaseException:
+            with self._lock:
+                self._inflight.pop(key).set()
+            raise
+        with self._lock:
+            self._entries[key] = df
+            if cleanup is not None:
+                self._cleanups[key] = cleanup
+            evicted = self._pop_release_list()
+            self._inflight.pop(key).set()
+        for k, e, cl in evicted:
+            self._release(k, e, cl)
         return df
 
     def evict(self, key) -> None:
         """Drop + release one entry if present (parent caches evict
         their derived entries through this)."""
-        df = self._entries.pop(key, None)
+        with self._lock:
+            df = self._entries.pop(key, None)
+            cleanup = self._cleanups.pop(key, None)
         if df is not None:
-            self._release(key, df)
+            self._release(key, df, cleanup)
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -433,9 +471,13 @@ class _PersistedLRU:
         """Unpersist and drop every entry (memo dict AND storage
         together — unpersisting behind the dict's back leaves stale
         handles that silently recompute un-persisted forever)."""
-        while self._entries:
-            k, evicted = self._entries.popitem(last=False)
-            self._release(k, evicted)
+        while True:
+            with self._lock:
+                if not self._entries:
+                    return
+                k, evicted = self._entries.popitem(last=False)
+                cleanup = self._cleanups.pop(k, None)
+            self._release(k, evicted, cleanup)
 
 
 _SHINGLE_CACHE = _PersistedLRU(SHINGLE_CACHE_CAP)

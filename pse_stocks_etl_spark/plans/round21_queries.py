@@ -671,6 +671,14 @@ def _split_round(member: DataFrame, cents: DataFrame):
             lambda s: s["val"],
         ).alias("svec")
     )
+    # r13 (§2.4 duplicated subtree): trained feeds BOTH outputs —
+    # member' (through the re-assign) and cents' — and the per-round
+    # member/cents checkpoints are separate plans, so without its own
+    # truncation the whole Lloyd subtree (hot-member cosines, seed
+    # argmin, posexplode mean) materialized twice per round (profiled
+    # ~1s/round of the cents checkpoint at sf0.001 re-deriving it).
+    # The frame is tiny (<= 2 rows per hot cell).
+    trained = trained.localCheckpoint(eager=False)
     a2 = assign(trained)
 
     sub_key = F.concat_ws(".", F.col("ck"), F.col("sub").cast("string"))

@@ -138,6 +138,48 @@ def arrow_summary(tbl: pa.Table):
     return cols, dtypes, rows
 
 
+def compare_overlapped(sdf, con, oracle: str) -> list[str]:
+    """compare(), with the Spark side and the DuckDB oracle executed
+    CONCURRENTLY on two threads (guide §2.6 applied to the parity
+    harness itself: the engines are independent, so each check costs
+    max(spark, duck) instead of the sum — the IVF/corpus oracles spend
+    multiple seconds on BOTH sides). `sdf` may be the DataFrame or a
+    zero-arg thunk returning it — pass a thunk when building the frame
+    itself runs jobs (checkpoint-materializing compositions), so that
+    work overlaps the oracle too. Spark runs on the worker thread
+    (py4j releases the GIL on socket waits); the single shared DuckDB
+    connection stays on the caller's thread — _RecyclingDuck and raw
+    connections are single-caller objects."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def spark_side():
+        df = sdf() if callable(sdf) else sdf
+        return df.columns, [tuple(r) for r in df.collect()]
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(spark_side)
+        rel = con.sql(oracle)
+        d_cols, d_rows = rel.columns, rel.fetchall()
+        s_cols, s_rows = fut.result()
+    return compare(s_cols, s_rows, d_cols, d_rows)
+
+
+def strict_compare_overlapped(sdf, con, oracle: str) -> list[str]:
+    """strict_compare() with the same two-engine overlap (and the same
+    DataFrame-or-thunk contract) as compare_overlapped."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def spark_side():
+        df = sdf() if callable(sdf) else sdf
+        return df.toArrow()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(spark_side)
+        d_tbl = con.sql(oracle).fetch_arrow_table()
+        s_tbl = fut.result()
+    return strict_compare(s_tbl, d_tbl)
+
+
 def strict_compare(s_tbl: pa.Table, d_tbl: pa.Table) -> list[str]:
     """Driver-grade parity: column names + canonical dtypes + bit-exact
     sorted values. Empty list == parity."""

@@ -20,7 +20,7 @@ from pse_stocks_etl_spark import plans
 from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
 from pse_stocks_etl_spark.plans.staging import STAGING
 from pse_stocks_etl_spark.schemas import TESTDATA_TABLES
-from pse_stocks_etl_spark.testing import compare
+from pse_stocks_etl_spark.testing import compare_overlapped
 
 from conftest import SF_DIR
 
@@ -53,9 +53,6 @@ def duck(empty_sf):
 
 @pytest.mark.parametrize("name,q", ALL, ids=[n for n, _ in ALL])
 def test_empty_input_parity(spark, duck, empty_sf, name, q):
-    sdf = q.fn(spark, empty_sf)
-    rel = duck.sql(q.oracle)
-    problems = compare(
-        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
-    )
+    # r13: the whole Spark side and the Duck oracle overlap on two threads
+    problems = compare_overlapped(lambda: q.fn(spark, empty_sf), duck, q.oracle)
     assert not problems, (name, problems)

@@ -112,12 +112,9 @@ def test_matrix_is_nontrivial(intraday_sf):
 @pytest.mark.parametrize("name,q", MATRIX, ids=[n for n, _ in MATRIX])
 def test_intraday_parity(spark, duck, intraday_sf, name, q):
     from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
-    from pse_stocks_etl_spark.testing import compare
+    from pse_stocks_etl_spark.testing import compare_overlapped
 
     clear_working_set_caches()
-    sdf = q.fn(spark, intraday_sf)
-    rel = duck.sql(q.oracle)
-    problems = compare(
-        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
-    )
+    # r13: the whole Spark side and the Duck oracle overlap on two threads
+    problems = compare_overlapped(lambda: q.fn(spark, intraday_sf), duck, q.oracle)
     assert not problems, (name, problems)

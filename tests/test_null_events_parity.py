@@ -23,7 +23,7 @@ from pse_stocks_etl_spark import plans
 from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
 from pse_stocks_etl_spark.plans.staging import STAGING
 from pse_stocks_etl_spark.schemas import TESTDATA_TABLES
-from pse_stocks_etl_spark.testing import compare
+from pse_stocks_etl_spark.testing import compare_overlapped
 
 
 def _events_only_queries():
@@ -114,9 +114,6 @@ def test_matrix_is_nontrivial():
 
 @pytest.mark.parametrize("name,q", EVENTS_ONLY, ids=[n for n, _ in EVENTS_ONLY])
 def test_null_events_parity(spark, duck, null_events, name, q):
-    sdf = q.fn(spark, null_events)
-    rel = duck.sql(q.oracle)
-    problems = compare(
-        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
-    )
+    # r13: the whole Spark side and the Duck oracle overlap on two threads
+    problems = compare_overlapped(lambda: q.fn(spark, null_events), duck, q.oracle)
     assert not problems, (name, problems)

@@ -22,7 +22,7 @@ from pse_stocks_etl_spark import plans
 from pse_stocks_etl_spark.plans import round9_queries  # noqa: F401
 from pse_stocks_etl_spark.plans.staging import STAGING
 from pse_stocks_etl_spark.schemas import TESTDATA_TABLES
-from pse_stocks_etl_spark.testing import compare
+from pse_stocks_etl_spark.testing import compare_overlapped
 
 
 def _docs_only_queries():
@@ -99,9 +99,6 @@ def test_null_text_parity(spark, duck, null_corpus, name, q):
     from pse_stocks_etl_spark.plans.llm_queries import clear_working_set_caches
 
     clear_working_set_caches()  # caches are keyed by sf_dir, but stay hygienic
-    sdf = q.fn(spark, null_corpus)
-    rel = duck.sql(q.oracle)
-    problems = compare(
-        sdf.columns, [tuple(r) for r in sdf.collect()], rel.columns, rel.fetchall()
-    )
+    # r13: the whole Spark side and the Duck oracle overlap on two threads
+    problems = compare_overlapped(lambda: q.fn(spark, null_corpus), duck, q.oracle)
     assert not problems, (name, problems)

@@ -10,7 +10,7 @@ import pytest
 
 from pse_stocks_etl_spark import plans
 from pse_stocks_etl_spark.plans import _DRIVER_FIRST
-from pse_stocks_etl_spark.testing import duck_connection, strict_compare
+from pse_stocks_etl_spark.testing import duck_connection, strict_compare_overlapped
 
 from conftest import SF_DIR
 
@@ -25,11 +25,13 @@ def duck():
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = plans.REGISTRY[name]
-    sdf = q.fn(spark, sf_dir)
     if q.oracle is None:
-        assert sdf.count() >= 0  # rows-only check: plan executes
+        assert q.fn(spark, sf_dir).count() >= 0  # rows-only: plan executes
         return
-    problems = strict_compare(sdf.toArrow(), duck.sql(q.oracle).fetch_arrow_table())
+    # r13: the whole Spark side (fn builds can run checkpoint jobs) and
+    # the Duck oracle run on two threads — each check costs
+    # max(engine sides), not the sum
+    problems = strict_compare_overlapped(lambda: q.fn(spark, sf_dir), duck, q.oracle)
     assert not problems, f"{name}: {problems}"
 
 
@@ -43,11 +45,10 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
     carried its own copy of this loop; this generic one survives the
     queue emptying and refilling."""
     q = STAGING[name]
-    sdf = q.fn(spark, sf_dir)
     if q.oracle is None:
-        assert sdf.count() >= 0
+        assert q.fn(spark, sf_dir).count() >= 0
         return
-    problems = strict_compare(sdf.toArrow(), duck.sql(q.oracle).fetch_arrow_table())
+    problems = strict_compare_overlapped(lambda: q.fn(spark, sf_dir), duck, q.oracle)
     assert not problems, f"{name}: {problems}"
 
 

@@ -221,13 +221,25 @@ def test_no_python_udf_in_any_registered_plan(spark, sf_dir):
         "datasource_price_scan",       # Python DataSource scan
         "datasource_stream_prices",    # Python streaming DataSource (r8 promotion)
     }
-    offenders = {}
-    for name, q in plans.REGISTRY.items():
+    # r13: the sweep builds 301 plans and was the suite's second-
+    # slowest test (~200s solo — fn() pays expression construction,
+    # Catalyst analysis and any checkpoint-materialization jobs per
+    # query). Plan building is JVM-side work, the working-set caches
+    # are thread-safe with in-flight build dedup (_PersistedLRU), and
+    # the drives' memory sinks are uuid-named, so the sweep
+    # parallelizes cleanly on driver threads (~4x).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str):
         plan = _plan(spark, sf_dir, name)
         if "BatchEvalPython" in plan:
-            offenders[name] = "BatchEvalPython (row-at-a-time UDF)"
-        elif name not in arrow_ok and re.search(
+            return name, "BatchEvalPython (row-at-a-time UDF)"
+        if name not in arrow_ok and re.search(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan
         ):
-            offenders[name] = "undeclared Arrow python node"
+            return name, "undeclared Arrow python node"
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = dict(r for r in pool.map(check, plans.REGISTRY) if r)
     assert not offenders, offenders
