@@ -147,57 +147,57 @@ except ImportError:  # pragma: no cover - partial checkouts
 # CORRECTNESS files, never this prose.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
-    # -- generated by scripts/plan_rotation.py --apply (never-checked=12, stale refill=38) --
-    "corpus_build_increment_store",
-    "emb_ivf_split_iterate",
-    "corpus_epoch_plan",
-    "docs_dsir_weights",
-    "docs_dsir_select",
-    "corpus_build_quality",
-    "corpus_resume_cursor",
-    "docs_crossdoc_dup_rate",
-    "docs_dsir_increment",
-    "docs_ccnet_buckets",
-    "corpus_pack_nosplit",
-    "corpus_pack_efficiency",
-    "csv_malformed_tolerant_read",
-    "customer_abc_classes",
-    "daily_cusum_shift",
-    "data_expectations_check",
-    "docs_incremental_dedup",
-    "docs_mixture_weights",
-    "docs_token_budget_select",
-    "docs_uniform_sample",
-    "docs_weighted_sample",
-    "emb_int8_quantize",
-    "event_transition_matrix",
-    "event_trigram_paths",
-    "fk_orphan_audit",
-    "funnel_strict_24h",
-    "gapfill_interp_daily",
-    "kmv_set_algebra",
-    "mode_event_per_user",
-    "part_name_near_dup",
-    "part_price_size_skyline",
-    "purchase_touch_attribution",
-    "retention_cohorts",
-    "rolling_volatility",
-    "sliding_window_counts",
-    "streaming_click_join",
-    "streaming_dedup_counts",
-    "streaming_hourly_counts",
-    "streaming_sessions",
-    "streaming_sliding_counts",
-    "streaming_static_enrich",
-    "streaming_user_stats",
-    "table_key_checksums",
-    "table_profile",
-    "user_activity_islands",
-    "user_time_weighted_avg",
-    "user_trend_slope",
-    "user_value_ewma",
-    "user_value_rolling_median",
-    "value_histogram",
+    # -- generated by scripts/plan_rotation.py --apply (never-checked=0, stale refill=50) --
+    "value_mad_outliers",
+    "variant_props_histogram",
+    "vwap_weekly",
+    "array_agg_user_profile",
+    "brand_bracket_revenue",
+    "custkey_skew_profile",
+    "customer_order_distribution",
+    "customer_rfm_segments",
+    "daily_seasonal_backtest",
+    "daily_type_share",
+    "docs_bow_dedup",
+    "docs_char_diversity",
+    "docs_cluster_canonical",
+    "docs_containment_prefix_pairs",
+    "docs_overlap_chunks",
+    "docs_prefix_jaccard_pairs",
+    "docs_quality_classifier",
+    "docs_rare_bigram_rate",
+    "docs_simhash",
+    "docs_simhash_hamming_pairs",
+    "docs_source_cap",
+    "docs_span_dedup",
+    "emb_ann_adc",
+    "emb_ann_ivfpq",
+    "emb_ann_ivfpq_increment",
+    "emb_cosine_topk",
+    "emb_power_iteration",
+    "emb_pq_quantize",
+    "emb_variance_explained",
+    "events_debounce",
+    "idle_rich_customers",
+    "large_order_customers",
+    "late_ship_priority_counts",
+    "multimodal_bmp_decode",
+    "multimodal_y4m_frames",
+    "nation_pair_trade",
+    "order_value_deciles",
+    "part_revenue_concentration",
+    "price_quantity_corr",
+    "promo_revenue_share",
+    "purchase_state_asof",
+    "regional_market_share",
+    "segment_priority_chisq",
+    "small_quantity_revenue",
+    "sole_late_supplier_orders",
+    "store_lifecycle_preview",
+    "streaming_click_outer_join",
+    "supplier_revenue_gini",
+    "top_revenue_suppliers",
+    "value_ks_two_sample",
 ]
 
 

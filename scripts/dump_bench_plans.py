@@ -1,6 +1,7 @@
 """Dump .explain("formatted") for every bench=True query into
-plans/r12/<query>_<suffix>.txt — the before/after plan evidence the
-optimization round commits next to the code (OPTIMIZATION_r12.md).
+plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt (default r13) — the
+before/after plan evidence the optimization round commits next to the
+code (OPTIMIZATION_r<N>.md).
 
 The session mirrors bench.py (local[$SPARK_GRAFT_CPUS], shuffle
 partitions = cores, AQE on) so the captured initial plans are the ones
@@ -30,7 +31,7 @@ def main() -> None:
     from pse_stocks_etl_spark.plans import pipeline_queries as _pq
     from pse_stocks_etl_spark.session import get_spark
 
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
